@@ -1,0 +1,89 @@
+"""Core graph-shape helpers shared by all kernels.
+
+The engine's graph is two DataFrames (SURVEY.md §1.1):
+    vertices(id BIGINT, ...)    edges(src BIGINT, dst BIGINT, ...)
+
+The reference stores an ``nx.MultiGraph`` adjacency dict
+(``patternmatching/gray/query_call.py:96-99``); our equivalent is a
+row-oriented edge list that we *explicitly hash-partition by src* once and
+reuse across every superstep join — the Spark realization of the reference's
+METIS partitioning + ghost overlap (``patternmatching/subgraph/divide.py:8-30``):
+the shuffle exchange is the overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: emit both directions of every edge.
+
+    Mirrors the reference's default-undirected ``nx.MultiGraph``
+    (``gray/query_call.py:281-287``); NetworkX treats each undirected edge
+    as bidirectional in pagerank/degree, so kernels over undirected input
+    run on this doubled edge list.
+    """
+    e = edges.select("src", "dst")
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def simple_edges(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Deduplicated simple-graph edge list (drops parallel edges + loops).
+
+    Parallel edges are plain duplicate rows in our model (multigraph,
+    ``sample/static/test4.json``); simple-graph kernels (pagerank vs
+    ``nx.Graph``, triangles) collapse them first.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = symmetrize(e)
+    return e.dropDuplicates(["src", "dst"])
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical (least, greatest) undirected form, deduplicated.
+
+    The canonical-signature trick replaces the reference's O(n²)
+    ``equal_graphs`` duplicate scan (``gray_multiple.py:16-37``) with a
+    single dropDuplicates.
+    """
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def vertex_ids(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing in the edge list → vertices(id)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-vertex degree (A4, ``gray_multiple.py:63-68``).
+
+    Undirected: degree over the symmetrized simple edge list. Directed:
+    out-degree. Returns (id, degree).
+    """
+    e = simple_edges(edges, directed=directed)
+    return e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+
+
+def partitioned_adjacency(
+    edges: DataFrame, num_partitions: int, directed: bool = False
+) -> DataFrame:
+    """The reusable adjacency: simple edges hash-partitioned by src.
+
+    Persisted by callers; every superstep join against per-vertex state
+    reuses this partitioning so the big (edge) side is shuffled once per
+    run, not once per superstep — at 100 TB the edge shuffle is the cost
+    that must not repeat.
+    """
+    return simple_edges(edges, directed=directed).repartition(num_partitions, "src")

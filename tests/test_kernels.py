@@ -1,0 +1,132 @@
+"""Kernel correctness vs oracles on the reference-mirror fixture graphs
+(FIXTURES.md §3-4): PageRank allclose 1e-6, components/labels/triangles
+exact — the north-rule correctness gate."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from igpm_pem_spark.operators.components import (
+    connected_components,
+    median_component_size,
+)
+from igpm_pem_spark.operators.graph import degrees
+from igpm_pem_spark.operators.labelprop import label_propagation
+from igpm_pem_spark.operators.pagerank import pagerank
+from igpm_pem_spark.operators.triangles import (
+    star_count,
+    triangle_count,
+    triangles_per_vertex,
+)
+from igpm_pem_spark.sources.fixtures import ba_graph, fixture_graph
+
+from .conftest import edges_df
+from .oracles import (
+    components_oracle,
+    lpa_oracle,
+    nx_graph,
+    pagerank_oracle,
+    triangles_oracle,
+)
+
+
+def _pairs(name_or_pairs, spark):
+    if isinstance(name_or_pairs, str):
+        if name_or_pairs == "ba100":
+            _, edges, directed = ba_graph(spark, 100, 4, seed=0)
+        else:
+            _, edges, directed = fixture_graph(spark, name_or_pairs)
+        pairs = [(r.src, r.dst) for r in edges.collect()]
+        return edges, pairs, directed
+    df = edges_df(spark, name_or_pairs)
+    return df, name_or_pairs, False
+
+
+@pytest.mark.parametrize("graph", ["test1", "test1d", "line", "ba100"])
+def test_pagerank_exact_matches_networkx(spark, graph):
+    edges, pairs, directed = _pairs(graph, spark)
+    res = pagerank(spark, edges, directed=directed, tol=1e-8, max_iter=300)
+    assert res.converged
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(pairs, directed)
+    assert set(got) == set(want)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    # every superstep recorded lineage stats
+    assert len(res.stats) == res.supersteps
+    assert all(s.partition_stats for s in res.stats)
+
+
+@pytest.mark.parametrize("graph", ["test1", "ba100"])
+def test_pagerank_delta_mode_matches_exact_fixpoint(spark, graph):
+    edges, pairs, directed = _pairs(graph, spark)
+    res = pagerank(spark, edges, directed=directed, tol=1e-8, max_iter=300, mode="delta")
+    assert res.converged
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(pairs, directed)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    # the frontier shrinks: late supersteps are cheaper than early ones
+    actives = [s.active_vertices for s in res.stats]
+    assert actives[-1] <= actives[0]
+
+
+def test_pagerank_directed_dangling(spark):
+    # dangling vertex 3 (no out-edges): mass must be redistributed uniformly
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)]
+    edges = edges_df(spark, pairs)
+    res = pagerank(spark, edges, directed=True, tol=1e-9, max_iter=300)
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(pairs, directed=True)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("graph", ["two_comp", "ba100", "line"])
+def test_connected_components_exact(spark, graph):
+    edges, pairs, _ = _pairs(graph, spark)
+    res = connected_components(spark, edges)
+    assert res.converged
+    got = {r.id: r.component for r in res.components.collect()}
+    want = components_oracle(pairs)
+    assert got == want
+
+
+def test_median_component_size(spark):
+    edges, pairs, _ = _pairs("two_comp", spark)
+    res = connected_components(spark, edges)
+    # components: {0,1,2} {3,4,5} {7,8} → sizes 3,3,2 → median 3
+    assert median_component_size(res.components) == 3.0
+
+
+@pytest.mark.parametrize("graph", ["test1", "two_comp", "ba100"])
+def test_label_propagation_matches_pinned_oracle(spark, graph):
+    edges, pairs, _ = _pairs(graph, spark)
+    res = label_propagation(spark, edges, max_iter=10)
+    got = {r.id: r.label for r in res.labels.collect()}
+    want = lpa_oracle(pairs, max_iter=10)
+    assert got == want
+
+
+@pytest.mark.parametrize("graph", ["test1", "test4", "ba100", "line"])
+def test_triangles_exact(spark, graph):
+    edges, pairs, _ = _pairs(graph, spark)
+    per_vertex_want, total_want = triangles_oracle(pairs)
+    assert triangle_count(edges) == total_want
+    got = {r.id: r.triangles for r in triangles_per_vertex(edges).collect()}
+    assert got == per_vertex_want
+
+
+def test_star_count_matches_reference_rule(spark):
+    # reference counts vertices with degree >= 4 as 5-node stars
+    # (gray_incremental.py:194,202)
+    edges, pairs, _ = _pairs("ba100", spark)
+    g = nx_graph(pairs)
+    want = sum(1 for _, d in g.degree() if d >= 4)
+    assert star_count(edges, 4) == want
+
+
+def test_degrees_match_networkx(spark):
+    edges, pairs, _ = _pairs("test4", spark)  # parallel edges collapse
+    g = nx_graph(pairs)
+    got = {r.id: r.degree for r in degrees(edges).collect()}
+    assert got == dict(g.degree())
