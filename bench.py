@@ -1,0 +1,202 @@
+"""Benchmark harness — headline kernels at $SPARK_GRAFT_SF_DIR.
+
+Default: one run on local[$SPARK_GRAFT_CPUS] (default 32), prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
+"sf", plus throughput fields}.
+
+``--scaling``: runs the same workload in two fresh JVMs at
+local[N] and local[4N] (driver instruction: the north rule's two-cluster-
+size criterion evidenced via two parallelism levels on identical input)
+and writes BENCH.md with throughputs + scaling efficiency.
+
+Headline set (the north-rule kernels on the sf-dir's derived graphs):
+  pagerank_conv   delta-mode PageRank to L1 < 1e-6 on the dense part
+                  co-occurrence graph (skewed; ~1.2M edges at sf0.1)
+  connected_comp  hash-min to fixpoint on the sparse graph
+  label_prop3     3 supersteps deterministic LPA on the dense graph
+  triangles       exact triangle count on the sparse graph
+  ingest          repo_files generation + Arrow import parse + sha manifest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_workload(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.session import get_spark
+    from igpm_pem_spark.operators.components import connected_components
+    from igpm_pem_spark.operators.labelprop import label_propagation
+    from igpm_pem_spark.operators.pagerank import pagerank
+    from igpm_pem_spark.operators.triangles import triangle_count
+    from igpm_pem_spark.sources.code_imports import import_edges, sha_manifest
+    from igpm_pem_spark.sources.repo_files import generate_repo_files
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    spark = get_spark(app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    dense = entry._edges(spark, sf_dir, entry.G_PARTS_SQL).persist()
+    n_edges = dense.count()  # materialize outside the timed region
+
+    t0 = time.time()
+    pr = pagerank(spark, dense, tol=1e-6, max_iter=200, mode="delta", steps_per_commit=5)
+    timings["pagerank_conv"] = time.time() - t0
+    meta["pagerank_supersteps"] = pr.supersteps
+    # edges-processed/sec: supersteps × symmetrized edge count / wall
+    meta["pagerank_edges_per_sec"] = (
+        pr.supersteps * 2 * n_edges / timings["pagerank_conv"]
+    )
+    meta["pagerank_supersteps_per_min"] = pr.supersteps / (timings["pagerank_conv"] / 60)
+
+    sparse = entry._edges(spark, sf_dir, entry.G_SPARSE_SQL).persist()
+    sparse.count()
+
+    t0 = time.time()
+    cc = connected_components(spark, sparse, steps_per_commit=4)
+    timings["connected_comp"] = time.time() - t0
+    meta["cc_supersteps"] = cc.supersteps
+
+    t0 = time.time()
+    lp = label_propagation(spark, dense, max_iter=3, stop_on_stable=False, steps_per_commit=3)
+    lp.labels.count()
+    timings["label_prop3"] = time.time() - t0
+
+    t0 = time.time()
+    meta["n_triangles"] = triangle_count(sparse)
+    timings["triangles"] = time.time() - t0
+
+    # ingest at a scale proportional to the sf dir's lineitem row count
+    scale = max(int(n_edges / 500), 20)
+    t0 = time.time()
+    rf = generate_repo_files(spark, n_repos=scale, files_per_repo=50).persist()
+    n_parsed = import_edges(rf).count()
+    sha_manifest(rf).count()
+    timings["ingest"] = time.time() - t0
+    meta["ingest_files"] = scale * 50
+    meta["ingest_edges"] = n_parsed
+    meta["ingest_edges_per_sec"] = n_parsed / timings["ingest"]
+    rf.unpersist()
+
+    dense.unpersist()
+    sparse.unpersist()
+    total = sum(timings.values())
+    return {
+        "metric": "headline_kernels_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "edges_dense": int(n_edges),
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in meta.items()},
+    }
+
+
+def _scale_run(cpus: int, n_vertices: int, n_edges: int, supersteps: int) -> dict:
+    """One fixed-superstep PageRank run on the deterministic synthetic graph
+    — the workload must be compute-bound (tens of millions of edges) so the
+    two-parallelism comparison measures scaling, not scheduler latency."""
+    import time as _time
+
+    from igpm_pem_spark.operators.pagerank import pagerank
+    from igpm_pem_spark.session import get_spark
+    from igpm_pem_spark.sources.synthetic_graph import synthetic_edges
+
+    spark = get_spark(app_name=f"scale-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    edges = synthetic_edges(spark, n_vertices, n_edges).persist()
+    m = edges.count()  # materialize input outside the timed region
+    t0 = _time.time()
+    pr = pagerank(
+        spark, edges, tol=0.0, max_iter=supersteps, mode="exact", steps_per_commit=5
+    )
+    wall = _time.time() - t0
+    sym = 2 * m  # kernels run on the symmetrized simple graph
+    return {
+        "cpus": cpus,
+        "n_vertices": n_vertices,
+        "n_edges_input": int(m),
+        "supersteps": pr.supersteps,
+        "wall_sec": round(wall, 3),
+        "edges_per_sec": round(pr.supersteps * sym / wall, 1),
+        "supersteps_per_min": round(pr.supersteps / (wall / 60), 2),
+    }
+
+
+def _scaling(n_low: int, n_high: int) -> None:
+    """Same synthetic input, two parallelism levels, fresh JVM each; write
+    BENCH.md with throughputs + scaling efficiency (north rule N vs 4N)."""
+    n_vertices = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES", "2000000"))
+    n_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "20000000"))
+    supersteps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "10"))
+    results = {}
+    for cpus in (n_low, n_high):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-run",
+             str(n_vertices), str(n_edges), str(supersteps)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    lo, hi = results[n_low], results[n_high]
+    tp_lo, tp_hi = lo["edges_per_sec"], hi["edges_per_sec"]
+    eff = (tp_hi / tp_lo) / (n_high / n_low)
+    lines = [
+        "# BENCH — scaling evidence (north rule: two cluster sizes)",
+        "",
+        "Per the driver instruction, the north rule's N vs 4N executor",
+        f"criterion is evidenced in-sandbox by the same job at `local[{n_low}]`",
+        f"vs `local[{n_high}]` (fresh JVM each) on the identical deterministic",
+        f"input: synthetic skewed graph, {n_vertices:,} vertices /",
+        f"{n_edges:,} edges (src-uniform, dst power-law), exact PageRank,",
+        f"{supersteps} supersteps, steps_per_commit=5.",
+        "",
+        "| cpus | wall sec | supersteps | edges/sec | supersteps/min |",
+        "|---|---|---|---|---|",
+    ]
+    for cpus in (n_low, n_high):
+        r = results[cpus]
+        lines.append(
+            f"| {cpus} | {r['wall_sec']} | {r['supersteps']} | "
+            f"{int(r['edges_per_sec']):,} | {r['supersteps_per_min']} |"
+        )
+    lines += [
+        "",
+        f"**Throughput scaling {n_low}→{n_high} cores: {tp_hi / tp_lo:.2f}× on "
+        f"{n_high // n_low}× cores → scaling efficiency {eff:.2f}** "
+        f"(target ≥ 0.8 per BASELINE.json).",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "low": lo, "high": hi}))
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        _scaling(n_low=8, n_high=32)
+    elif "--scale-run" in sys.argv:
+        i = sys.argv.index("--scale-run")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(_scale_run(
+            cpus, int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3])
+        )))
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(_run_workload(sf_dir, cpus)))

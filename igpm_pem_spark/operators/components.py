@@ -27,6 +27,27 @@ from ._superstep import commit_and_stats, edge_partition_counts
 from .graph import partitioned_adjacency, vertex_ids
 
 
+def _cc_step(state: DataFrame, adj: DataFrame) -> DataFrame:
+    # only vertices that improved last round can improve a neighbor
+    frontier = state.where("changed").select(
+        F.col("id").alias("src"), F.col("component").alias("cand")
+    )
+    msgs = (
+        adj.join(frontier, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("cand").alias("cand"))
+    )
+    return state.join(msgs, "id", "left").select(
+        "id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
+        ).alias("component"),
+        (F.coalesce(F.col("cand"), F.col("component")) < F.col("component")).alias(
+            "changed"
+        ),
+    )
+
+
 @dataclass
 class ComponentsResult:
     components: DataFrame  # (id BIGINT, component BIGINT) — component = min member id
@@ -44,6 +65,7 @@ def connected_components(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    steps_per_commit: int = 1,
 ) -> ComponentsResult:
     """Hash-min WCC. Edge direction is ignored (weak connectivity,
     matching the reference's ``to_directed`` + WCC)."""
@@ -66,38 +88,31 @@ def connected_components(
             "id", F.col("id").alias("component"), F.lit(True).alias("changed")
         ).localCheckpoint(eager=True)
 
-    converged, step = False, max(start_step - 1, 0)
-    for step in range(start_step, max_iter):
+    converged = False
+    step = start_step
+    while step < max_iter:
         t0 = time.time()
-        # only vertices that improved last round can improve a neighbor
-        frontier = state.where("changed").select(
-            F.col("id").alias("src"), F.col("component").alias("cand")
-        )
-        msgs = (
-            adj.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("cand").alias("cand"))
-        )
-        new_state = state.join(msgs, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
-            ).alias("component"),
-            (F.coalesce(F.col("cand"), F.col("component")) < F.col("component")).alias(
-                "changed"
-            ),
-        )
+        block = min(steps_per_commit, max_iter - step)
+        new_state, intermediates = state, []
+        for b in range(block):
+            new_state = _cc_step(new_state, adj)
+            if b < block - 1:
+                new_state = new_state.persist()  # keep unrolled plan linear
+                intermediates.append(new_state)
+        step += block
         state, delta, _ = commit_and_stats(
-            log, step, new_state,
+            log, step - 1, new_state,
             F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
         )
+        for df in intermediates:
+            df.unpersist()
         if delta == 0.0:
             converged = True
             break
     adj.unpersist()
     verts.unpersist()
     result = ComponentsResult(
-        state.select("id", "component"), step + 1, converged, resumed_from
+        state.select("id", "component"), step, converged, resumed_from
     )
     result.stats = log.stats
     return result

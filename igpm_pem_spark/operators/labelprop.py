@@ -31,6 +31,27 @@ from ._superstep import commit_and_stats, edge_partition_counts
 from .graph import partitioned_adjacency, vertex_ids
 
 
+def _lpa_step(state: DataFrame, adj: DataFrame) -> DataFrame:
+    hist = (
+        adj.join(state.select(F.col("id").alias("src"), "label"), "src")
+        .groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    best = (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("id", F.col("label").alias("new_label"))
+    )
+    return state.join(best, "id", "left").select(
+        "id",
+        F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+        (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias(
+            "changed"
+        ),
+    )
+
+
 @dataclass
 class LabelPropResult:
     labels: DataFrame  # (id BIGINT, label BIGINT)
@@ -49,6 +70,7 @@ def label_propagation(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    steps_per_commit: int = 1,
 ) -> LabelPropResult:
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -69,36 +91,29 @@ def label_propagation(
             "id", F.col("id").alias("label"), F.lit(True).alias("changed")
         ).localCheckpoint(eager=True)
 
-    converged, step = False, max(start_step - 1, 0)
-    for step in range(start_step, max_iter):
+    converged = False
+    step = start_step
+    while step < max_iter:
         t0 = time.time()
-        hist = (
-            adj.join(state.select(F.col("id").alias("src"), "label"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
-        best = (
-            hist.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("id", F.col("label").alias("new_label"))
-        )
-        new_state = state.join(best, "id", "left").select(
-            "id",
-            F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-            (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias(
-                "changed"
-            ),
-        )
+        block = min(steps_per_commit, max_iter - step)
+        new_state, intermediates = state, []
+        for b in range(block):
+            new_state = _lpa_step(new_state, adj)
+            if b < block - 1:
+                new_state = new_state.persist()  # keep unrolled plan linear
+                intermediates.append(new_state)
+        step += block
         state, delta, _ = commit_and_stats(
-            log, step, new_state,
+            log, step - 1, new_state,
             F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
         )
+        for df in intermediates:
+            df.unpersist()
         if stop_on_stable and delta == 0.0:
             converged = True
             break
     adj.unpersist()
     verts.unpersist()
-    result = LabelPropResult(state.select("id", "label"), step + 1, converged, resumed_from)
+    result = LabelPropResult(state.select("id", "label"), step, converged, resumed_from)
     result.stats = log.stats
     return result

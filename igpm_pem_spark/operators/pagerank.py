@@ -77,6 +77,7 @@ def pagerank(
     resume: bool = True,
     mode: str = "exact",
     frontier_eps: float | None = None,
+    steps_per_commit: int = 1,
 ) -> PageRankResult:
     """Run PageRank to L1 convergence ``sum(|Δ|) < tol``.
 
@@ -92,13 +93,16 @@ def pagerank(
         empty = spark.createDataFrame([], "id BIGINT, rank DOUBLE, delta DOUBLE")
         return PageRankResult(empty.select("id", "rank"), 0, True, None)
     edge_parts = edge_partition_counts(adj)
-    # dangling vertices (no out-edges) appear only on undirected-input
-    # graphs never, on directed ones often; skip the per-step mass job
-    # entirely when there are none
-    dangling = verts.join(
-        adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).persist()
-    n_dangling = dangling.count()
+    if directed:
+        dangling = verts.join(
+            adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        ).persist()
+        n_dangling = dangling.count()
+    else:
+        # symmetrized graphs cannot have dangling vertices: every vertex in
+        # the edge list has an out-edge — skip the setup jobs and the
+        # per-block mass subplan entirely
+        dangling, n_dangling = None, 0
 
     log = LineageLog(spark, checkpoint_dir)
     start_step, resumed_from = 0, None
@@ -130,71 +134,104 @@ def pagerank(
         raise ValueError(f"unknown mode {mode!r}")
 
     converged, step = False, max(start_step - 1, 0)
-    for step in range(start_step, max_iter):
+    step = start_step
+    while step < max_iter:
         t0 = time.time()
-        new_state = runner(state, adj, dangling, n_dangling, n, alpha, frontier_eps)
+        # unroll up to steps_per_commit supersteps into one lazy plan —
+        # one materialization + one stats job per block instead of per
+        # superstep (driver-side convergence is then checked per block)
+        block = min(steps_per_commit, max_iter - step)
+        new_state, intermediates = state, []
+        for b in range(block):
+            new_state = runner(new_state, adj, dangling, n_dangling, n, alpha, frontier_eps)
+            if b < block - 1:
+                # lazy persist: each sub-step's state is referenced by
+                # several operators of the next one — caching keeps the
+                # unrolled physical plan linear instead of exponential
+                new_state = new_state.persist()
+                intermediates.append(new_state)
+        step += block
         state, delta, _active = commit_and_stats(
-            log, step, new_state, F.abs(F.col("delta")), F.abs(F.col("delta")) > frontier_eps,
-            edge_parts, t0,
+            log, step - 1, new_state, F.abs(F.col("delta")),
+            F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
         )
+        for df in intermediates:
+            df.unpersist()
         if delta < tol:
             converged = True
             break
 
     adj.unpersist()
     verts.unpersist()
-    dangling.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     if mode == "delta":
         # residual form converges to the unnormalized series sum; normalize
         total = float(state.agg(F.sum("rank")).first()[0])
         ranks = state.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
     else:
         ranks = state.select("id", "rank")
-    result = PageRankResult(ranks, step + 1, converged, resumed_from)
+    result = PageRankResult(ranks, step, converged, resumed_from)
     result.stats = log.stats
     return result
 
 
-def _dangling_mass(state: DataFrame, dangling: DataFrame, col: str) -> float:
-    row = state.join(dangling, "id", "left_semi").agg(F.sum(col).alias("m")).first()
-    return float(row["m"] or 0.0)
+def _dangling_mass_col(state: DataFrame, dangling: DataFrame, col: str) -> DataFrame:
+    """1-row (_dm) DataFrame — kept lazy (broadcast cross join) so unrolled
+    superstep blocks never touch the driver."""
+    return (
+        state.join(dangling, "id", "left_semi")
+        .agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_dm"))
+    )
 
 
 def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
-    dm = _dangling_mass(state, dangling, "rank") if n_dangling else 0.0
     contribs = (
         adj.join(state.select(F.col("id").alias("src"), "rank"), "src")
         .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("c"))
     )
-    base = (1.0 - alpha) / n + alpha * dm / n
-    new_rank = F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
-    return (
-        state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
-        .select(
-            "id",
-            new_rank.alias("rank"),
-            F.abs(new_rank - F.col("rank")).alias("delta"),
+    joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+    if n_dangling:
+        dm = F.col("_dm")
+        joined = joined.crossJoin(
+            F.broadcast(_dangling_mass_col(state, dangling, "rank"))
         )
+    else:
+        dm = F.lit(0.0)
+    new_rank = (
+        F.lit((1.0 - alpha) / n)
+        + F.lit(alpha) * (F.coalesce(F.col("c"), F.lit(0.0)) + dm / F.lit(float(n)))
+    )
+    return joined.select(
+        "id",
+        new_rank.alias("rank"),
+        F.abs(new_rank - F.col("rank")).alias("delta"),
     )
 
 
 def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
-    dm = _dangling_mass(active, dangling, "delta") if n_dangling else 0.0
     msgs = (
         adj.join(active.select(F.col("id").alias("src"), "delta"), "src")
         .select("dst", (F.col("delta") / F.col("deg")).alias("m"))
         .groupBy("dst")
         .agg(F.sum("m").alias("m"))
     )
-    new_delta = F.lit(alpha) * (F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(dm / n))
-    return (
-        state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
-        .select(
-            "id",
-            (F.col("rank") + new_delta).alias("rank"),
-            new_delta.alias("delta"),
+    joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+    if n_dangling:
+        dm = F.col("_dm")
+        joined = joined.crossJoin(
+            F.broadcast(_dangling_mass_col(active, dangling, "delta"))
         )
+    else:
+        dm = F.lit(0.0)
+    new_delta = F.lit(alpha) * (
+        F.coalesce(F.col("m"), F.lit(0.0)) + dm / F.lit(float(n))
+    )
+    return joined.select(
+        "id",
+        (F.col("rank") + new_delta).alias("rank"),
+        new_delta.alias("delta"),
     )

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative superstep loops run hundreds of queries per session:
+        # keep listener/UI retention minimal and let the context cleaner
+        # reclaim dropped checkpoint state promptly
+        .config("spark.sql.ui.retainedExecutions", "5")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if extra_conf:
         for k, v in extra_conf.items():

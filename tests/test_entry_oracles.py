@@ -1,0 +1,66 @@
+"""Driver-contract regression: every queries() entry must match its
+oracle_sql() on the same parquet (mirrors the driver's sf0.01 check, run
+here at sf0.001 for speed)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+entry_mod = _entry_module()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    odf = duck.sql(oracle).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(sdf) == len(odf)
+    for c in cols:
+        a, b = sdf[c].to_numpy(), odf[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-12), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"id", "rank"}
