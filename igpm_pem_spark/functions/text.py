@@ -1,0 +1,133 @@
+"""Text-analysis operators for the documents table (training-data
+pipeline surface): tokenization, token stats, quality scoring, language
+ID, and order-sensitive document fingerprinting.
+
+Everything is Catalyst expressions over ``split``/``posexplode`` — no
+Python on the data path. Formulas are deliberately arithmetic-only so the
+DuckDB oracle can mirror them exactly (see queries/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .hashing import FP_A, FP_B, P
+
+# deterministic marker vocabularies for the language-ID vote
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with", "for"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "des", "une", "est"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, token): whitespace tokens of lower-cased text,
+    1-based positions, empty tokens dropped."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos0", "token"),
+    )
+    return exploded.where(F.col("token") != "").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len) — F2/A1 over text."""
+    t = tokens(docs, id_col, text_col)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("token")), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, stop_ratio, comma_ratio, quality): deterministic
+    length/stopword/punctuation quality heuristic, rounded for
+    engine-portable comparison."""
+    t = tokens(docs, id_col, text_col)
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("token").isin(*STOPWORDS).cast("long")).alias("n_stop"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        (
+            F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(","), F.lit("")))
+        ).alias("n_commas"),
+    )
+    j = base.join(per_doc, "doc_id", "left").na.fill(0, ["n_tokens", "n_stop"])
+    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
+    comma_ratio = F.col("n_commas") / F.greatest(F.col("n_chars"), F.lit(1))
+    length_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.5) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(comma_ratio * 10, F.lit(1.0)))
+    )
+    return j.select(
+        "doc_id",
+        "n_chars",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(comma_ratio, 6).alias("comma_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess): marker-token vote, deterministic tie order
+    (en > es > fr > unknown on equal votes; zero votes → unknown)."""
+    t = tokens(docs, id_col, text_col)
+    aggs = [
+        F.sum(F.col("token").isin(*LANG_MARKERS[lang]).cast("long")).alias(f"v_{lang}")
+        for lang in ("en", "es", "fr")
+    ]
+    votes = t.groupBy("doc_id").agg(*aggs)
+    best = (
+        F.when(
+            (F.col("v_en") >= F.col("v_es")) & (F.col("v_en") >= F.col("v_fr")) & (F.col("v_en") > 0),
+            F.lit("en"),
+        )
+        .when((F.col("v_es") >= F.col("v_fr")) & (F.col("v_es") > 0), F.lit("es"))
+        .when(F.col("v_fr") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(votes, "doc_id", "left")
+        .na.fill(0)
+        .select("doc_id", best.alias("lang_guess"))
+    )
+
+
+def vocab(token_df: DataFrame) -> DataFrame:
+    """(token, tid): dense 1-based ids by lexicographic order.
+
+    Engine-portable (dense_rank is identical in any SQL engine), which is
+    why the checked path uses it; the global sort makes it a test-scale
+    device — the production path at 1e12 tokens swaps in xxhash64 ids
+    (collision-safe and shuffle-free) at the cost of oracle parity.
+    """
+    w = Window.orderBy("token")
+    return (
+        token_df.select("token")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(w).cast("long"))
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): order-sensitive arithmetic document fingerprint
+    fp = sum((FP_A*tid + FP_B*pos) % P) % P — the rolling-hash analogue
+    that stays in portable 64-bit integer arithmetic."""
+    t = tokens(docs, id_col, text_col)
+    v = vocab(t)
+    term = (F.lit(FP_A) * F.col("tid") + F.lit(FP_B) * F.col("pos")) % F.lit(P)
+    return (
+        t.join(v, "token")
+        .groupBy("doc_id")
+        .agg((F.sum(term) % F.lit(P)).alias("fp"))
+    )

@@ -33,7 +33,7 @@ def _cc_step(state: DataFrame, adj: DataFrame) -> DataFrame:
         F.col("id").alias("src"), F.col("component").alias("cand")
     )
     msgs = (
-        adj.join(frontier, "src")
+        adj.join(frontier.hint("shuffle_hash"), "src")
         .groupBy(F.col("dst").alias("id"))
         .agg(F.min("cand").alias("cand"))
     )

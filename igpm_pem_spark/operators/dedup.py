@@ -1,0 +1,164 @@
+"""Deduplication operators over the documents table — the training-data
+pipeline surface the engine must provide at 100 TB:
+
+* exact duplicates        — content-hash groupBy (md5, engine-portable)
+* MinHash + LSH           — 16 permutations, 8 bands × 2 rows: shingle →
+                            minhash → band bucket → bucket self-join
+* SimHash                 — 16-bit sign aggregation over token hashes
+* n-gram Jaccard          — exact word-trigram Jaccard for candidate pairs
+* embedding near-dup      — cosine over the embeddings table (similarity.py)
+
+All of it is joins/aggregations over the tokenized documents (no Python on
+the data path); the hash family is plain modular arithmetic
+(functions/hashing.py) so the DuckDB oracle mirrors every value exactly.
+
+Scale notes: the LSH band self-join is the standard near-dup plan at
+corpus scale — bucket sizes are bounded by band width, so the join is
+skew-safe except for degenerate buckets, which `max_bucket` caps
+(dropping oversized buckets is the documented MinHashLSH practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs
+from ..functions.text import tokens, vocab
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(sha, n_docs, first_doc): exact-content groups via md5."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("sha"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+    )
+
+
+def _doc_tids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tid) distinct token-id pairs (the shingle set)."""
+    t = tokens(docs, id_col, text_col)
+    v = vocab(t)
+    return t.join(v, "token").select("doc_id", "tid").distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mh0..mh{NUM_PERM-1}): minimum of each permutation over the
+    document's token-id set."""
+    dt = _doc_tids(docs, id_col, text_col)
+    aggs = []
+    for i in range(NUM_PERM):
+        a, b = perm_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
+        )
+    return dt.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b: documents sharing at least one
+    LSH band bucket. Band key folds ROWS_PER_BAND signature values into
+    one 64-bit integer (values < P ≈ 2^30, so 2 rows fit exactly)."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    band_cols = []
+    for band in range(NUM_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = F.lit(0).cast("long")
+        for r in range(ROWS_PER_BAND):
+            key = key * F.lit(P) + F.col(f"mh{lo + r}")
+        band_cols.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # cap degenerate buckets (hub protection — the dedup analogue of the
+    # kernels' skew salting)
+    sized = buckets.join(
+        buckets.groupBy("band", "key").agg(F.count("*").alias("sz")),
+        ["band", "key"],
+    ).where(F.col("sz") <= max_bucket)
+    a = sized.select("band", "key", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash bits. Uses permutation
+    0's hash h(tid); bit k contributes +1/-1 by (h div 2^k) % 2."""
+    dt = _doc_tids(docs, id_col, text_col)
+    a, b = perm_coeffs(0)
+    h = (F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(P)
+    aggs = [
+        F.sum(
+            F.when((h.cast("long") / F.lit(2**k)).cast("long") % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(bits)
+    ]
+    sums = dt.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for k in range(bits):
+        sh = sh + F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+    return sums.select("doc_id", sh.alias("simhash"))
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, ngram): distinct word n-grams via window lead over token
+    positions (engine-portable: same lead() construction in SQL)."""
+    from pyspark.sql import Window
+
+    t = tokens(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("token")
+    for j in range(1, n):
+        g = F.concat(g, F.lit(" "), F.lead("token", j).over(w))
+    return (
+        t.select("doc_id", g.alias("ngram"))
+        .where(F.col("ngram").isNotNull())
+        .distinct()
+    )
+
+
+def ngram_jaccard_consecutive(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for consecutive doc-id pairs (a, a+1) —
+    the deterministic pair set that exercises exact n-gram Jaccard without
+    a quadratic blowup; production pairs come from lsh_candidate_pairs."""
+    g = word_ngrams(docs, n, id_col, text_col)
+    ga = g.select(F.col("doc_id").alias("doc_a"), "ngram")
+    gb = g.select((F.col("doc_id") - 1).alias("doc_a"), F.col("ngram").alias("ngram_b"))
+    inter = (
+        ga.join(gb, (ga.doc_a == gb.doc_a) & (ga.ngram == gb.ngram_b))
+        .groupBy(ga.doc_a.alias("doc_a"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sz").alias("sz_b"))
+    return (
+        sa.join(sb, "doc_a")
+        .join(inter, "doc_a", "left")
+        .na.fill(0, ["n_inter"])
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

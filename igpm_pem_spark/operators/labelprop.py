@@ -33,7 +33,9 @@ from .graph import partitioned_adjacency, vertex_ids
 
 def _lpa_step(state: DataFrame, adj: DataFrame) -> DataFrame:
     hist = (
-        adj.join(state.select(F.col("id").alias("src"), "label"), "src")
+        adj.join(
+            state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"), "src"
+        )
         .groupBy(F.col("dst").alias("id"), "label")
         .agg(F.count("*").alias("cnt"))
     )

@@ -186,8 +186,15 @@ def _dangling_mass_col(state: DataFrame, dangling: DataFrame, col: str) -> DataF
 
 
 def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
+    # shuffle_hash on the (small) state side: the cached adjacency's hash
+    # partitioning is reused (zero exchange on the big side) and the hash
+    # build parallelizes per partition — broadcasting a 1e9-row rank vector
+    # is the plan that cannot scale, and its single-threaded build is also
+    # what flattens local-mode core scaling
     contribs = (
-        adj.join(state.select(F.col("id").alias("src"), "rank"), "src")
+        adj.join(
+            state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
+        )
         .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("c"))
@@ -214,7 +221,9 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
 def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
     msgs = (
-        adj.join(active.select(F.col("id").alias("src"), "delta"), "src")
+        adj.join(
+            active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
+        )
         .select("dst", (F.col("delta") / F.col("deg")).alias("m"))
         .groupBy("dst")
         .agg(F.sum("m").alias("m"))

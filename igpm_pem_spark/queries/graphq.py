@@ -1,0 +1,199 @@
+"""Graph-kernel queries (SURVEY.md §2.3 J2/J5, §2.4 A4/A5/A7/A8) over the
+part co-occurrence graphs, with DuckDB oracles: recursive-CTE hash-min CC,
+fixed-8-round recursive PageRank, 3-round unrolled LPA — all verified
+value-exact at sf0.01."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._common import G_PARTS_SQL, G_SPARSE_SQL, SYM_SQL, edges
+
+
+def _with_g(body: str, g_sql: str = G_PARTS_SQL, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} g AS ({g_sql}), sym AS ({SYM_SQL}) {body}"
+
+
+def _q_degree(spark, sf_dir):
+    from ..operators.graph import degrees
+
+    return degrees(edges(spark, sf_dir)).select("id", "degree")
+
+
+def _q_degree_distribution(spark, sf_dir):
+    from ..operators.graph import degrees
+
+    return (
+        degrees(edges(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def _q_triangle_count(spark, sf_dir):
+    from ..operators.triangles import triangle_list
+
+    n = triangle_list(edges(spark, sf_dir, G_SPARSE_SQL)).count()
+    return spark.createDataFrame([(n,)], "n_triangles BIGINT")
+
+
+def _q_star_count(spark, sf_dir):
+    from ..operators.triangles import star_count
+
+    n = star_count(edges(spark, sf_dir, G_SPARSE_SQL), 4)
+    return spark.createDataFrame([(n,)], "n_stars BIGINT")
+
+
+def _q_connected_components(spark, sf_dir):
+    from ..operators.components import connected_components
+
+    res = connected_components(spark, edges(spark, sf_dir, G_SPARSE_SQL))
+    return res.components.select("id", "component")
+
+
+def _q_component_sizes(spark, sf_dir):
+    from ..operators.components import component_sizes, connected_components
+
+    res = connected_components(spark, edges(spark, sf_dir, G_SPARSE_SQL))
+    return component_sizes(res.components).select("component", "size")
+
+
+def _q_pagerank_fixed8(spark, sf_dir):
+    from ..operators.pagerank import pagerank
+
+    res = pagerank(spark, edges(spark, sf_dir), tol=0.0, max_iter=8, mode="exact")
+    return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
+
+
+def _q_label_propagation3(spark, sf_dir):
+    from ..operators.labelprop import label_propagation
+
+    res = label_propagation(spark, edges(spark, sf_dir), max_iter=3)
+    return res.labels.select("id", "label")
+
+
+def _q_pagerank_converged(spark, sf_dir):
+    """Delta-mode PageRank to L1 < 1e-6 — the flagship convergence run.
+    No SQL oracle (convergence loops aren't bounded SQL); rows-only check,
+    correctness covered by pagerank_fixed8 + pytest NetworkX parity."""
+    from ..operators.pagerank import pagerank
+
+    res = pagerank(
+        spark, edges(spark, sf_dir), tol=1e-6, max_iter=200, mode="delta",
+        steps_per_commit=5,
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank6"))
+
+
+_CC_CTE = """
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, ep AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM verts)
+, cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.dst, min(c.comp)
+    FROM cc c JOIN ep e ON e.src = c.id
+    WHERE c.iter < 25
+    GROUP BY c.iter, e.dst
+)
+"""
+
+_LPA_ROUND = """
+, l{k} AS (
+    SELECT e.dst AS id, l.label
+    FROM sym e JOIN l{p} l ON l.id = e.src
+    GROUP BY e.dst, l.label
+    QUALIFY row_number() OVER (
+        PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) = 1
+)
+"""
+
+QUERIES = {
+    "degree": (
+        _q_degree,
+        _with_g("SELECT src AS id, count(*) AS degree FROM sym GROUP BY src"),
+    ),
+    "degree_distribution": (
+        _q_degree_distribution,
+        _with_g(
+            """
+            SELECT degree, count(*) AS n_vertices
+            FROM (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+            GROUP BY degree
+            """
+        ),
+    ),
+    "triangle_count": (
+        _q_triangle_count,
+        _with_g(
+            """
+            SELECT count(*) AS n_triangles
+            FROM g e1 JOIN g e2 ON e1.dst = e2.src JOIN g e3
+              ON e3.src = e1.src AND e3.dst = e2.dst
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "star_count": (
+        _q_star_count,
+        _with_g(
+            """
+            SELECT count(*) AS n_stars
+            FROM (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+            WHERE degree >= 4
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "connected_components": (
+        _q_connected_components,
+        _with_g(
+            _CC_CTE + "SELECT id, comp AS component FROM cc WHERE iter = 25",
+            G_SPARSE_SQL,
+            recursive=True,
+        ),
+    ),
+    "component_sizes": (
+        _q_component_sizes,
+        _with_g(
+            _CC_CTE
+            + "SELECT comp AS component, count(*) AS size FROM cc WHERE iter = 25 GROUP BY comp",
+            G_SPARSE_SQL,
+            recursive=True,
+        ),
+    ),
+    "pagerank_fixed8": (
+        _q_pagerank_fixed8,
+        _with_g(
+            """
+            , verts AS (SELECT DISTINCT src AS id FROM sym)
+            , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+            , nn AS (SELECT count(*) AS c FROM verts)
+            , pr(iter, id, r) AS (
+                SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+                UNION ALL
+                SELECT p.iter + 1, e.dst,
+                       0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r / d.d)
+                FROM pr p JOIN sym e ON e.src = p.id JOIN deg d ON d.src = p.id
+                WHERE p.iter < 8
+                GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(r, 7) AS rank7 FROM pr WHERE iter = 8
+            """,
+            G_PARTS_SQL,
+            recursive=True,
+        ),
+    ),
+    "label_propagation3": (
+        _q_label_propagation3,
+        _with_g(
+            ", l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"
+            + _LPA_ROUND.format(k=1, p=0)
+            + _LPA_ROUND.format(k=2, p=1)
+            + _LPA_ROUND.format(k=3, p=2)
+            + "SELECT id, label FROM l3"
+        ),
+    ),
+    "pagerank_converged": (_q_pagerank_converged, None),
+}

@@ -1,0 +1,280 @@
+"""Training-data pipeline queries over documents/embeddings with DuckDB
+oracles mirroring the exact arithmetic (functions/hashing.py constants are
+interpolated into the oracle SQL so the two engines cannot drift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import FP_A, FP_B, NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs
+from ..functions.text import LANG_MARKERS, STOPWORDS
+from ._common import docs, emb
+
+_MAX_TOKENS = 20000
+
+# shared DuckDB CTE prelude: tokens with raw-array 1-based positions
+# (empty tokens dropped, mirroring functions/text.tokens)
+_TOK_CTE = f"""
+WITH toks_raw AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents
+),
+tok AS (
+  SELECT t.doc_id, CAST(r.i AS BIGINT) AS pos, t.xs[CAST(r.i AS INT)] AS token
+  FROM toks_raw t JOIN range(1, {_MAX_TOKENS + 1}) r(i) ON r.i <= len(t.xs)
+  WHERE t.xs[CAST(r.i AS INT)] <> ''
+),
+voc AS (
+  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM tok)
+),
+dt AS (SELECT DISTINCT t.doc_id, v.tid FROM tok t JOIN voc v USING (token))
+"""
+
+
+def _in_list(vals) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+# ----------------------------------------------------------------- queries
+def _q_exact_dedup(spark, sf_dir):
+    from ..operators.dedup import exact_duplicates
+
+    return exact_duplicates(docs(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    from ..functions.text import token_stats
+
+    return token_stats(docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from ..functions.text import quality_score
+
+    return quality_score(docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from ..functions.text import lang_id
+
+    return lang_id(docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from ..functions.text import fingerprint
+
+    return fingerprint(docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(docs(spark, sf_dir))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from ..operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash
+
+    return simhash(docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_consecutive
+
+    return ngram_jaccard_consecutive(docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    return cosine_topk(emb(spark, sf_dir))
+
+
+def _q_near_dups(spark, sf_dir):
+    from ..operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(emb(spark, sf_dir), threshold=0.3)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from ..operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(emb(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- oracles
+def _minhash_select() -> str:
+    cols = []
+    for i in range(NUM_PERM):
+        a, b = perm_coeffs(i)
+        cols.append(f"min(({a} * tid + {b}) % {P}) AS mh{i}")
+    return ", ".join(cols)
+
+
+def _band_union() -> str:
+    parts = []
+    for band in range(NUM_BANDS):
+        lo = band * ROWS_PER_BAND
+        key = "0"
+        for r in range(ROWS_PER_BAND):
+            key = f"({key} * {P} + mh{lo + r})"
+        parts.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _simhash_sums() -> str:
+    a, b = perm_coeffs(0)
+    h = f"(({a} * tid + {b}) % {P})"
+    return ", ".join(
+        f"sum(CASE WHEN ({h} // {2**k}) % 2 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+
+
+def _simhash_fold() -> str:
+    return " + ".join(f"(CASE WHEN s{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(16))
+
+
+_QUALITY_SQL = f"""
+{_TOK_CTE},
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN token IN ({_in_list(STOPWORDS)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(replace(text, ',', '')) AS n_commas
+  FROM documents
+)
+SELECT b.doc_id, b.n_chars,
+       round(coalesce(p.n_stop, 0) / greatest(coalesce(p.n_tokens, 0), 1), 6) AS stop_ratio,
+       round(b.n_commas / greatest(b.n_chars, 1), 6) AS comma_ratio,
+       round(
+         0.5 * least(coalesce(p.n_tokens, 0) / 100.0, 1.0)
+         + 0.3 * (1.0 - abs(coalesce(p.n_stop, 0) / greatest(coalesce(p.n_tokens, 0), 1) - 0.4))
+         + 0.2 * (1.0 - least(b.n_commas / greatest(b.n_chars, 1) * 10, 1.0)),
+       6) AS quality
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+_LANG_SQL = f"""
+{_TOK_CTE},
+votes AS (
+  SELECT doc_id,
+         sum(CASE WHEN token IN ({_in_list(LANG_MARKERS["en"])}) THEN 1 ELSE 0 END) AS v_en,
+         sum(CASE WHEN token IN ({_in_list(LANG_MARKERS["es"])}) THEN 1 ELSE 0 END) AS v_es,
+         sum(CASE WHEN token IN ({_in_list(LANG_MARKERS["fr"])}) THEN 1 ELSE 0 END) AS v_fr
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE
+         WHEN coalesce(v_en,0) >= coalesce(v_es,0) AND coalesce(v_en,0) >= coalesce(v_fr,0)
+              AND coalesce(v_en,0) > 0 THEN 'en'
+         WHEN coalesce(v_es,0) >= coalesce(v_fr,0) AND coalesce(v_es,0) > 0 THEN 'es'
+         WHEN coalesce(v_fr,0) > 0 THEN 'fr'
+         ELSE 'unknown'
+       END AS lang_guess
+FROM documents d LEFT JOIN votes USING (doc_id)
+"""
+
+_NGRAM_SQL = f"""
+{_TOK_CTE},
+ng AS (
+  SELECT DISTINCT doc_id, ngram FROM (
+    SELECT doc_id,
+           token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS ngram
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE ngram IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, count(*) AS n_inter
+  FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1 AND b.ngram = a.ngram
+  GROUP BY a.doc_id
+)
+SELECT sa.doc_id AS doc_a, sa.doc_id + 1 AS doc_b,
+       round(coalesce(i.n_inter, 0) / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+LEFT JOIN inter i ON i.doc_a = sa.doc_id
+"""
+
+_LSH_SQL = f"""
+{_TOK_CTE},
+sig AS (SELECT doc_id, {_minhash_select()} FROM dt GROUP BY doc_id),
+bands AS ({_band_union()}),
+sized AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) s
+    USING (band, key)
+  WHERE s.sz <= 50
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e1
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.e1, c.embedding::DOUBLE[]), 4) AS cos4
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos4 FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) <= 3
+"""
+
+_NEAR_DUP_SQL = """
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 4 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cos4
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
+"""
+
+QUERIES = {
+    "doc_exact_dedup": (
+        _q_exact_dedup,
+        "SELECT md5(text) AS sha, count(*) AS n_docs, min(doc_id) AS first_doc "
+        "FROM documents GROUP BY md5(text)",
+    ),
+    "doc_token_stats": (
+        _q_token_stats,
+        _TOK_CTE
+        + "SELECT doc_id, count(*) AS n_tokens, round(avg(length(token)), 6) AS avg_token_len "
+        "FROM tok GROUP BY doc_id",
+    ),
+    "doc_quality": (_q_quality, _QUALITY_SQL),
+    "doc_lang_id": (_q_lang_id, _LANG_SQL),
+    "doc_fingerprint": (
+        _q_fingerprint,
+        _TOK_CTE
+        + f"SELECT t.doc_id, CAST(sum(({FP_A} * v.tid + {FP_B} * t.pos) % {P}) % {P} AS BIGINT) AS fp "
+        "FROM tok t JOIN voc v USING (token) GROUP BY t.doc_id",
+    ),
+    "doc_minhash_sig": (
+        _q_minhash,
+        _TOK_CTE + f"SELECT doc_id, {_minhash_select()} FROM dt GROUP BY doc_id",
+    ),
+    "doc_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
+    "doc_simhash": (
+        _q_simhash,
+        _TOK_CTE
+        + f"SELECT doc_id, CAST({_simhash_fold()} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, {_simhash_sums()} FROM dt GROUP BY doc_id)",
+    ),
+    "doc_ngram_jaccard": (_q_ngram_jaccard, _NGRAM_SQL),
+    "emb_cosine_topk": (_q_cosine_topk, _COSINE_TOPK_SQL),
+    "emb_near_dup_pairs": (_q_near_dups, _NEAR_DUP_SQL),
+    # bucketed ANN: Spark-only plan (xxhash64 hyperplanes); rows-only check
+    "emb_ann_lsh_topk": (_q_ann_lsh, None),
+}

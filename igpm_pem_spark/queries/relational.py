@@ -1,0 +1,274 @@
+"""Relational operator coverage (SURVEY.md §2.2 filters/projections, §2.3
+joins, §2.4 aggregations, §2.5 windows, §2.6 set ops, §2.7 scalar
+functions) expressed through the DataFrame API, each with a plain-SQL
+DuckDB oracle. These are the reference's query-surface operators (P1-P6,
+J1/J3, A1-A3/A7/A9, W1-W3, SO1-3, F1/F3) exercised on the TPC-H-ish
+driver tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ._common import register
+
+
+def _q_filter_project(spark, sf_dir):
+    """P1/P4/P5 + F1: predicate + projection + computed column — Catalyst
+    pushes the filter and prunes columns at the parquet scan."""
+    register(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("net_price"),
+        )
+    )
+
+
+def _q_group_agg(spark, sf_dir):
+    """A1/A2: the five reference aggregates (COUNT/MIN/MAX/SUM/AVG,
+    gray/aggregator.py:30-52) under a GROUP BY."""
+    register(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+def _q_join_dims(spark, sf_dir):
+    """J1-style star join: fact ⋈ broadcast dims with pre-join filters
+    (O5: selectivity filter before expansion)."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        o.where(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def _q_semi_anti(spark, sf_dir):
+    """J3/SO2/SO3: existence joins — per segment, customers with at least
+    one 'F' order (left_semi) and with none (left_anti; the reference's
+    set difference, rwr.py:88)."""
+    register(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders").where(F.col("o_orderstatus") == "F")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .na.fill(0, ["n_with", "n_without"])
+        .select("c_mktsegment", "n_with", "n_without")
+    )
+
+
+def _q_window_topk(spark, sf_dir):
+    """W1/A9: per-customer top order by totalprice — window argmax with
+    deterministic tie-break (the reference's rank list, rwr.py:169-172)."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_argmax_ties(spark, sf_dir):
+    """A9 exactly: keep ALL candidates within ε of the group max — the
+    reference's 1e-5 tie tolerance (gray_multiple.py:436-441), which rank
+    cannot express but max-over-window + filter can."""
+    register(spark, sf_dir)
+    li = spark.table("lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("mx", F.max("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") >= F.col("mx") - 1e-5)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def _q_setops(spark, sf_dir):
+    """SO1-3: union / intersect / except over derived key sets."""
+    register(spark, sf_dir)
+    li = spark.table("lineitem")
+    hi = li.where(F.col("l_quantity") >= 45).select("l_partkey").distinct()
+    lo = li.where(F.col("l_quantity") <= 5).select("l_partkey").distinct()
+    u = hi.union(lo).distinct().select(F.lit("union").alias("op"), "l_partkey")
+    i = hi.intersect(lo).select(F.lit("intersect").alias("op"), "l_partkey")
+    d = hi.exceptAll(lo).distinct().select(F.lit("except").alias("op"), "l_partkey")
+    return u.unionByName(i).unionByName(d)
+
+
+def _q_median(spark, sf_dir):
+    """A7: exact interpolated median per group (the reference's
+    statistics.median, gray_incremental.py:92-96)."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def _q_temporal_bucket(spark, sf_dir):
+    """F3/S3 semantics: event-time day bucketing (epoch → day, rebased) —
+    the reference's timestamp loader (load_edgelist_timestamp.py:20-42)."""
+    register(spark, sf_dir)
+    e = spark.table("events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def _q_condition_expr(spark, sf_dir):
+    """P6: the reference's boolean/arithmetic condition grammar compiled
+    to a Catalyst expression (ConditionParser.py:20-54) — evaluated here
+    over event rows: "value * 2 - 6 > 300 AND NOT event_type == 'error'"."""
+    register(spark, sf_dir)
+    from ..plans.condition import compile_condition
+
+    e = spark.table("events")
+    cond = compile_condition("value * 2 - 6 > 300 AND NOT event_type == 'error'")
+    return e.where(cond).select("event_id", "user_id", "event_type", "value")
+
+
+QUERIES = {
+    "rel_filter_project": (
+        _q_filter_project,
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= '1997-01-01' AND l_discount > 0.05
+        """,
+    ),
+    "rel_group_agg": (
+        _q_group_agg,
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    "rel_join_dims": (
+        _q_join_dims,
+        """
+        SELECT n_name, c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name, c_mktsegment
+        """,
+    ),
+    "rel_semi_anti": (
+        _q_semi_anti,
+        """
+        SELECT c_mktsegment,
+               sum(CASE WHEN ex THEN 1 ELSE 0 END) AS n_with,
+               sum(CASE WHEN ex THEN 0 ELSE 1 END) AS n_without
+        FROM (
+          SELECT c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS ex
+          FROM customer
+        ) GROUP BY c_mktsegment
+        """,
+    ),
+    "rel_window_topk": (
+        _q_window_topk,
+        """
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) WHERE rn <= 2
+        """,
+    ),
+    "rel_argmax_ties": (
+        _q_argmax_ties,
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mx
+          FROM lineitem
+        ) WHERE l_extendedprice >= mx - 0.00001
+        """,
+    ),
+    "rel_setops": (
+        _q_setops,
+        """
+        WITH hi AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45),
+             lo AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity <= 5)
+        SELECT 'union' AS op, l_partkey FROM (SELECT * FROM hi UNION SELECT * FROM lo)
+        UNION ALL
+        SELECT 'intersect', l_partkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+        UNION ALL
+        SELECT 'except', l_partkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+        """,
+    ),
+    "rel_median": (
+        _q_median,
+        """
+        SELECT o_orderpriority,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                 AS median_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "rel_temporal_bucket": (
+        _q_temporal_bucket,
+        """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+        """,
+    ),
+    "rel_condition_expr": (
+        _q_condition_expr,
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE value * 2 - 6 > 300 AND NOT event_type = 'error'
+        """,
+    ),
+}
