@@ -1,0 +1,67 @@
+"""J4 — bounded multi-hop path closure (the EXTRACT analogue).
+
+The reference builds, per vertex, a best-path predecessor tree capped at
+3 hops (``patternmatching/gray/extract.py:12`` MAX_LENGTH=3, Dijkstra over
+RWR scores ``:30-79``) and materializes paths on demand (``:82-96``). Its
+*role* in pattern matching is answering "is there a path of ≤K hops between
+candidate endpoints (with compatible edge labels)?" — which relationally is
+a K-fold unrolled frontier self-join (SURVEY.md O8: static plan, no
+recursion), not an all-sources tree.
+
+``path_closure`` returns reachable pairs with hop counts ≤ max_hops;
+``variable_length_edges`` is the pattern-engine adapter for ``--path``
+query edges (``query/Condition.py:2-4`` ``_path`` marker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_HOPS = 3  # extract.py:12
+
+
+def path_closure(
+    edges: DataFrame,
+    max_hops: int = MAX_HOPS,
+    directed: bool = False,
+    label: str | None = None,
+) -> DataFrame:
+    """(src, dst, hops): minimal hop count ≤ max_hops between distinct
+    vertex pairs, optionally restricted to one edge label (the reference
+    caches one EXTRACT per label, ``gray_multiple.py:173-178``)."""
+    e = edges
+    if label is not None and "label" in e.columns:
+        e = e.where(F.col("label") == label)
+    e = e.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.dropDuplicates(["src", "dst"])
+
+    hop1 = e.withColumn("hops", F.lit(1))
+    closure = hop1
+    frontier = hop1
+    for _ in range(1, max_hops):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.hops") + 1).alias("hops"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure.groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+
+
+def variable_length_edges(
+    edges: DataFrame, max_hops: int = MAX_HOPS, directed: bool = False,
+    label: str | None = None,
+) -> DataFrame:
+    """(src, dst) pairs connected by a ≤max_hops path — the join relation
+    substituted for a ``--path`` query edge."""
+    return path_closure(edges, max_hops, directed, label).select("src", "dst")

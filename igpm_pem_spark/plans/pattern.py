@@ -1,0 +1,260 @@
+"""The pattern-match surface: G-Ray's query graphs compiled to relational
+join plans.
+
+The reference's query is a tiny ``nx.MultiGraph`` built from CLI-style
+tokens (``--vertex a b c --edge x:a:b … --vertexlabel a:cyan --edgelabel
+x:yes --path z:c:a --condition … --directed``; parser at
+``patternmatching/gray/query_call.py:224-303``) and executed by the
+best-effort G-Ray search (seed → neighbor_expander → bridge,
+``gray_multiple.py:99-358``). Our execution compiles the same query graph
+to a left-deep chain of equi-joins (J1) anchored at the most selective
+symbol (the cost heuristic the reference's dead ``seed_finder`` intended,
+``gray_multiple.py:364-408``):
+
+    candidates(anchor) ⋈ edge-rel ⋈ candidates(next) ⋈ … → injectivity
+    filter → condition (P6, compiled Catalyst) → canonical-signature dedup
+
+Semantics note (deliberate): we enumerate ALL distinct matching subgraphs
+(exact subgraph matching with duplicate elimination by node-set+edge-set
+signature — the relational encoding of ``equal_graphs``,
+``gray_multiple.py:16-37``). The reference returns a best-effort SUBSET
+(one RWR-guided match per seed; misses are accepted, near-misses kept as
+"approximate", ``gray_incremental.py:301-330``). Exact enumeration is a
+superset of the reference's results on every test case, and identical on
+rigid patterns (triangles, cycles, label-constrained shapes) — the
+tests pin both facts.
+
+``--path`` query edges join against the ≤3-hop closure (operators/paths.py)
+exactly as EXTRACT's 3-hop cap (``extract.py:12``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.paths import MAX_HOPS, variable_length_edges
+from .condition import compile_condition
+
+
+@dataclass
+class QueryEdge:
+    sym: str
+    a: str
+    b: str
+    label: str | None = None
+    is_path: bool = False
+
+
+@dataclass
+class PatternQuery:
+    vertices: dict[str, str | None]  # symbol -> required label (None = any)
+    edges: list[QueryEdge]
+    directed: bool = False
+    condition: str | None = None
+    aggregates: list[str] = field(default_factory=list)  # "MAX:a.score"
+    groupby: list[str] = field(default_factory=list)  # "a.score"
+    orderby: list[str] = field(default_factory=list)
+    descending: bool = False
+
+
+def parse_query_args(text: str) -> PatternQuery:
+    """Parse the reference's query token format (mode machine mirroring
+    ``gray/query_call.py:224-273``)."""
+    toks = text.split()
+    q = PatternQuery(vertices={}, edges=[])
+    labels: dict[str, str] = {}
+    elabels: dict[str, str] = {}
+    mode = None
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("--"):
+            mode = t[2:]
+            if mode == "directed":
+                q.directed = True
+                mode = None
+            elif mode == "descending":
+                q.descending = True
+                mode = None
+            elif mode == "condition":
+                # condition consumes the rest until the next --flag
+                j = i + 1
+                parts = []
+                while j < len(toks) and not toks[j].startswith("--"):
+                    parts.append(toks[j])
+                    j += 1
+                q.condition = " ".join(parts)
+                i = j
+                continue
+        elif mode == "vertex":
+            q.vertices[t] = None
+        elif mode in ("edge", "path"):
+            sym, a, b = t.split(":")
+            q.edges.append(QueryEdge(sym, a, b, is_path=(mode == "path")))
+        elif mode == "vertexlabel":
+            s, lbl = t.split(":")
+            labels[s] = lbl
+        elif mode == "edgelabel":
+            s, lbl = t.split(":")
+            elabels[s] = lbl
+        elif mode == "aggregate":
+            q.aggregates.append(t)
+        elif mode == "groupby":
+            q.groupby.append(t)
+        elif mode == "orderby":
+            q.orderby.append(t)
+        i += 1
+    for s, lbl in labels.items():
+        q.vertices[s] = lbl
+    for e in q.edges:
+        if e.sym in elabels:
+            e.label = elabels[e.sym]
+    return q
+
+
+def _prop_refs(q: PatternQuery) -> set[tuple[str, str]]:
+    """(symbol, prop) pairs referenced by condition/aggregates/group/order."""
+    refs: set[tuple[str, str]] = set()
+    texts = list(q.groupby) + list(q.orderby)
+    texts += [a.split(":", 1)[1] for a in q.aggregates if ":" in a]
+    if q.condition:
+        texts += re.findall(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", q.condition)
+    for t in texts:
+        if "." in t:
+            s, p = t.split(".", 1)
+            if s in q.vertices:
+                refs.add((s, p))
+    return refs
+
+
+def _edge_order(q: PatternQuery, cand_counts: dict[str, int]) -> list[QueryEdge]:
+    """Anchor at the most selective symbol, then BFS over query edges so
+    every join touches a bound symbol (the reference requires the next
+    edge to leave a touched vertex, gray_multiple.py:205-214)."""
+    anchor = min(q.vertices, key=lambda s: (cand_counts.get(s, 0), s))
+    bound = {anchor}
+    remaining = list(q.edges)
+    ordered: list[QueryEdge] = []
+    while remaining:
+        pick = None
+        for e in remaining:
+            if e.a in bound or e.b in bound:
+                pick = e
+                break
+        if pick is None:  # disconnected query: start a new anchor
+            pick = remaining[0]
+            bound.add(pick.a)
+        ordered.append(pick)
+        bound.update((pick.a, pick.b))
+        remaining.remove(pick)
+    return ordered
+
+
+def match_pattern(
+    spark: SparkSession,
+    vertices: DataFrame,  # (id, label, props MAP<STRING,STRING>)
+    edges: DataFrame,  # (src, dst, label, ...)
+    q: PatternQuery,
+    max_path_hops: int = MAX_HOPS,
+) -> DataFrame:
+    """One row per distinct matching subgraph; columns = query symbols
+    (+ sym_prop columns for referenced props, + the canonical sig)."""
+    refs = _prop_refs(q)
+
+    # per-symbol candidate relations (P1 label filter + prop projection)
+    def cand(sym: str) -> DataFrame:
+        c = vertices
+        lbl = q.vertices.get(sym)
+        if lbl:
+            c = c.where(F.col("label") == lbl)
+        cols = [F.col("id").alias(sym)]
+        for s, p in refs:
+            if s == sym:
+                cols.append(
+                    F.element_at(F.col("props"), p).cast("double").alias(f"{sym}_{p}")
+                )
+        return c.select(*cols)
+
+    cand_counts = {s: cand(s).count() for s in q.vertices}
+
+    # edge relation per query edge: label-filtered, direction handled,
+    # parallel same-label edges collapsed ((src,dst,label) identity)
+    base = edges.select("src", "dst", *(["label"] if "label" in edges.columns else []))
+
+    def rel(e: QueryEdge) -> DataFrame:
+        if e.is_path:
+            return variable_length_edges(
+                base, max_hops=max_path_hops, directed=q.directed, label=e.label
+            )
+        r = base
+        if e.label is not None and "label" in r.columns:
+            r = r.where(F.col("label") == e.label)
+        r = r.select("src", "dst")
+        if not q.directed:
+            r = r.unionByName(
+                r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        return r.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+    ordered = _edge_order(q, cand_counts)
+    anchor = min(q.vertices, key=lambda s: (cand_counts.get(s, 0), s))
+    df = cand(anchor)
+    bound = {anchor}
+
+    for e in ordered:
+        r = rel(e)
+        if e.a in bound and e.b in bound:
+            # existence check (semi-join) — J3
+            df = df.join(
+                r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b)),
+                [e.a, e.b],
+                "left_semi",
+            )
+            continue
+        # orient the join so the bound side is the key
+        if e.a in bound:
+            src_sym, dst_sym = e.a, e.b
+            rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
+        elif e.b in bound:
+            src_sym, dst_sym = e.b, e.a
+            rr = r.select(F.col("dst").alias(e.a), F.col("src").alias(e.b))
+        else:  # disconnected start: cross join a fresh anchor candidate set
+            df = df.crossJoin(cand(e.a))
+            bound.add(e.a)
+            src_sym, dst_sym = e.a, e.b
+            rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
+        df = df.join(rr, src_sym)
+        df = df.join(cand(dst_sym), dst_sym)  # label + prop projection
+        bound.add(dst_sym)
+
+    # injectivity: reference valid_result demands as many data vertices as
+    # query vertices (gray_multiple.py:40-60)
+    syms = list(q.vertices)
+    for i in range(len(syms)):
+        for j in range(i + 1, len(syms)):
+            df = df.where(F.col(syms[i]) != F.col(syms[j]))
+
+    # P6 condition over sym_prop columns
+    if q.condition:
+        df = df.where(compile_condition(q.condition))
+
+    # canonical-signature dedup (A6): matched edge multiset, symbol-free
+    pairs = []
+    for e in q.edges:
+        if q.directed:
+            pairs.append(F.struct(F.col(e.a).alias("u"), F.col(e.b).alias("v")))
+        else:
+            pairs.append(
+                F.struct(
+                    F.least(e.a, e.b).alias("u"), F.greatest(e.a, e.b).alias("v")
+                )
+            )
+    df = df.withColumn("sig", F.sort_array(F.array(*pairs)))
+    w = Window.partitionBy("sig").orderBy(*[F.col(s) for s in syms])
+    df = (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+    return df
