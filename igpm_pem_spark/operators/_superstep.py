@@ -25,12 +25,20 @@ def commit_and_stats(
     active_expr: Column,
     edge_parts: dict[int, int],
     t0: float,
+    partition_key: str | None = "id",
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, float, int]:
     """Materialize ``new_state``, aggregate ``delta_expr`` / ``active_expr``
     per physical partition in one job, then finalize the superstep's
     lineage rows + commit marker. Returns (committed_state, delta,
-    n_active)."""
-    committed = log.commit_state(step, new_state, SuperstepStats(step, -1.0, -1, 0.0))
+    n_active). The stats job doubles as the cache-population action for
+    in-memory commits."""
+    if num_partitions is None:
+        num_partitions = new_state.sparkSession.sparkContext.defaultParallelism
+    committed = log.commit_state(
+        step, new_state, SuperstepStats(step, -1.0, -1, 0.0),
+        partition_key=partition_key, num_partitions=num_partitions,
+    )
     rows = (
         committed.groupBy(F.spark_partition_id().alias("pid"))
         .agg(

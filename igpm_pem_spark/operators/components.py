@@ -32,8 +32,11 @@ def _cc_step(state: DataFrame, adj: DataFrame) -> DataFrame:
     frontier = state.where("changed").select(
         F.col("id").alias("src"), F.col("component").alias("cand")
     )
+    raw = adj.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
+    # repartition-then-min: avoids V×P map-side combine output (see
+    # pagerank._group_sum)
     msgs = (
-        adj.join(frontier.hint("shuffle_hash"), "src")
+        raw.repartition("dst")
         .groupBy(F.col("dst").alias("id"))
         .agg(F.min("cand").alias("cand"))
     )
@@ -103,6 +106,7 @@ def connected_components(
         state, delta, _ = commit_and_stats(
             log, step - 1, new_state,
             F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            num_partitions=num_partitions,
         )
         for df in intermediates:
             df.unpersist()

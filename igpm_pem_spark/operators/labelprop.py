@@ -32,10 +32,13 @@ from .graph import partitioned_adjacency, vertex_ids
 
 
 def _lpa_step(state: DataFrame, adj: DataFrame) -> DataFrame:
+    raw = adj.join(
+        state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"), "src"
+    ).select("dst", "label")
+    # repartition-then-count: (dst,label) keys have near-edge cardinality,
+    # so map-side combine buys nothing and costs V×P (pagerank._group_sum)
     hist = (
-        adj.join(
-            state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"), "src"
-        )
+        raw.repartition("dst")
         .groupBy(F.col("dst").alias("id"), "label")
         .agg(F.count("*").alias("cnt"))
     )
@@ -108,6 +111,7 @@ def label_propagation(
         state, delta, _ = commit_and_stats(
             log, step - 1, new_state,
             F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            num_partitions=num_partitions,
         )
         for df in intermediates:
             df.unpersist()

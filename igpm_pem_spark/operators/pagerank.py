@@ -26,9 +26,10 @@ Scale design (100 TB / 1e9+ edges):
   superstep joins against that cached partitioning; only the (small)
   rank vector moves per superstep;
 * out-degree is attached via a partition-local window (no extra shuffle);
-* the contribution aggregation is a partial (map-side) ``sum`` — Spark's
-  two-phase agg absorbs in-degree skew; AQE skew-join splitting covers
-  the join side on a real cluster;
+* the contribution aggregation repartitions raw messages by dst before
+  aggregating (O(E) shuffle) instead of map-side combining (O(V·P)
+  partial-agg output — see ``_group_sum``); AQE skew-join splitting
+  covers the join side on a real cluster;
 * each superstep is exactly two jobs: materialize new state (parquet
   commit or localCheckpoint — the lineage-truncation barrier) + one
   per-partition stats aggregation (delta norm, active count, lineage
@@ -113,6 +114,31 @@ def pagerank(
             state = log.load_state(last)
             start_step, resumed_from = last + 1, last
 
+    if mode == "exact" and not directed:
+        # fast path: in the symmetrized graph every vertex has in-edges and
+        # none dangle, so a superstep is computable from contributions
+        # alone — the state is referenced ONCE per sub-step, the unrolled
+        # logical plan stays LINEAR (the generic step references state
+        # twice, doubling the plan per level and capping the unroll), and
+        # per-vertex deltas move to the commit boundary.
+        if frontier_eps is None:
+            frontier_eps = tol / n
+        if state is None:
+            state = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+                eager=True
+            )
+        else:
+            state = state.select("id", "rank")
+        result = _run_exact_undirected(
+            spark, adj, verts, state, n, alpha, tol, max_iter, start_step,
+            steps_per_commit, edge_parts, log, frontier_eps, num_partitions,
+        )
+        adj.unpersist()
+        verts.unpersist()
+        result.resumed_from = resumed_from
+        result.stats = log.stats
+        return result
+
     if mode == "exact":
         if frontier_eps is None:
             frontier_eps = tol / n  # convergence-reporting threshold only
@@ -120,6 +146,8 @@ def pagerank(
             state = verts.select(
                 "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
             ).localCheckpoint(eager=True)
+        elif "delta" not in state.columns:
+            state = state.withColumn("delta", F.lit(1.0))
         runner = _exact_step
     elif mode == "delta":
         if frontier_eps is None:
@@ -151,15 +179,29 @@ def pagerank(
                 new_state = new_state.persist()
                 intermediates.append(new_state)
         step += block
-        state, delta, _active = commit_and_stats(
-            log, step - 1, new_state, F.abs(F.col("delta")),
-            F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
-        )
+        if tol <= 0.0 and not checkpoint_dir and step < max_iter:
+            # fixed-iteration benchmark mode: no convergence decision and no
+            # durable lineage needed mid-run — the localCheckpoint barrier
+            # alone materializes the state; skip the stats job
+            state = log.commit_state(
+                step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
+            )
+            log.stats[-1].wall_time_sec = time.time() - t0
+        else:
+            state, delta, _active = commit_and_stats(
+                log, step - 1, new_state, F.abs(F.col("delta")),
+                F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            if delta < tol:
+                converged = True
+            for df in intermediates:
+                df.unpersist()
+            if converged:
+                break
+            continue
         for df in intermediates:
             df.unpersist()
-        if delta < tol:
-            converged = True
-            break
 
     adj.unpersist()
     verts.unpersist()
@@ -176,6 +218,85 @@ def pagerank(
     return result
 
 
+def _run_exact_undirected(
+    spark, adj, verts, state, n, alpha, tol, max_iter, start_step,
+    steps_per_commit, edge_parts, log: LineageLog, frontier_eps, num_partitions,
+) -> PageRankResult:
+    """Value-only power iteration for symmetrized graphs: state is
+    (id, rank); per-vertex delta is computed once per commit by joining
+    the new committed state against the previous one (the convergence
+    rule becomes L1(r_k - r_{k-block}) < tol — a strictly more
+    conservative stop than the per-superstep rule)."""
+    base = (1.0 - alpha) / n
+
+    def value_step(s: DataFrame) -> DataFrame:
+        contribs = _group_sum(
+            adj.join(
+                s.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
+            ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
+            "c",
+        )
+        return contribs.select(
+            F.col("dst").alias("id"),
+            (F.lit(base) + F.lit(alpha) * F.col("c")).alias("rank"),
+        )
+
+    converged = False
+    step = start_step
+    prev = state
+    while step < max_iter:
+        t0 = time.time()
+        block = min(steps_per_commit, max_iter - step)
+        new_state = prev
+        for _ in range(block):
+            new_state = value_step(new_state)
+        step += block
+        committed = log.commit_state(
+            step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
+        )
+        if tol <= 0.0 and step < max_iter:
+            # fixed-iteration mode: no convergence decision needed mid-run
+            log.stats[-1].wall_time_sec = time.time() - t0
+            prev = committed
+            continue
+        # commit-boundary delta: one V-sized join per block, not per step
+        rows = (
+            committed.join(
+                prev.select("id", F.col("rank").alias("_prev")), "id", "left"
+            )
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))).alias("d"),
+                F.sum(
+                    (
+                        F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))
+                        > frontier_eps
+                    ).cast("long")
+                ).alias("a"),
+            )
+            .collect()
+        )
+        delta = sum(float(r["d"] or 0.0) for r in rows)
+        active = sum(int(r["a"] or 0) for r in rows)
+        st = log.stats[-1]
+        st.delta_norm, st.active_vertices = delta, active
+        st.partition_stats = [
+            {
+                "partition_id": int(r["pid"]),
+                "edge_count": edge_parts.get(int(r["pid"]), 0),
+                "delta_norm": float(r["d"] or 0.0),
+            }
+            for r in rows
+        ]
+        st.wall_time_sec = time.time() - t0
+        log.finalize(step - 1, st)
+        prev = committed
+        if delta < tol:
+            converged = True
+            break
+    return PageRankResult(prev.select("id", "rank"), step, converged, None)
+
+
 def _dangling_mass_col(state: DataFrame, dangling: DataFrame, col: str) -> DataFrame:
     """1-row (_dm) DataFrame — kept lazy (broadcast cross join) so unrolled
     superstep blocks never touch the driver."""
@@ -185,19 +306,38 @@ def _dangling_mass_col(state: DataFrame, dangling: DataFrame, col: str) -> DataF
     )
 
 
+def _group_sum(msgs: DataFrame, val: str) -> DataFrame:
+    """sum(val) by dst via explicit repartition-then-aggregate.
+
+    A bare groupBy would map-side combine BEFORE the exchange; with ~V
+    distinct dst keys per partition (random/power-law graphs) that emits
+    ~V rows per map task — shuffle volume and hash-map churn scale as
+    V × P, which is why adding workers made the job SLOWER. Repartitioning
+    the raw messages first shuffles E rows once and aggregates inside the
+    post-exchange stage (partial+final fuse there), so cost is O(E), not
+    O(V·P). For community-clustered graphs where per-partition dst
+    cardinality ≪ V, the map-side-combine plan wins instead — that is a
+    data-layout property, not a kernel property; IGPM_AGG_MODE=partial
+    selects it.
+    """
+    import os
+
+    if os.environ.get("IGPM_AGG_MODE", "repartition") == "partial":
+        return msgs.groupBy("dst").agg(F.sum(val).alias(val))
+    return msgs.repartition("dst").groupBy("dst").agg(F.sum(val).alias(val))
+
+
 def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
     # shuffle_hash on the (small) state side: the cached adjacency's hash
     # partitioning is reused (zero exchange on the big side) and the hash
     # build parallelizes per partition — broadcasting a 1e9-row rank vector
     # is the plan that cannot scale, and its single-threaded build is also
     # what flattens local-mode core scaling
-    contribs = (
+    contribs = _group_sum(
         adj.join(
             state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
-        )
-        .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-        .groupBy("dst")
-        .agg(F.sum("c").alias("c"))
+        ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
+        "c",
     )
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -220,13 +360,11 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
 
 def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
-    msgs = (
+    msgs = _group_sum(
         adj.join(
             active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
-        )
-        .select("dst", (F.col("delta") / F.col("deg")).alias("m"))
-        .groupBy("dst")
-        .agg(F.sum("m").alias("m"))
+        ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
+        "m",
     )
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:

@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.ui.retainedJobs", "50")
         .config("spark.ui.retainedStages", "100")
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # shuffle through tmpfs: local-mode shuffle files on a virtio disk
+        # serialize under many concurrent writers and flatten core scaling
+        # (on a real cluster this is the NVMe-backed local dir)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,114 @@
+"""Structured Streaming flavor of the incremental superstep loop.
+
+The reference's "stream" is a hand-rolled micro-batch replay of a
+timestamped edge log (SURVEY.md §2.8): buckets arrive in order, state
+(RWR/EXTRACT/results) is carried and updated per bucket. The idiomatic
+Spark form is a file-source stream of edge parquet + ``foreachBatch``
+driving exactly the same per-bucket update the batch replay uses
+(operators/incremental.py), with engine state carried across batches by
+the driver. Watermarks/late data are deliberately out of scope — the
+reference's buckets are ordered (``step_list`` sorted,
+``gray/query_call.py:135``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class StreamState:
+    """Driver-held engine state updated by each micro-batch."""
+
+    edges: DataFrame | None = None  # cumulative edge table
+    components: DataFrame | None = None
+    batches: int = 0
+    history: list[dict] = field(default_factory=list)
+
+
+def components_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: str = "src BIGINT, dst BIGINT, label STRING, ts INT",
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple["object", StreamState]:
+    """Start a file-source stream over ``source_dir`` (new parquet files =
+    new edge buckets) that maintains connected components incrementally:
+    each micro-batch seeds the hash-min frontier at the arriving edges'
+    endpoints only (exact — see incremental_components).
+
+    Returns (StreamingQuery, StreamState); caller stops the query.
+    """
+    from ..lineage import LineageLog
+    from ..operators._superstep import commit_and_stats, edge_partition_counts
+    from ..operators.components import _cc_step, connected_components
+    from ..operators.graph import partitioned_adjacency, vertex_ids
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    state = StreamState()
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
+        if new_edges.rdd.isEmpty():
+            return
+        state.batches += 1
+        if state.edges is None:
+            state.edges = new_edges
+            res = connected_components(
+                spark, state.edges, num_partitions=num_partitions, steps_per_commit=4
+            )
+            state.components = res.components.localCheckpoint(eager=True)
+            state.history.append({"batch": batch_id, "supersteps": res.supersteps})
+            return
+        state.edges = state.edges.unionByName(new_edges).localCheckpoint(eager=True)
+        touched = (
+            new_edges.select(F.col("src").alias("id"))
+            .unionByName(new_edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        adj = partitioned_adjacency(state.edges, num_partitions).persist()
+        verts = vertex_ids(adj)
+        st = (
+            verts.join(state.components, "id", "left")
+            .join(touched.withColumn("t", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("component"), F.col("id")).alias("component"),
+                F.coalesce(F.col("t"), F.lit(False)).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edge_parts = edge_partition_counts(adj)
+        log = LineageLog(spark, None)
+        supersteps = 0
+        import time as _t
+
+        while supersteps < 100:
+            t1 = _t.time()
+            ns = st
+            for _ in range(2):
+                ns = _cc_step(ns, adj)
+            supersteps += 2
+            st, delta, _ = commit_and_stats(
+                log, supersteps - 1, ns,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t1,
+            )
+            if delta == 0.0:
+                break
+        state.components = st.select("id", "component").localCheckpoint(eager=True)
+        adj.unpersist()
+        state.history.append({"batch": batch_id, "supersteps": supersteps})
+
+    reader = (
+        spark.readStream.schema(schema).parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    return query, state

@@ -1,0 +1,69 @@
+"""Incremental replay: ts-bucketed arrival, warm-started partial
+recomputation; final state must equal the batch (from-scratch) answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from igpm_pem_spark.operators.incremental import (
+    incremental_components,
+    incremental_pagerank,
+    step_list,
+)
+from igpm_pem_spark.sources.fixtures import ba_graph, fixture_graph
+
+from .oracles import components_oracle, pagerank_oracle
+
+
+def _dynamic_ba(spark, n_buckets=4):
+    """BA-100 edges stamped with deterministic arrival steps."""
+    _, edges, _ = ba_graph(spark, 100, 4, seed=0)
+    return edges.withColumn(
+        "ts", (F.xxhash64("src", "dst") % n_buckets + n_buckets) % n_buckets
+    )
+
+
+def test_step_list(spark):
+    _, edges, _ = fixture_graph(spark, "dynamic_test1")
+    assert step_list(edges) == [0, 1, 2]
+
+
+def test_incremental_components_matches_batch(spark):
+    edges = _dynamic_ba(spark)
+    res = incremental_components(spark, edges, base_steps=1)
+    got = {r.id: r.component for r in res.state.collect()}
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    assert got == components_oracle(pairs)
+    assert len(res.steps) == 4
+    # incremental steps after the base run exist and record work
+    assert all(s.supersteps >= 1 for s in res.steps)
+
+
+def test_incremental_components_small_fixture(spark):
+    _, edges, _ = fixture_graph(spark, "dynamic_test1")
+    res = incremental_components(spark, edges)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    got = {r.id: r.component for r in res.state.collect()}
+    assert got == components_oracle(pairs)
+
+
+def test_incremental_pagerank_converges_to_full_graph_answer(spark):
+    edges = _dynamic_ba(spark)
+    res = incremental_pagerank(spark, edges, base_steps=1, tol=1e-8)
+    got = {r.id: r["rank"] for r in res.state.collect()}
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    want = pagerank_oracle(pairs)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert len(res.steps) == 4
+    assert all(s.edges_per_sec > 0 for s in res.steps)
+
+
+def test_incremental_pagerank_with_pattern_counts(spark):
+    _, edges, _ = fixture_graph(spark, "dynamic_test1")
+    res = incremental_pagerank(
+        spark, edges, base_steps=1, tol=1e-7, with_pattern_counts=True
+    )
+    # reference prints exact triangle/star ground truth per step
+    # (gray_incremental.py:193-202); final graph = test1 → 2 triangles
+    assert res.steps[-1].n_triangles == 2
+    assert res.steps[-1].n_stars is not None

@@ -1,0 +1,82 @@
+"""Multimodal plumbing: binary columns + Arrow-batched header ops. Codec
+work is stubbed (no image libs in this container); the Spark-side schema,
+batching, and metadata math are real and pinned here."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from igpm_pem_spark.multimodal.binary_ops import (
+    MAGIC,
+    decode_image_metadata,
+    pack_fake_image,
+    resize_images,
+    resize_pixels,
+    sample_frames,
+    synthetic_media,
+)
+
+
+def test_synthetic_media_deterministic(spark):
+    a = sorted(
+        (r.asset_id, bytes(r.bytes)) for r in synthetic_media(spark, 50, 2).collect()
+    )
+    b = sorted(
+        (r.asset_id, bytes(r.bytes)) for r in synthetic_media(spark, 50, 8).collect()
+    )
+    assert a == b
+
+
+def test_decode_matches_header(spark):
+    media = synthetic_media(spark, 40)
+    got = {r.asset_id: r for r in decode_image_metadata(media).collect()}
+    for r in media.collect():
+        raw = bytes(r.bytes)
+        w, h, c = struct.unpack(">HHB", raw[4:9])
+        d = got[r.asset_id]
+        assert (d.width, d.height, d.channels) == (w, h, c)
+        assert d.valid and d.n_bytes == len(raw)
+
+
+def test_corrupt_bytes_flagged_invalid(spark):
+    rows = [
+        (1, "image", bytearray(b"NOTMAGIC" + b"x" * 5), {}),
+        (2, "image", bytearray(pack_fake_image(10, 20)), {}),
+        (3, "image", bytearray(MAGIC), {}),  # truncated header
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id BIGINT, kind STRING, bytes BINARY, meta MAP<STRING,STRING>"
+    )
+    got = {r.asset_id: r.valid for r in decode_image_metadata(media).collect()}
+    assert got == {1: False, 2: True, 3: False}
+
+
+def test_resize_plan_bounds(spark):
+    media = synthetic_media(spark, 60)
+    for r in resize_images(media, max_side=128).collect():
+        assert max(r.new_width, r.new_height) <= 128
+        assert 0 < r.scale <= 1.0
+
+
+def test_resize_pixels_gated(spark):
+    with pytest.raises(NotImplementedError):
+        resize_pixels(synthetic_media(spark, 5))
+
+
+def test_frame_sampling(spark):
+    rows = [
+        (1, "video", bytearray(b""), {"n_frames": "35"}),
+        (2, "video", bytearray(b""), {"n_frames": "5"}),
+        (3, "image", bytearray(b""), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id BIGINT, kind STRING, bytes BINARY, meta MAP<STRING,STRING>"
+    )
+    got = sorted(
+        (r.asset_id, r.frame_idx) for r in sample_frames(media, every_n=10).collect()
+    )
+    assert got == [(1, 0), (1, 10), (1, 20), (1, 30), (2, 0)]
