@@ -76,6 +76,40 @@ def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
     return e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
 
 
+def salted_count(
+    df: DataFrame, key: str, n_salts: int = 16, out: str = "cnt"
+) -> DataFrame:
+    """O9 — explicit two-phase skew-salted aggregation: count rows per
+    ``key`` when a handful of keys are pathologically hot (power-law hubs).
+    Phase 1 aggregates per (key, salt) — hot keys split across ``n_salts``
+    reducers; phase 2 sums the ≤n_salts partials per key. Equivalent to a
+    plain groupBy-count (tests pin it), useful where AQE skew handling
+    isn't available (e.g. inside structured-streaming batches) or the
+    skew is in the aggregation rather than a join.
+    """
+    # deterministic salt from a per-row monotonic component
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias(out))
+
+
+def bin_pack_components(component_sizes: DataFrame, n_workers: int) -> DataFrame:
+    """W5 — the reference's WCC-size-descending greedy packing onto
+    workers (``parallel/gray_mp.py:172-178``): order components by size
+    desc and deal them round-robin; returns (component, size, worker).
+    Round-robin over the sorted stream approximates greedy min-load within
+    1 item's size — and is a single window, not a driver loop.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("size"), F.asc("component"))
+    return component_sizes.withColumn(
+        "worker", (F.row_number().over(w) - 1) % n_workers
+    )
+
+
 def partitioned_adjacency(
     edges: DataFrame, num_partitions: int, directed: bool = False
 ) -> DataFrame:

@@ -73,6 +73,20 @@ def _q_label_propagation3(spark, sf_dir):
     return res.labels.select("id", "label")
 
 
+def _q_incremental_cc(spark, sf_dir):
+    """Incremental hash-min replay over 3 synthetic arrival buckets
+    (ts = src % 3): per-bucket frontier-seeded recomputation must land on
+    the same fixpoint as the batch kernel, so the batch recursive-CTE
+    oracle checks the incremental engine end-to-end."""
+    from ..operators.incremental import incremental_components
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL).withColumn(
+        "ts", (F.col("src") % 3).cast("int")
+    )
+    res = incremental_components(spark, e, base_steps=1)
+    return res.state.select("id", "component")
+
+
 def _q_pagerank_converged(spark, sf_dir):
     """Delta-mode PageRank to L1 < 1e-6 — the flagship convergence run.
     No SQL oracle (convergence loops aren't bounded SQL); rows-only check,
@@ -193,6 +207,14 @@ QUERIES = {
             + _LPA_ROUND.format(k=2, p=1)
             + _LPA_ROUND.format(k=3, p=2)
             + "SELECT id, label FROM l3"
+        ),
+    ),
+    "incremental_cc_replay": (
+        _q_incremental_cc,
+        _with_g(
+            _CC_CTE + "SELECT id, comp AS component FROM cc WHERE iter = 25",
+            G_SPARSE_SQL,
+            recursive=True,
         ),
     ),
     "pagerank_converged": (_q_pagerank_converged, None),

@@ -62,6 +62,49 @@ def load_node_link(
     return vertices, edges, directed
 
 
+def save_node_link(
+    vertices: DataFrame, edges: DataFrame, path: str, directed: bool = False
+) -> None:
+    """S5 — graph JSON sink (the reference's ``json_graph.node_link_data``
+    + ``json.dump``, ``generator.py:144-152``). Collects to the driver —
+    the reference's graphs are KB-scale; use ``save_graph_parquet`` for
+    anything that shouldn't fit on the driver."""
+    obj = {
+        "directed": directed,
+        "multigraph": True,
+        "graph": {},
+        "nodes": [
+            {"id": r["id"], "label": r["label"], **(dict(r["props"]) if "props" in r.__fields__ and r["props"] else {})}
+            for r in vertices.collect()
+        ],
+        "links": [
+            {
+                "source": r["src"],
+                "target": r["dst"],
+                "label": r["label"] if "label" in r.__fields__ else "",
+                "add": r["ts"] if "ts" in r.__fields__ else 0,
+            }
+            for r in edges.collect()
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def save_graph_parquet(vertices: DataFrame, edges: DataFrame, base_dir: str) -> None:
+    """Distributed graph sink: two parquet tables — the engine-state sink
+    shape (Iceberg-shaped on a real cluster)."""
+    vertices.write.mode("overwrite").parquet(f"{base_dir}/vertices")
+    edges.write.mode("overwrite").parquet(f"{base_dir}/edges")
+
+
+def load_graph_parquet(spark: SparkSession, base_dir: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{base_dir}/vertices"),
+        spark.read.parquet(f"{base_dir}/edges"),
+    )
+
+
 def load_node_link_distributed(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, bool]:

@@ -1,0 +1,65 @@
+"""Physical-plan quality gates: these pin the plans we designed for, so a
+regression that silently de-optimizes (lost pushdown, surprise broadcast,
+Python in the hot path) fails loudly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from igpm_pem_spark.operators.graph import vertex_ids
+from igpm_pem_spark.operators.pagerank import _adjacency_with_degree, _exact_step
+from igpm_pem_spark.plans.condition import compile_condition
+from igpm_pem_spark.sources.synthetic_graph import synthetic_edges
+
+
+def _explain(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _explain(q)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1]
+    # scan schema carries only the projected+filtered columns
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_pagerank_step_never_broadcasts_state(spark):
+    edges = synthetic_edges(spark, 1000, 10000)
+    adj = _adjacency_with_degree(edges, False, 4).persist()
+    adj.count()
+    verts = vertex_ids(adj)
+    n = verts.count()
+    # production shape: state is a materialized commit (localCheckpoint)
+    state = verts.select(
+        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    plan = _explain(_exact_step(state, adj, None, 0, n, 0.85, 1e-9))
+    # the rank-vector side must come in via a shuffled hash join — a
+    # broadcast of per-vertex state cannot scale to 1e9 vertices, and its
+    # single-threaded build also flattens core scaling (measured)
+    assert "ShuffledHashJoin" in plan
+    # adjacency is served from cache, not regenerated
+    assert "InMemoryTableScan" in plan
+    adj.unpersist()
+
+
+def test_condition_compiles_without_python_udf(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x_a DOUBLE, x_b DOUBLE")
+    q = df.where(compile_condition("x.a * 2 - 1 > 0 AND NOT x.b == 5"))
+    plan = _explain(q)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_import_parser_is_arrow_vectorized(spark):
+    from igpm_pem_spark.sources.code_imports import parse_import_statements
+    from igpm_pem_spark.sources.repo_files import generate_repo_files
+
+    rf = generate_repo_files(spark, n_repos=2, files_per_repo=5)
+    plan = _explain(parse_import_statements(rf))
+    # mapInPandas shows as MapInPandas (Arrow), never row-wise BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
