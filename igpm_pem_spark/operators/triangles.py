@@ -62,6 +62,47 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_count_degree_oriented(edges: DataFrame) -> int:
+    """Triangle count with degree-based edge orientation — the scale path
+    for power-law graphs.
+
+    Each undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one; every triangle then has exactly one "apex" ordering,
+    and the wedge join only fans out from the LOWER-degree endpoint: the
+    per-vertex wedge work is bounded by out-degree² where max out-degree is
+    O(√E) after orientation — versus unbounded hub fan-out in the naive
+    id-ordered plan (a 1e7-degree hub contributes 1e14 id-ordered wedges
+    but only ~E^1.5 oriented ones). Results are identical (tests pin it);
+    the plain a<b plan remains the oracle-comparable spec.
+    """
+    e = canonical_undirected(edges)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # attach degree to both endpoints, orient low→high with id tie-break
+    d1 = deg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
+    d2 = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
+    ed = e.join(d1, "src").join(d2, "dst")
+    fwd = F.struct(F.col("dsrc").alias("d"), F.col("src").alias("v")) < F.struct(
+        F.col("ddst").alias("d"), F.col("dst").alias("v")
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    # close the wedge with the edge between b and c (either orientation;
+    # b < c in the wedge, so compare against the id-canonical form)
+    closing = oriented.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    )
+    closed = wedges.join(closing, ["b", "c"], "left_semi")
+    return closed.count()
+
+
 def star_count(edges: DataFrame, min_degree: int = 4) -> int:
     """Vertices with degree ≥ min_degree — the reference's "5-node star"
     ground-truth count (``gray_incremental.py:194,202``: degree ≥ 4)."""

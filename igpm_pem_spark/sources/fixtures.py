@@ -70,6 +70,31 @@ GRAPHS: dict[str, dict] = {
             {"source": 4, "target": 5, "label": "yes"},
         ],
     },
+    # sample/static/test1a.json shape — score props stored as STRINGS
+    # ("1","2"…): the reference coerces digit-strings to float at condition
+    # eval (ConditionParser.py:77-80,118-127); our props map is
+    # MAP<STRING,STRING>, so this exercises the cast path
+    "test1a": {
+        "directed": False,
+        "nodes": [
+            {"id": 0, "label": "cyan", "score": "1"},
+            {"id": 1, "label": "cyan", "score": "2"},
+            {"id": 2, "label": "cyan", "score": "1"},
+            {"id": 3, "label": "cyan", "score": "2"},
+            {"id": 4, "label": "cyan", "score": "3"},
+            {"id": 5, "label": "cyan", "score": "2"},
+        ],
+        "links": [
+            {"source": 0, "target": 1, "label": "yes"},
+            {"source": 0, "target": 3, "label": "yes"},
+            {"source": 0, "target": 4, "label": "yes"},
+            {"source": 1, "target": 3, "label": "yes"},
+            {"source": 2, "target": 3, "label": "yes"},
+            {"source": 2, "target": 4, "label": "yes"},
+            {"source": 2, "target": 5, "label": "yes"},
+            {"source": 4, "target": 5, "label": "yes"},
+        ],
+    },
     # sample/static/test2.json — cyan/magenta labels
     "test2": {
         "directed": False,

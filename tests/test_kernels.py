@@ -116,6 +116,15 @@ def test_triangles_exact(spark, graph):
     assert got == per_vertex_want
 
 
+@pytest.mark.parametrize("graph", ["test1", "ba100", "two_comp"])
+def test_degree_oriented_triangles_equal_plain(spark, graph):
+    from igpm_pem_spark.operators.triangles import triangle_count_degree_oriented
+
+    edges, pairs, _ = _pairs(graph, spark)
+    _, total_want = triangles_oracle(pairs)
+    assert triangle_count_degree_oriented(edges) == total_want
+
+
 def test_star_count_matches_reference_rule(spark):
     # reference counts vertices with degree >= 4 as 5-node stars
     # (gray_incremental.py:194,202)

@@ -179,6 +179,22 @@ def test_condition_filters_matches(spark):
         assert r["a_score"] * 2 >= 4
 
 
+def test_string_prop_numeric_coercion(spark):
+    """test1a stores scores as strings ("1","2"); the reference coerces
+    digit-strings to float at condition eval (ConditionParser.py:77-80).
+    Our prop columns cast MAP<STRING,STRING> values to double, so the same
+    condition works on string-typed props."""
+    verts, edges, _ = fixture_graph(spark, "test1a")
+    q = parse_query_args(
+        "--vertex a b --edge x:a:b --condition a.score + b.score >= 5"
+    )
+    m = match_pattern(spark, verts, edges, q)
+    rows = m.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["a_score"] + r["b_score"] >= 5
+
+
 def test_condition_compiler_semantics(spark):
     df = spark.createDataFrame(
         [(7.0, 5.0, 5.0), (8.0, 9.0, 2.0), (1.0, 1.0, 5.0)], "x_a DOUBLE, x_b DOUBLE, x_c DOUBLE"
