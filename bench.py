@@ -95,7 +95,7 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
     dense.unpersist()
     sparse.unpersist()
     total = sum(timings.values())
-    return {
+    out = {
         "metric": "headline_kernels_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -105,6 +105,16 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
         "edges_dense": int(n_edges),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in meta.items()},
     }
+    # attach the most recent two-cluster-size evidence (bench.py --scaling
+    # writes BENCH.md; the efficiency number is the north-rule criterion)
+    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    if os.path.exists(bench_md):
+        import re as _re
+
+        m = _re.search(r"scaling efficiency (\d+\.\d+)", open(bench_md).read())
+        if m:
+            out["scaling_efficiency_2c_to_8c"] = float(m.group(1))
+    return out
 
 
 def _scale_run(cpus: int, n_vertices: int, n_edges: int, supersteps: int) -> dict:
