@@ -87,9 +87,15 @@ def salted_count(
     isn't available (e.g. inside structured-streaming batches) or the
     skew is in the aggregation rather than a join.
     """
-    # deterministic salt from a per-row monotonic component
+    # Salt from row CONTENT, never from monotonically_increasing_id(): a
+    # fetch-failure retry recomputes partials, and an id-derived salt can
+    # assign the same row to a different salt on the rerun → double-count
+    # or drop. Hashing every column is stable under recomputation; rows
+    # that are full duplicates share a salt, which only matters if one
+    # key's rows are ALL identical (then salting degenerates to 1 reducer
+    # for that key — same as unsalted, still correct).
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias(out))

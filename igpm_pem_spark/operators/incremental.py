@@ -136,6 +136,21 @@ def _pagerank_warm(spark, cum_edges, prev_ranks, directed, alpha, tol, num_parti
     )
     total = float(init.agg(F.sum("rank")).first()[0])
     init = init.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
+    # dangling mass (directed graphs only — symmetrized ones can't dangle):
+    # carried ranks sitting on sink vertices must be respread uniformly in
+    # the residual target, exactly as the batch kernel's _exact_step does,
+    # or the warm start silently drops rank mass and diverges from batch.
+    if directed:
+        dangling_ids = verts.join(
+            adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        )
+        dm_val = float(
+            init.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+    else:
+        dm_val = 0.0
     # full residual pass: delta = (exact step result) - rank
     from .pagerank import _group_sum
 
@@ -152,7 +167,8 @@ def _pagerank_warm(spark, cum_edges, prev_ranks, directed, alpha, tol, num_parti
             F.col("rank"),
             (
                 F.lit(base)
-                + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
+                + F.lit(alpha)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm_val / n))
                 - F.col("rank")
             ).alias("delta"),
         )
@@ -174,7 +190,17 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions):
     from .pagerank import PageRankResult, _adjacency_with_degree, _delta_step
 
     adj = _adjacency_with_degree(edges, directed, num_partitions).persist()
-    n = vertex_ids(adj).count()
+    verts = vertex_ids(adj)
+    n = verts.count()
+    if directed:
+        # same dangling handling as the batch kernel — residual mass
+        # reaching a sink must be respread, not dropped
+        dangling = verts.join(
+            adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        ).persist()
+        n_dangling = dangling.count()
+    else:
+        dangling, n_dangling = None, 0
     edge_parts = edge_partition_counts(adj)
     frontier_eps = tol / (10.0 * n)
     log = LineageLog(spark, None)
@@ -183,7 +209,9 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions):
         t0 = time.time()
         new_state = state
         for _ in range(3):
-            new_state = _delta_step(new_state, adj, None, 0, n, alpha, frontier_eps)
+            new_state = _delta_step(
+                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps
+            )
         step += 3
         state, delta, _ = commit_and_stats(
             log, step - 1, new_state, F.abs(F.col("delta")),
@@ -193,6 +221,8 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions):
             converged = True
             break
     adj.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     total = float(state.agg(F.sum("rank")).first()[0])
     ranks = state.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
     res = PageRankResult(ranks, step, converged, None)

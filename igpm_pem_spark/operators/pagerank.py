@@ -65,6 +65,24 @@ def _adjacency_with_degree(edges: DataFrame, directed: bool, num_partitions: int
     return adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
 
 
+def _personalization_df(spark: SparkSession, personalization) -> DataFrame:
+    """Normalize a seed spec (dict id->weight, or iterable of ids with
+    uniform weights) into a tiny (id, p) DataFrame with sum(p)=1 — the
+    reference's restart vector p_0 (``rwr.py:181-189`` seeds the source
+    set; restart prob 0.7 at ``gray_multiple.py:73`` maps to alpha=0.3)."""
+    if isinstance(personalization, dict):
+        items = [(int(k), float(v)) for k, v in personalization.items()]
+    else:
+        ids = [int(k) for k in personalization]
+        items = [(k, 1.0) for k in ids]
+    total = sum(v for _, v in items)
+    if total <= 0:
+        raise ValueError("personalization weights must sum to a positive value")
+    return spark.createDataFrame(
+        [(k, v / total) for k, v in items], "id BIGINT, p DOUBLE"
+    )
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -79,11 +97,21 @@ def pagerank(
     mode: str = "exact",
     frontier_eps: float | None = None,
     steps_per_commit: int = 1,
+    personalization: dict | list | None = None,
 ) -> PageRankResult:
     """Run PageRank to L1 convergence ``sum(|Δ|) < tol``.
 
     ``edges``: (src, dst, ...). Undirected inputs are symmetrized (NetworkX
     semantics). Returns ranks summing to 1.
+
+    ``personalization`` — seed set (dict id->weight or iterable of ids):
+    restart mass lands on the seeds instead of uniformly, i.e. random walk
+    with restart. Matches ``networkx.pagerank(personalization=...)``
+    (dangling mass also redistributed ∝ p). This is the reference's core
+    proximity primitive (``patternmatching/gray/rwr.py:149-180``:
+    p_{t+1} = (1-restart)·W p_t + restart·p_0 with restart=0.7 ⇔
+    ``alpha=0.3`` here), computed as one rank vector per run instead of
+    the reference's all-pairs proximity dict (``rwr.py:108-129``).
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -114,7 +142,51 @@ def pagerank(
             state = log.load_state(last)
             start_step, resumed_from = last + 1, last
 
-    if mode == "exact" and not directed:
+    if personalization is not None:
+        # seeded RWR: restart mass ∝ p instead of uniform. State carries the
+        # per-vertex restart weight as a column so each superstep is
+        # self-contained (no per-step join against the seed table).
+        pvec = _personalization_df(spark, personalization)
+        if state is not None and "p" not in state.columns:
+            state = state.join(F.broadcast(pvec), "id", "left").na.fill(
+                0.0, ["p"]
+            )
+            if "delta" not in state.columns:
+                state = state.withColumn("delta", F.lit(1.0))
+        if mode == "delta":
+            if frontier_eps is None:
+                frontier_eps = tol / (10.0 * n)
+            if state is None:
+                seeded = F.lit(1.0 - alpha) * F.coalesce(F.col("p"), F.lit(0.0))
+                state = (
+                    verts.join(F.broadcast(pvec), "id", "left")
+                    .select(
+                        "id",
+                        seeded.alias("rank"),
+                        seeded.alias("delta"),
+                        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            runner = _personalized_delta_step
+        elif mode == "exact":
+            if frontier_eps is None:
+                frontier_eps = tol / n
+            if state is None:
+                state = (
+                    verts.join(F.broadcast(pvec), "id", "left")
+                    .select(
+                        "id",
+                        F.lit(1.0 / n).alias("rank"),
+                        F.lit(1.0).alias("delta"),
+                        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            runner = _personalized_exact_step
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+    elif mode == "exact" and not directed:
         # fast path: in the symmetrized graph every vertex has in-edges and
         # none dangle, so a superstep is computable from contributions
         # alone — the state is referenced ONCE per sub-step, the unrolled
@@ -139,7 +211,9 @@ def pagerank(
         result.stats = log.stats
         return result
 
-    if mode == "exact":
+    if personalization is not None:
+        pass  # runner/state already prepared above
+    elif mode == "exact":
         if frontier_eps is None:
             frontier_eps = tol / n  # convergence-reporting threshold only
         if state is None:
@@ -355,6 +429,68 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
         "id",
         new_rank.alias("rank"),
         F.abs(new_rank - F.col("rank")).alias("delta"),
+    )
+
+
+def _personalized_exact_step(
+    state, adj, dangling, n_dangling, n, alpha, frontier_eps
+) -> DataFrame:
+    """Exact RWR power iteration: state carries the restart weight ``p``;
+    restart AND dangling mass land ∝ p (NetworkX personalized semantics,
+    reference ``rwr.py:176-180``)."""
+    contribs = _group_sum(
+        adj.join(
+            state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
+        ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
+        "c",
+    )
+    joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+    if n_dangling:
+        dm = F.col("_dm")
+        joined = joined.crossJoin(
+            F.broadcast(_dangling_mass_col(state, dangling, "rank"))
+        )
+    else:
+        dm = F.lit(0.0)
+    new_rank = F.lit(1.0 - alpha) * F.col("p") + F.lit(alpha) * (
+        F.coalesce(F.col("c"), F.lit(0.0)) + dm * F.col("p")
+    )
+    return joined.select(
+        "id",
+        new_rank.alias("rank"),
+        F.abs(new_rank - F.col("rank")).alias("delta"),
+        "p",
+    )
+
+
+def _personalized_delta_step(
+    state, adj, dangling, n_dangling, n, alpha, frontier_eps
+) -> DataFrame:
+    """Residual push for seeded RWR — linearity makes the delta kernel
+    identical to the uniform one except restart/dangling mass scale by p."""
+    active = state.where(F.abs(F.col("delta")) > frontier_eps)
+    msgs = _group_sum(
+        adj.join(
+            active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
+        ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
+        "m",
+    )
+    joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+    if n_dangling:
+        dm = F.col("_dm")
+        joined = joined.crossJoin(
+            F.broadcast(_dangling_mass_col(active, dangling, "delta"))
+        )
+    else:
+        dm = F.lit(0.0)
+    new_delta = F.lit(alpha) * (
+        F.coalesce(F.col("m"), F.lit(0.0)) + dm * F.col("p")
+    )
+    return joined.select(
+        "id",
+        (F.col("rank") + new_delta).alias("rank"),
+        new_delta.alias("delta"),
+        "p",
     )
 
 

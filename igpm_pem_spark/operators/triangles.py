@@ -33,9 +33,15 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     return wedges.join(e3, ["a", "c"]).select("a", "b", "c")
 
 
-def triangle_count(edges: DataFrame) -> int:
+def triangle_count(edges: DataFrame, plan: str = "degree_oriented") -> int:
     """Global triangle count — equals ``sum(nx.triangles(g).values()) / 3``
-    (the reference's oracle expression, ``gray_incremental.py:193``)."""
+    (the reference's oracle expression, ``gray_incremental.py:193``).
+
+    Defaults to the degree-oriented join (hub-safe on power-law graphs);
+    ``plan="id_ordered"`` selects the a<b spec plan the SQL oracle mirrors.
+    Both produce the same count (pinned by tests)."""
+    if plan == "degree_oriented":
+        return triangle_count_degree_oriented(edges)
     return triangle_list(edges).count()
 
 

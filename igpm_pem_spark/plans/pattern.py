@@ -214,18 +214,19 @@ def match_pattern(
                 "left_semi",
             )
             continue
-        # orient the join so the bound side is the key
+        # The edge relation always maps data src->e.a and dst->e.b (the
+        # query edge's direction); which symbol is already bound only
+        # selects the join key. Re-aliasing dst->e.a when e.b was bound
+        # would match the data edge REVERSED on directed queries.
+        rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
         if e.a in bound:
             src_sym, dst_sym = e.a, e.b
-            rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
         elif e.b in bound:
             src_sym, dst_sym = e.b, e.a
-            rr = r.select(F.col("dst").alias(e.a), F.col("src").alias(e.b))
         else:  # disconnected start: cross join a fresh anchor candidate set
             df = df.crossJoin(cand(e.a))
             bound.add(e.a)
             src_sym, dst_sym = e.a, e.b
-            rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
         df = df.join(rr, src_sym)
         df = df.join(cand(dst_sym), dst_sym)  # label + prop projection
         bound.add(dst_sym)

@@ -32,9 +32,11 @@ def _q_degree_distribution(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    from ..operators.triangles import triangle_list
+    # engine default = degree-oriented (hub-safe); the id-ordered a<b plan
+    # stays the DuckDB-mirrorable spec and tests pin their equality
+    from ..operators.triangles import triangle_count
 
-    n = triangle_list(edges(spark, sf_dir, G_SPARSE_SQL)).count()
+    n = triangle_count(edges(spark, sf_dir, G_SPARSE_SQL))
     return spark.createDataFrame([(n,)], "n_triangles BIGINT")
 
 
@@ -66,6 +68,22 @@ def _q_pagerank_fixed8(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
 
+def _q_rwr_seeded_fixed8(spark, sf_dir):
+    """Seeded RWR, 8 fixed rounds — the reference's proximity primitive
+    (rwr.py:149-180; restart 0.7 ⇔ alpha 0.3) with the restart vector on
+    the 5 smallest vertex ids, mirrored by a recursive-CTE oracle."""
+    from ..operators.graph import vertex_ids
+    from ..operators.pagerank import pagerank
+
+    e = edges(spark, sf_dir)
+    seeds = [int(r.id) for r in vertex_ids(e).orderBy("id").limit(5).collect()]
+    res = pagerank(
+        spark, e, alpha=0.3, tol=0.0, max_iter=8, mode="exact",
+        personalization={s: 1.0 for s in seeds},
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
+
+
 def _q_label_propagation3(spark, sf_dir):
     from ..operators.labelprop import label_propagation
 
@@ -88,19 +106,28 @@ def _q_incremental_cc(spark, sf_dir):
 
 
 def _q_pagerank_converged(spark, sf_dir):
-    """Delta-mode PageRank to L1 < 1e-6 — the flagship convergence run.
-    No SQL oracle (convergence loops aren't bounded SQL); rows-only check,
-    correctness covered by pagerank_fixed8 + pytest NetworkX parity."""
+    """Delta-mode PageRank run to convergence — the flagship loop. Oracled
+    by a deep fixed-N recursive CTE: with tol=1e-9 the kernel's distance
+    from the true fixpoint and the oracle's at N=160 (0.85^160 ≈ 5e-12 L1)
+    are both orders of magnitude below the round-6 comparison grid, so the
+    rounded vectors agree exactly."""
     from ..operators.pagerank import pagerank
 
     res = pagerank(
-        spark, edges(spark, sf_dir), tol=1e-6, max_iter=200, mode="delta",
+        spark, edges(spark, sf_dir), tol=1e-9, max_iter=300, mode="delta",
         steps_per_commit=5,
     )
     return res.ranks.select("id", F.round("rank", 6).alias("rank6"))
 
 
-_CC_CTE = """
+# Hash-min CTE bound: must exceed the min-label propagation diameter of
+# any test graph, else the ORACLE (not the kernel) is wrong on long-path
+# components. The kernels run to fixpoint (max_iter=100); 50 is far above
+# the co-occurrence graphs' diameter, and tests assert kernel supersteps
+# stay below this bound.
+CC_ORACLE_ITERS = 50
+
+_CC_CTE = f"""
 , verts AS (SELECT DISTINCT src AS id FROM sym)
 , ep AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM verts)
 , cc(iter, id, comp) AS (
@@ -108,7 +135,7 @@ _CC_CTE = """
     UNION ALL
     SELECT c.iter + 1, e.dst, min(c.comp)
     FROM cc c JOIN ep e ON e.src = c.id
-    WHERE c.iter < 25
+    WHERE c.iter < {CC_ORACLE_ITERS}
     GROUP BY c.iter, e.dst
 )
 """
@@ -163,7 +190,7 @@ QUERIES = {
     "connected_components": (
         _q_connected_components,
         _with_g(
-            _CC_CTE + "SELECT id, comp AS component FROM cc WHERE iter = 25",
+            _CC_CTE + f"SELECT id, comp AS component FROM cc WHERE iter = {CC_ORACLE_ITERS}",
             G_SPARSE_SQL,
             recursive=True,
         ),
@@ -172,7 +199,7 @@ QUERIES = {
         _q_component_sizes,
         _with_g(
             _CC_CTE
-            + "SELECT comp AS component, count(*) AS size FROM cc WHERE iter = 25 GROUP BY comp",
+            + f"SELECT comp AS component, count(*) AS size FROM cc WHERE iter = {CC_ORACLE_ITERS} GROUP BY comp",
             G_SPARSE_SQL,
             recursive=True,
         ),
@@ -199,6 +226,34 @@ QUERIES = {
             recursive=True,
         ),
     ),
+    "rwr_seeded_fixed8": (
+        _q_rwr_seeded_fixed8,
+        _with_g(
+            """
+            , verts AS (SELECT DISTINCT src AS id FROM sym)
+            , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+            , nn AS (SELECT count(*) AS c FROM verts)
+            , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+            , pv AS (SELECT v.id,
+                            CASE WHEN s.id IS NULL THEN 0.0 ELSE 0.2 END AS p
+                     FROM verts v LEFT JOIN seeds s ON s.id = v.id)
+            , pr(iter, id, r) AS (
+                SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+                UNION ALL
+                SELECT p.iter + 1, e.dst,
+                       0.7 * min(pv.p) + 0.3 * sum(p.r / d.d)
+                FROM pr p JOIN sym e ON e.src = p.id
+                          JOIN deg d ON d.src = p.id
+                          JOIN pv ON pv.id = e.dst
+                WHERE p.iter < 8
+                GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(r, 7) AS rank7 FROM pr WHERE iter = 8
+            """,
+            G_PARTS_SQL,
+            recursive=True,
+        ),
+    ),
     "label_propagation3": (
         _q_label_propagation3,
         _with_g(
@@ -212,10 +267,31 @@ QUERIES = {
     "incremental_cc_replay": (
         _q_incremental_cc,
         _with_g(
-            _CC_CTE + "SELECT id, comp AS component FROM cc WHERE iter = 25",
+            _CC_CTE + f"SELECT id, comp AS component FROM cc WHERE iter = {CC_ORACLE_ITERS}",
             G_SPARSE_SQL,
             recursive=True,
         ),
     ),
-    "pagerank_converged": (_q_pagerank_converged, None),
+    "pagerank_converged": (
+        _q_pagerank_converged,
+        _with_g(
+            """
+            , verts AS (SELECT DISTINCT src AS id FROM sym)
+            , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+            , nn AS (SELECT count(*) AS c FROM verts)
+            , pr(iter, id, r) AS (
+                SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+                UNION ALL
+                SELECT p.iter + 1, e.dst,
+                       0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r / d.d)
+                FROM pr p JOIN sym e ON e.src = p.id JOIN deg d ON d.src = p.id
+                WHERE p.iter < 160
+                GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(r, 6) AS rank6 FROM pr WHERE iter = 160
+            """,
+            G_PARTS_SQL,
+            recursive=True,
+        ),
+    ),
 }

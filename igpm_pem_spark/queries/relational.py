@@ -201,8 +201,8 @@ QUERIES = {
         _q_semi_anti,
         """
         SELECT c_mktsegment,
-               sum(CASE WHEN ex THEN 1 ELSE 0 END) AS n_with,
-               sum(CASE WHEN ex THEN 0 ELSE 1 END) AS n_without
+               CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+               CAST(sum(CASE WHEN ex THEN 0 ELSE 1 END) AS BIGINT) AS n_without
         FROM (
           SELECT c_mktsegment,
                  EXISTS (SELECT 1 FROM orders

@@ -117,6 +117,39 @@ GRAPHS: dict[str, dict] = {
             {"source": 4, "target": 5, "label": "yes"},
         ],
     },
+    # sample/static/test2d.json — cyan/magenta labels, directed (case 2-2)
+    "test2d": {
+        "directed": True,
+        "nodes": [
+            {"id": 0, "label": "cyan"},
+            {"id": 1, "label": "magenta"},
+            {"id": 2, "label": "cyan"},
+            {"id": 3, "label": "magenta"},
+            {"id": 4, "label": "cyan"},
+            {"id": 5, "label": "magenta"},
+        ],
+        "links": [
+            {"source": 0, "target": 1, "label": "yes"},
+            {"source": 0, "target": 3, "label": "yes"},
+            {"source": 0, "target": 4, "label": "yes"},
+            {"source": 1, "target": 3, "label": "yes"},
+            {"source": 2, "target": 3, "label": "yes"},
+            {"source": 2, "target": 4, "label": "yes"},
+            {"source": 2, "target": 5, "label": "yes"},
+            {"source": 4, "target": 5, "label": "yes"},
+        ],
+    },
+    # sample/static/test0p.json — 4-cycle, path-closing case 4-3
+    "test0p": {
+        "directed": False,
+        "nodes": [{"id": i, "label": "cyan"} for i in range(4)],
+        "links": [
+            {"source": 0, "target": 1, "label": "yes"},
+            {"source": 1, "target": 2, "label": "yes"},
+            {"source": 2, "target": 3, "label": "yes"},
+            {"source": 3, "target": 0, "label": "yes"},
+        ],
+    },
     # sample/static/test4.json — multigraph: parallel 0-1 edges yes+no
     "test4": {
         "directed": False,

@@ -19,17 +19,25 @@ def nx_graph(pairs, directed=False):
     return g
 
 
-def pagerank_oracle(pairs, directed=False, alpha=0.85, tol=1e-12, max_iter=2000):
+def pagerank_oracle(
+    pairs, directed=False, alpha=0.85, tol=1e-12, max_iter=2000,
+    personalization=None,
+):
     """Pure-Python power iteration with NetworkX ``pagerank`` semantics
-    (uniform start/personalization, dangling mass spread uniformly,
-    L1 convergence below n*tol). Pure dict implementation — the in-repo
-    networkx build lacks scipy, and an independent oracle is stronger
-    anyway."""
+    (uniform start, dangling mass spread ∝ the personalization vector —
+    uniform when none, L1 convergence below n*tol). Pure dict
+    implementation — the in-repo networkx build lacks scipy, and an
+    independent oracle is stronger anyway."""
     g = nx_graph(pairs, directed)
     verts = list(g.nodes())
     n = len(verts)
     if n == 0:
         return {}
+    if personalization is None:
+        p = {v: 1.0 / n for v in verts}
+    else:
+        tot = sum(personalization.values())
+        p = {v: personalization.get(v, 0.0) / tot for v in verts}
     succ = {v: list(g.successors(v)) if directed else list(g.neighbors(v)) for v in verts}
     outdeg = {v: len(succ[v]) for v in verts}
     x = {v: 1.0 / n for v in verts}
@@ -41,8 +49,10 @@ def pagerank_oracle(pairs, directed=False, alpha=0.85, tol=1e-12, max_iter=2000)
                 share = x[v] / outdeg[v]
                 for u in succ[v]:
                     nxt[u] += share
-        base = (1.0 - alpha) / n + alpha * dangle / n
-        nxt = {v: base + alpha * nxt[v] for v in verts}
+        nxt = {
+            v: (1.0 - alpha) * p[v] + alpha * (nxt[v] + dangle * p[v])
+            for v in verts
+        }
         err = sum(abs(nxt[v] - x[v]) for v in verts)
         x = nxt
         if err < n * tol:

@@ -58,6 +58,22 @@ def test_incremental_pagerank_converges_to_full_graph_answer(spark):
     assert all(s.edges_per_sec > 0 for s in res.steps)
 
 
+def test_incremental_pagerank_directed_dangling(spark):
+    """Directed replay where later buckets leave sink (dangling) vertices:
+    the warm-start residual seed and the delta loop must respread dangling
+    mass exactly like the batch kernel, or ranks drift from the oracle."""
+    # bucket 0: a 3-cycle; bucket 1 adds edges INTO new sinks 3 and 4
+    pairs = [(0, 1, 0), (1, 2, 0), (2, 0, 0), (0, 3, 1), (2, 4, 1), (1, 4, 1)]
+    edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT, ts INT")
+    res = incremental_pagerank(
+        spark, edges, base_steps=1, tol=1e-9, directed=True
+    )
+    got = {r.id: r["rank"] for r in res.state.collect()}
+    want = pagerank_oracle([(a, b) for a, b, _ in pairs], directed=True)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_incremental_pagerank_with_pattern_counts(spark):
     _, edges, _ = fixture_graph(spark, "dynamic_test1")
     res = incremental_pagerank(

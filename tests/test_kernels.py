@@ -70,6 +70,41 @@ def test_pagerank_delta_mode_matches_exact_fixpoint(spark, graph):
     assert actives[-1] <= actives[0]
 
 
+@pytest.mark.parametrize("graph", ["test1", "line", "ba100"])
+@pytest.mark.parametrize("mode", ["exact", "delta"])
+def test_personalized_pagerank_matches_oracle(spark, graph, mode):
+    """Seeded RWR (reference rwr.py:149-180, restart 0.7 ⇔ alpha 0.3):
+    restart mass lands on the seed set; both kernels must hit the
+    NetworkX-personalization fixpoint."""
+    edges, pairs, directed = _pairs(graph, spark)
+    seeds = sorted({a for a, _ in pairs})[:2]
+    pers = {seeds[0]: 2.0, seeds[1]: 1.0}
+    res = pagerank(
+        spark, edges, directed=directed, alpha=0.3, tol=1e-9, max_iter=300,
+        mode=mode, personalization=pers,
+    )
+    assert res.converged
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(pairs, directed, alpha=0.3, personalization=pers)
+    assert set(got) == set(want)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+
+
+def test_personalized_pagerank_directed_dangling(spark):
+    # dangling vertex 3: its mass must restart ∝ p, not uniformly
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)]
+    edges = edges_df(spark, pairs)
+    pers = {1: 1.0}
+    res = pagerank(
+        spark, edges, directed=True, alpha=0.85, tol=1e-10, max_iter=500,
+        personalization=pers,
+    )
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(pairs, directed=True, personalization=pers)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_directed_dangling(spark):
     # dangling vertex 3 (no out-edges): mass must be redistributed uniformly
     pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)]

@@ -108,6 +108,7 @@ RIGID_CASES = [
     ("test1", "--vertex a b c d --edge x:a:b y:b:c z:c:d w:d:a --vertexlabel a:cyan b:cyan c:cyan d:cyan", 1),  # 1-3
     ("test2", "--vertex a b c --edge x:a:b y:b:c z:c:a --vertexlabel a:cyan b:cyan c:magenta", 1),  # 1-4
     ("test1d", "--vertex a b c --edge x:a:b y:a:c z:b:c --directed --vertexlabel a:cyan b:cyan c:cyan", 2),  # 2-1
+    ("test2d", "--vertex a b c --edge x:a:b y:a:c z:b:c --directed --vertexlabel a:cyan b:cyan c:magenta", 1),  # 2-2
     ("test1p", "--vertex a b c --edge x:a:b y:a:c z:b:c --vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes", 1),  # 3-1
 ]
 
@@ -120,6 +121,12 @@ SUPERSET_CASES = [
     ("line", "--vertex a b c --path x:a:b --edge y:b:c --vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes"),  # 4-2
     ("test1p", "--vertex a b c --edge x:a:b y:b:c --path z:c:a --vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes"),  # 4-4
     ("test4", "--vertex a b --edge x:a:b y:a:b --edgelabel x:yes y:no"),  # 1-6
+    ("test0p", "--vertex a b c --edge x:a:b y:b:c --path z:a:c --vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes"),  # 4-3
+    # directed-orientation regressions: the second edge's HEAD symbol (c)
+    # is bound before its tail (b), exercising the e.b-in-bound join branch
+    # that once matched the data edge reversed.
+    ("test1d", "--vertex a b c --edge x:a:c y:b:c --directed"),
+    ("test2d", "--vertex a b c --edge x:a:c y:b:c --directed --vertexlabel a:cyan b:magenta"),
 ]
 
 
