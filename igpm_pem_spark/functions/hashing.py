@@ -23,6 +23,44 @@ SIMHASH_BITS = 16
 FP_A = 1_315_423_911  # fingerprint token multiplier
 FP_B = 2_654_435_761  # fingerprint position multiplier
 
+# ANN hyperplane-LSH family: L tables × n_planes sign bits. Plane weights
+# are pure integer arithmetic (portable to any SQL engine):
+#   w(t, p, d) = ((KNUTH * (a*(d+1) + b)) % W_MOD) / W_MOD - 0.5
+# with (a, b) = plane_coeffs_ann(t, p) and d the 0-based dimension.
+# Max intermediate: KNUTH * (a*(d+1)+b) ≈ 2.7e9 * 2e5 ≈ 5e14 < 2^63.
+# Defaults tuned on the synthetic embeddings (near-random directions, the
+# hardest case for hyperplane LSH): 16 tables × 4 bits gives recall@3 =
+# 0.95 vs exact cosine at sf0.001 (gated in tests). Fewer bits → higher
+# recall and bigger buckets; production corpora with real near-dup
+# structure run more bits per table (collision prob per plane is
+# 1 - θ/π, so tight clusters survive long signatures).
+ANN_PLANES = 4
+ANN_TABLES = 16
+ANN_W_MOD = 1_000_003
+ANN_KNUTH = 2_654_435_761
+
+
+def plane_coeffs_ann(table: int, plane: int) -> tuple[int, int]:
+    k = table * ANN_PLANES + plane
+    return 2 * k + 3, 7919 * (k + 1)
+
+
+def ann_weight_sql(table: int, plane: int, d: str = "d") -> str:
+    """SQL text of w(table, plane, d) for a 0-based dim index expr ``d``."""
+    a, b = plane_coeffs_ann(table, plane)
+    return (
+        f"((({ANN_KNUTH} * ({a} * ({d} + 1) + {b})) % {ANN_W_MOD})"
+        f" / {ANN_W_MOD}.0 - 0.5)"
+    )
+
+
+def token_id_sql(tok: str = "token") -> str:
+    """DuckDB SQL text of the portable string-hash token id: first 60 bits
+    of md5(token) mod P. md5 hex output is identical in Spark and DuckDB,
+    so the two engines produce the same tid for every string (incl. any
+    unicode) — no vocabulary table, no global sort, no join."""
+    return f"(('0x' || substr(md5({tok}), 1, 15))::BIGINT % {P})"
+
 
 def perm_coeffs(i: int) -> tuple[int, int]:
     """Deterministic coefficients of the i-th minhash permutation."""

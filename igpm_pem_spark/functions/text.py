@@ -103,14 +103,30 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def vocab(token_df: DataFrame) -> DataFrame:
-    """(token, tid): dense 1-based ids by lexicographic order.
+def token_id(col: str | "F.Column" = "token"):
+    """Portable hash token id as a Catalyst expression: first 60 bits of
+    md5(token) mod P — byte-identical to ``hashing.token_id_sql`` in
+    DuckDB. Shuffle-free and vocabulary-free: tid is computed inline per
+    row, so minhash/simhash/fingerprint never sort or join a token table
+    (the production path at 1e12 tokens). Collisions (~|vocab|²/2P) merge
+    two shingles identically in both engines — harmless for the sketch
+    semantics and still value-exact vs the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % F.lit(P)
 
-    Engine-portable (dense_rank is identical in any SQL engine), which is
-    why the checked path uses it; the global sort makes it a test-scale
-    device — the production path at 1e12 tokens swaps in xxhash64 ids
-    (collision-safe and shuffle-free) at the cost of oracle parity.
+
+def vocab(token_df: DataFrame, method: str = "hash") -> DataFrame:
+    """(token, tid) for each distinct token.
+
+    ``method="hash"`` (default, the scale path): tid = portable md5-prefix
+    hash, computed inline — no global sort anywhere in the plan.
+    ``method="dense"``: dense 1-based ids by lexicographic order via a
+    single-partition dense_rank window — a TEST-SCALE device only (every
+    distinct token funnels through one reducer); kept for humans who want
+    compact ids on small corpora.
     """
+    if method == "hash":
+        return token_df.select("token").distinct().withColumn("tid", token_id())
     w = Window.orderBy("token")
     return (
         token_df.select("token")
@@ -122,12 +138,8 @@ def vocab(token_df: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp): order-sensitive arithmetic document fingerprint
     fp = sum((FP_A*tid + FP_B*pos) % P) % P — the rolling-hash analogue
-    that stays in portable 64-bit integer arithmetic."""
+    that stays in portable 64-bit integer arithmetic. tid is the inline
+    hash id (token_id), so the whole plan is one scan + one aggregation."""
     t = tokens(docs, id_col, text_col)
-    v = vocab(t)
-    term = (F.lit(FP_A) * F.col("tid") + F.lit(FP_B) * F.col("pos")) % F.lit(P)
-    return (
-        t.join(v, "token")
-        .groupBy("doc_id")
-        .agg((F.sum(term) % F.lit(P)).alias("fp"))
-    )
+    term = (F.lit(FP_A) * token_id() + F.lit(FP_B) * F.col("pos")) % F.lit(P)
+    return t.groupBy("doc_id").agg((F.sum(term) % F.lit(P)).alias("fp"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs
-from ..functions.text import tokens, vocab
+from ..functions.text import token_id, tokens
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -38,10 +38,11 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _doc_tids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, tid) distinct token-id pairs (the shingle set)."""
+    """(doc_id, tid) distinct token-id pairs (the shingle set). tid is the
+    inline portable hash (functions/text.token_id) — no vocabulary join,
+    no global sort: tokenize → hash → distinct is the whole plan."""
     t = tokens(docs, id_col, text_col)
-    v = vocab(t)
-    return t.join(v, "token").select("doc_id", "tid").distinct()
+    return t.select("doc_id", token_id().alias("tid")).distinct()
 
 
 def minhash_signatures(
@@ -128,6 +129,48 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
         t.select("doc_id", g.alias("ngram"))
         .where(F.col("ngram").isNotNull())
         .distinct()
+    )
+
+
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the PRODUCTION dedup composition — LSH
+    band buckets propose candidate pairs, exact word-n-gram Jaccard
+    verifies them, keeping pairs with jaccard ≥ threshold. No quadratic
+    stage: candidates come only from the (bucket-capped) band self-join,
+    and the verify step is two joins keyed on doc id + ngram."""
+    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket)
+    g = word_ngrams(docs, n, id_col, text_col)
+    ga = g.select(F.col("doc_id").alias("doc_a"), "ngram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "ngram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "ngram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill(0, ["n_inter"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -3,10 +3,12 @@
 * ``cosine_topk`` — brute-force exact top-k: query subset × corpus cross
   join with the dot product as a Catalyst ``aggregate``/``zip_with``
   expression (JVM-side, codegen'd — no UDF). The exactness baseline.
-* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH bucketing;
-  candidates share a signature bucket, ranked by exact cosine within
-  buckets. Hyperplanes are deterministic (xxhash64-seeded per (plane,
-  dim)), so results are reproducible across partitionings and runs.
+* ``ann_lsh_topk`` / ``near_dup_pairs_ann`` — the scale path: multi-table
+  random-hyperplane LSH bucketing; candidates share a signature bucket in
+  at least one table, ranked/filtered by exact cosine. Plane weights are
+  portable integer arithmetic (functions/hashing.ann_weight_sql), so the
+  whole ANN result is value-checkable against the DuckDB oracle, and
+  recall@k vs the exact baseline is gated in tests.
 
 At 1e12 rows the brute-force path is a deliberate non-starter (quadratic);
 the LSH plan is bucket-join shaped exactly like dedup's band join, with
@@ -61,52 +63,91 @@ def cosine_topk(
     )
 
 
-def _hyperplane_signature(emb: DataFrame, n_planes: int, id_col: str, vec_col: str) -> DataFrame:
-    """(id, sig): sign bits of n_planes deterministic random hyperplanes.
-    Plane weights w(p, d) ∈ [-0.5, 0.5) derive from xxhash64(p, d) — no
-    stored model, reproducible anywhere."""
+def _plane_weight(table: int, plane: int, d):
+    """w(table, plane, d) ∈ [-0.5, 0.5) in pure integer arithmetic —
+    byte-identical to ``hashing.ann_weight_sql`` in DuckDB (no xxhash64,
+    so the ANN result is fully oracle-checkable)."""
+    from ..functions.hashing import ANN_KNUTH, ANN_W_MOD, plane_coeffs_ann
+
+    a, b = plane_coeffs_ann(table, plane)
+    h = (F.lit(ANN_KNUTH) * (F.lit(a) * (d + F.lit(1)) + F.lit(b))) % F.lit(ANN_W_MOD)
+    return h.cast("double") / F.lit(float(ANN_W_MOD)) - F.lit(0.5)
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, emb, tbl, sig): one row per (vector, hash table) — sig packs
+    ``n_planes`` hyperplane sign bits. Multiple independent tables are the
+    standard recall lever (a true neighbor only needs to collide in ONE
+    table); plane weights are deterministic arithmetic, so buckets are
+    reproducible across runs, partitionings, and engines."""
+    from ..functions.hashing import ANN_PLANES, ANN_TABLES
+
+    n_tables = ANN_TABLES if n_tables is None else n_tables
+    n_planes = ANN_PLANES if n_planes is None else n_planes
     dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
-    def _plane_term(plane: int):
+    def _weight_term(t: int, p: int):
         def term(x, d):
-            w = (
-                (F.abs(F.xxhash64(F.lit(plane), d)) % F.lit(10**6)).cast("double")
-                / F.lit(10**6)
-                - F.lit(0.5)
-            )
-            return x * w
+            return x * _plane_weight(t, p, d)
 
         return term
 
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(_as_double(F.col(vec_col)), dims, _plane_term(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    per_table = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(_as_double(F.col(vec_col)), dims, _weight_term(t, p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+        per_table.append(
+            emb.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("emb"),
+                F.lit(t).alias("tbl"),
+                sig.alias("sig"),
+            )
         )
-        sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"), sig.alias("sig"))
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     query_mod: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cos4): approximate top-k — candidates are
-    corpus vectors in the query's hyperplane bucket, ranked by exact
-    cosine. Recall rises with fewer planes / multiple tables; this single-
-    table variant is the bucket-join skeleton the scale path needs."""
-    signed = _hyperplane_signature(emb, n_planes, id_col, vec_col).persist()
+    corpus vectors sharing ANY table's bucket with the query, ranked by
+    exact cosine. The join is bucket-shaped (skew-bounded like dedup's
+    band join); recall@k vs the exact baseline is gated in tests."""
+    signed = hyperplane_buckets(emb, n_tables, n_planes, id_col, vec_col).persist()
     q = signed.where(F.col("id") % query_mod == 0).select(
-        F.col("id").alias("query_id"), F.col("emb").alias("emb_a"), "sig"
+        F.col("id").alias("query_id"), F.col("emb").alias("emb_a"), "tbl", "sig"
     )
-    c = signed.select(F.col("id").alias("neighbor_id"), F.col("emb").alias("emb_b"), "sig")
-    pairs = q.join(c, "sig").where(F.col("query_id") != F.col("neighbor_id"))
+    c = signed.select(
+        F.col("id").alias("neighbor_id"), F.col("emb").alias("emb_b"), "tbl", "sig"
+    )
+    pairs = (
+        q.join(c, ["tbl", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "emb_a", "emb_b")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = with_cosine(pairs).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos4")
     )
@@ -117,6 +158,34 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id", "cos4")
     )
     return out
+
+
+def near_dup_pairs_ann(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos4): the PRODUCTION near-dup path — candidate pairs
+    come from shared LSH buckets (any table), then exact cosine filters at
+    ``threshold``. No quadratic stage anywhere: the bucket self-join is
+    the only pairing step, so the plan scales like dedup's band join."""
+    signed = hyperplane_buckets(emb, n_tables, n_planes, id_col, vec_col).persist()
+    a = signed.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "tbl", "sig")
+    b = signed.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "tbl", "sig")
+    pairs = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        with_cosine(pairs)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
+        .where(F.col("cos4") >= threshold)
+    )
 
 
 def near_dup_pairs(

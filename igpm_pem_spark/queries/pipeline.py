@@ -6,14 +6,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hashing import FP_A, FP_B, NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs
+from ..functions.hashing import (
+    FP_A, FP_B, NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs, token_id_sql,
+)
 from ..functions.text import LANG_MARKERS, STOPWORDS
 from ._common import docs, emb
 
 _MAX_TOKENS = 20000
 
 # shared DuckDB CTE prelude: tokens with raw-array 1-based positions
-# (empty tokens dropped, mirroring functions/text.tokens)
+# (empty tokens dropped, mirroring functions/text.tokens); tid is the same
+# portable md5-prefix hash the Spark plan computes inline (token_id_sql)
 _TOK_CTE = f"""
 WITH toks_raw AS (
   SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents
@@ -23,11 +26,7 @@ tok AS (
   FROM toks_raw t JOIN range(1, {_MAX_TOKENS + 1}) r(i) ON r.i <= len(t.xs)
   WHERE t.xs[CAST(r.i AS INT)] <> ''
 ),
-voc AS (
-  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
-  FROM (SELECT DISTINCT token FROM tok)
-),
-dt AS (SELECT DISTINCT t.doc_id, v.tid FROM tok t JOIN voc v USING (token))
+dt AS (SELECT DISTINCT doc_id, {token_id_sql("token")} AS tid FROM tok)
 """
 
 
@@ -90,6 +89,12 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_consecutive(docs(spark, sf_dir))
 
 
+def _q_lsh_jaccard(spark, sf_dir):
+    from ..operators.dedup import lsh_jaccard_pairs
+
+    return lsh_jaccard_pairs(docs(spark, sf_dir), threshold=0.1)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ..operators.similarity import cosine_topk
 
@@ -106,6 +111,12 @@ def _q_ann_lsh(spark, sf_dir):
     from ..operators.similarity import ann_lsh_topk
 
     return ann_lsh_topk(emb(spark, sf_dir))
+
+
+def _q_ann_near_dup(spark, sf_dir):
+    from ..operators.similarity import near_dup_pairs_ann
+
+    return near_dup_pairs_ann(emb(spark, sf_dir), threshold=0.3)
 
 
 # ----------------------------------------------------------------- oracles
@@ -233,6 +244,103 @@ SELECT query_id, neighbor_id, cos4 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) <= 3
 """
 
+_LSH_JACCARD_SQL = f"""
+{_TOK_CTE},
+sig AS (SELECT doc_id, {{minhash}} FROM dt GROUP BY doc_id),
+bands AS ({{bands}}),
+sized AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) s
+    USING (band, key)
+  WHERE s.sz <= 50
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ng AS (
+  SELECT DISTINCT doc_id, ngram FROM (
+    SELECT doc_id,
+           token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS ngram
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE ngram IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM prs p JOIN ng x ON x.doc_id = p.doc_a
+             JOIN ng y ON y.doc_id = p.doc_b AND y.ngram = x.ngram
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT * FROM (
+  SELECT p.doc_a, p.doc_b,
+         round(coalesce(i.n_inter, 0)
+               / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+  FROM prs p JOIN sizes sa ON sa.doc_id = p.doc_a
+             JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+) WHERE jaccard >= 0.1
+"""
+
+
+def _ann_sigs_union() -> str:
+    """Per-table signature SELECTs over e(vec_id, emb) — the exact SQL
+    mirror of operators/similarity.hyperplane_buckets."""
+    from ..functions.hashing import ANN_PLANES, ANN_TABLES, ann_weight_sql
+
+    parts = []
+    for t in range(ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+            f"i -> emb[i] * {ann_weight_sql(t, p, '(i - 1)')})) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+        parts.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS sig FROM e")
+    return " UNION ALL ".join(parts)
+
+
+_ANN_PRELUDE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sigs AS ({sigs})
+"""
+
+
+def _ann_topk_sql() -> str:
+    return (
+        _ANN_PRELUDE.format(sigs=_ann_sigs_union())
+        + """
+, cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4
+FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) <= 3
+"""
+    )
+
+
+def _ann_near_dup_sql() -> str:
+    return (
+        _ANN_PRELUDE.format(sigs=_ann_sigs_union())
+        + """
+, cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM sigs x JOIN sigs y ON x.tbl = y.tbl AND x.sig = y.sig
+  WHERE x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4
+FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
+"""
+    )
+
+
 _NEAR_DUP_SQL = """
 WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 4 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -258,8 +366,8 @@ QUERIES = {
     "doc_fingerprint": (
         _q_fingerprint,
         _TOK_CTE
-        + f"SELECT t.doc_id, CAST(sum(({FP_A} * v.tid + {FP_B} * t.pos) % {P}) % {P} AS BIGINT) AS fp "
-        "FROM tok t JOIN voc v USING (token) GROUP BY t.doc_id",
+        + f"SELECT doc_id, CAST(sum(({FP_A} * {token_id_sql('token')} + {FP_B} * pos) % {P}) % {P} AS BIGINT) AS fp "
+        "FROM tok GROUP BY doc_id",
     ),
     "doc_minhash_sig": (
         _q_minhash,
@@ -273,8 +381,12 @@ QUERIES = {
         f"(SELECT doc_id, {_simhash_sums()} FROM dt GROUP BY doc_id)",
     ),
     "doc_ngram_jaccard": (_q_ngram_jaccard, _NGRAM_SQL),
+    "doc_lsh_jaccard": (
+        _q_lsh_jaccard,
+        _LSH_JACCARD_SQL.format(minhash=_minhash_select(), bands=_band_union()),
+    ),
     "emb_cosine_topk": (_q_cosine_topk, _COSINE_TOPK_SQL),
     "emb_near_dup_pairs": (_q_near_dups, _NEAR_DUP_SQL),
-    # bucketed ANN: Spark-only plan (xxhash64 hyperplanes); rows-only check
-    "emb_ann_lsh_topk": (_q_ann_lsh, None),
+    "emb_ann_lsh_topk": (_q_ann_lsh, _ann_topk_sql()),
+    "emb_ann_near_dup": (_q_ann_near_dup, _ann_near_dup_sql()),
 }

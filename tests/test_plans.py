@@ -47,6 +47,24 @@ def test_pagerank_step_never_broadcasts_state(spark):
     adj.unpersist()
 
 
+def test_dedup_plans_have_no_single_partition_exchange(spark):
+    """The hash-tid path must keep minhash/simhash/fingerprint/LSH free of
+    any single-partition Exchange or global Sort — the dense_rank vocab was
+    a scale-killer (every distinct token through one reducer)."""
+    from igpm_pem_spark.functions.text import fingerprint
+    from igpm_pem_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for build in (minhash_signatures, simhash, fingerprint, lsh_candidate_pairs):
+        plan = _explain(build(docs))
+        assert "SinglePartition" not in plan, build.__name__
+        assert "rangepartitioning" not in plan.lower(), build.__name__
+
+
 def test_condition_compiles_without_python_udf(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x_a DOUBLE, x_b DOUBLE")
     q = df.where(compile_condition("x.a * 2 - 1 > 0 AND NOT x.b == 5"))

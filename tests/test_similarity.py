@@ -1,0 +1,60 @@
+"""Similarity-search quality gates: the ANN path must actually retrieve
+what the exact baseline retrieves (recall@k), not merely run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from igpm_pem_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    hyperplane_buckets,
+    near_dup_pairs,
+    near_dup_pairs_ann,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ann_recall_at_3_vs_exact(spark):
+    """Default config (16 tables × 4 bits) holds recall@3 ≥ 0.8 on the
+    near-random synthetic embeddings — the hardest case for hyperplane
+    LSH (measured 0.95 when tuned)."""
+    e = _emb(spark)
+    exact = cosine_topk(e).toPandas()
+    approx = ann_lsh_topk(e).toPandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.8, f"recall@3 = {hits}/{total}"
+
+
+def test_ann_near_dup_finds_bucketed_subset_of_exact(spark):
+    """Production near-dup (ANN buckets → exact cosine) returns a subset
+    of the exhaustive pair set at the same threshold, and only pairs that
+    genuinely clear it."""
+    e = _emb(spark)
+    full = near_dup_pairs(e, threshold=0.3, subset_mod=1).toPandas()
+    annp = near_dup_pairs_ann(e, threshold=0.3).toPandas()
+    full_set = {(a, b) for a, b in zip(full.id_a, full.id_b)}
+    ann_set = {(a, b) for a, b in zip(annp.id_a, annp.id_b)}
+    assert ann_set <= full_set
+    assert (annp.cos4 >= 0.3).all()
+    # the buckets must retrieve a substantial share of the true pairs
+    assert len(ann_set) >= 0.8 * len(full_set)
+
+
+def test_hyperplane_buckets_deterministic_across_partitionings(spark):
+    e = _emb(spark)
+    a = hyperplane_buckets(e).orderBy("id", "tbl").select("id", "tbl", "sig")
+    b = (
+        hyperplane_buckets(e.repartition(13))
+        .orderBy("id", "tbl")
+        .select("id", "tbl", "sig")
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
