@@ -15,7 +15,7 @@ Headline set (the north-rule kernels on the sf-dir's derived graphs):
   connected_comp  hash-min to fixpoint on the sparse graph
   label_prop3     3 supersteps deterministic LPA on the dense graph
   triangles       exact triangle count on the sparse graph
-  ingest          repo_files generation + Arrow import parse + sha manifest
+  ingest          repo_files generation + JVM-regex import parse + sha manifest
 """
 
 from __future__ import annotations
@@ -105,15 +105,23 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
         "edges_dense": int(n_edges),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in meta.items()},
     }
-    # attach the most recent two-cluster-size evidence (bench.py --scaling
-    # writes BENCH.md; the efficiency number is the north-rule criterion)
+    # attach the most recent two-cluster-size evidence ONLY with its
+    # provenance (commit + timestamp of the --scaling run that measured
+    # it) — never as if it were part of this invocation's measurement
     bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     if os.path.exists(bench_md):
         import re as _re
 
-        m = _re.search(r"scaling efficiency (\d+\.\d+)", open(bench_md).read())
-        if m:
-            out["scaling_efficiency_2c_to_8c"] = float(m.group(1))
+        txt = open(bench_md).read()
+        m = _re.search(r"scaling efficiency (\d+\.\d+)", txt)
+        prov = _re.search(r"Measured at commit `([0-9a-f]+)` on ([0-9T:+-]+)", txt)
+        if m and prov:
+            out["scaling_evidence"] = {
+                "efficiency_2c_to_8c": float(m.group(1)),
+                "measured_at_commit": prov.group(1),
+                "measured_at": prov.group(2),
+                "source": "BENCH.md (bench.py --scaling run, not this invocation)",
+            }
     return out
 
 
@@ -174,13 +182,17 @@ def _scale_run(cpus: int, n_vertices: int, n_edges: int, supersteps: int) -> dic
 
 
 def _scaling(n_low: int, n_high: int) -> None:
-    """Same synthetic input, two parallelism levels, fresh JVM each; write
-    BENCH.md with throughputs + scaling efficiency (north rule N vs 4N)."""
+    """Same synthetic input, several parallelism levels, fresh JVM each;
+    write BENCH.md with throughputs + scaling efficiency (north rule N vs
+    4N). A midpoint (2N) run is included so a superlinear N→4N number can
+    be diagnosed (a GC/memory-bound N baseline) instead of oversold."""
     n_vertices = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES", "2000000"))
     n_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "40000000"))
     supersteps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "10"))
+    n_mid = n_low * 2
+    levels = [n_low, n_mid, n_high]
     results = {}
-    for cpus in (n_low, n_high):
+    for cpus in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scale-run",
@@ -190,11 +202,22 @@ def _scaling(n_low: int, n_high: int) -> None:
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
 
-    lo, hi = results[n_low], results[n_high]
-    tp_lo, tp_hi = lo["edges_per_sec"], hi["edges_per_sec"]
+    lo, mid, hi = results[n_low], results[n_mid], results[n_high]
+    tp_lo, tp_mid, tp_hi = (
+        lo["edges_per_sec"], mid["edges_per_sec"], hi["edges_per_sec"]
+    )
     eff = (tp_hi / tp_lo) / (n_high / n_low)
+    eff_mid_hi = (tp_hi / tp_mid) / (n_high / n_mid)
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout.strip() or "unknown"
+    measured_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     lines = [
         "# BENCH — scaling evidence (north rule: two cluster sizes)",
+        "",
+        f"Measured at commit `{commit}` on {measured_at}.",
         "",
         "Per the driver instruction, the north rule's N vs 4N executor",
         f"criterion is evidenced in-sandbox by the same job at `local[{n_low}]`",
@@ -214,7 +237,7 @@ def _scaling(n_low: int, n_high: int) -> None:
         "| cpus | loop sec | setup sec | supersteps | edges/sec | supersteps/min |",
         "|---|---|---|---|---|---|",
     ]
-    for cpus in (n_low, n_high):
+    for cpus in levels:
         r = results[cpus]
         lines.append(
             f"| {cpus} | {r['loop_sec']} | {r['setup_sec']} | {r['supersteps']} | "
@@ -224,8 +247,22 @@ def _scaling(n_low: int, n_high: int) -> None:
         "",
         f"**Throughput scaling {n_low}→{n_high} cores: {tp_hi / tp_lo:.2f}× on "
         f"{n_high // n_low}× cores → scaling efficiency {eff:.2f}** "
-        f"(target ≥ 0.8 per BASELINE.json).",
+        f"(target ≥ 0.8 per BASELINE.json). "
+        f"Midpoint sanity: {n_mid}→{n_high} cores = "
+        f"{tp_hi / tp_mid:.2f}× on 2× → efficiency {eff_mid_hi:.2f}.",
         "",
+    ]
+    if eff > 1.0:
+        lines += [
+            f"The {n_low}→{n_high} number is superlinear, which on a fixed",
+            f"data layout means the {n_low}-core BASELINE is disadvantaged",
+            "(GC/cache pressure with the whole working set on few threads),",
+            f"not that the engine beats ideal scaling; the {n_mid}→{n_high}",
+            "midpoint efficiency above is the honest per-core scaling signal",
+            "and the number to weigh against the 0.8 target.",
+            "",
+        ]
+    lines += [
         "What was found and fixed while getting here (each measured, see",
         "git history): broadcast-joining the rank vector serializes the",
         "hash build (→ shuffle_hash on the state side); map-side combine",
@@ -239,7 +276,11 @@ def _scaling(n_low: int, n_high: int) -> None:
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "low": lo, "high": hi}))
+    print(json.dumps({
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_mid_to_high": round(eff_mid_hi, 3),
+        "low": lo, "mid": mid, "high": hi,
+    }))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,63 @@ def path_closure(
     return closure.groupBy("src", "dst").agg(F.min("hops").alias("hops"))
 
 
+def shortest_paths(
+    edges: DataFrame,
+    max_hops: int = MAX_HOPS,
+    directed: bool = False,
+    label: str | None = None,
+) -> DataFrame:
+    """(src, dst, hops, path): one MATERIALIZED best path per reachable
+    pair within ``max_hops`` — the EXTRACT parity the closure alone lacks
+    (the reference's ``getPath`` walks its predecessor tree,
+    ``extract.py:82-96``, and G-Ray bridges with the materialized path,
+    ``gray_multiple.py:446-449``).
+
+    ``path`` is the full vertex array [src, …, dst]. Among minimal-hop
+    paths the lexicographically smallest vertex array is kept, so results
+    are deterministic without the reference's RWR scores. Only simple
+    paths are expanded (a frontier row never revisits a vertex), which
+    bounds the fan-out that a cyclic graph would otherwise feed back into
+    every level. Per-hop label validation = the label filter applied to
+    the edge relation before expansion (one EXTRACT per label, as in
+    ``gray_multiple.py:173-178``)."""
+    e = edges
+    if label is not None and "label" in e.columns:
+        e = e.where(F.col("label") == label)
+    e = e.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.dropDuplicates(["src", "dst"])
+
+    hop1 = e.select(
+        "src", "dst", F.lit(1).alias("hops"), F.array("src", "dst").alias("path")
+    )
+    closure = hop1
+    frontier = hop1
+    for _ in range(1, max_hops):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .where(~F.array_contains(F.col("f.path"), F.col("e.dst")))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.hops") + 1).alias("hops"),
+                F.array_append(F.col("f.path"), F.col("e.dst")).alias("path"),
+            )
+        )
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    best = F.min(F.struct("hops", "path")).alias("b")
+    return (
+        closure.groupBy("src", "dst")
+        .agg(best)
+        .select("src", "dst", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
+    )
+
+
 def variable_length_edges(
     edges: DataFrame, max_hops: int = MAX_HOPS, directed: bool = False,
     label: str | None = None,

@@ -159,9 +159,27 @@ def match_pattern(
     edges: DataFrame,  # (src, dst, label, ...)
     q: PatternQuery,
     max_path_hops: int = MAX_HOPS,
+    max_matches_per_anchor: int | None = None,
+    keep_near_miss: bool = False,
 ) -> DataFrame:
     """One row per distinct matching subgraph; columns = query symbols
-    (+ sym_prop columns for referenced props, + the canonical sig)."""
+    (+ sym_prop columns for referenced props, + the canonical sig).
+
+    Best-effort controls (the reference's G-Ray is best-effort BY
+    CONSTRUCTION — one RWR-guided match per seed, near-misses kept as
+    "approximate", ``gray_incremental.py:301-330``; exact enumeration
+    needs explicit guards instead):
+
+    * ``max_matches_per_anchor`` — keep at most N matches per anchor-
+      symbol vertex (deterministic representatives). This is the scale
+      guard: a loose pattern on a 100× power-law graph otherwise
+      enumerates unboundedly from hub anchors, exactly the blowup the
+      reference's one-match-per-seed rule sidesteps.
+    * ``keep_near_miss`` — when the query has a ``--condition``, retain
+      structurally-matching rows that FAIL it, flagged ``approx=true``
+      (exact rows get ``approx=false``) — the relational analogue of
+      ``append_approx``.
+    """
     refs = _prop_refs(q)
 
     # per-symbol candidate relations (P1 label filter + prop projection)
@@ -238,9 +256,16 @@ def match_pattern(
         for j in range(i + 1, len(syms)):
             df = df.where(F.col(syms[i]) != F.col(syms[j]))
 
-    # P6 condition over sym_prop columns
+    # P6 condition over sym_prop columns; near-miss mode keeps failures
+    # flagged instead of dropping them (append_approx semantics)
     if q.condition:
-        df = df.where(compile_condition(q.condition))
+        cond = F.coalesce(compile_condition(q.condition), F.lit(False))
+        if keep_near_miss:
+            df = df.withColumn("approx", ~cond)
+        else:
+            df = df.where(cond)
+    elif keep_near_miss:
+        df = df.withColumn("approx", F.lit(False))
 
     # canonical-signature dedup (A6): matched edge multiset, symbol-free
     pairs = []
@@ -254,8 +279,20 @@ def match_pattern(
                 )
             )
     df = df.withColumn("sig", F.sort_array(F.array(*pairs)))
-    w = Window.partitionBy("sig").orderBy(*[F.col(s) for s in syms])
+    # prefer an exact representative over an approx one for the same sig
+    dedup_order = (
+        [F.col("approx").asc()] if keep_near_miss else []
+    ) + [F.col(s) for s in syms]
+    w = Window.partitionBy("sig").orderBy(*dedup_order)
     df = (
         df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
     )
+
+    if max_matches_per_anchor is not None:
+        wcap = Window.partitionBy(anchor).orderBy(*dedup_order)
+        df = (
+            df.withColumn("_rc", F.row_number().over(wcap))
+            .where(F.col("_rc") <= max_matches_per_anchor)
+            .drop("_rc")
+        )
     return df

@@ -7,9 +7,11 @@ table this derives the edge table the engine's kernels run on:
     edges(src, dst, repo, ts)            one row per import statement
 
 Design (per BASELINE.json ``input_hint`` + SURVEY.md §2.9):
-* import extraction is the ONLY Python on the data path, and it is
-  Arrow-vectorized ``mapInPandas`` (pandas C-regex ``findall`` over the
-  content Series — no per-row Python UDFs);
+* import extraction defaults to PURE JVM regexp (``regexp_extract_all``
+  inside whole-stage codegen — zero Python, zero Arrow transfer); the
+  Arrow-vectorized ``mapInPandas`` variant (pandas C-regex ``extractall``)
+  remains as ``engine="arrow"`` and is the template for parsers that
+  genuinely need Python — both produce identical rows (tests pin it);
 * ``sha2(content, 256)`` is computed JVM-side with the built-in and is
   checked per row against ``hashlib.sha256`` at generation time — the
   content-invariance gate (nothing on the ingest path may mutate content);
@@ -37,30 +39,64 @@ from pyspark.sql import DataFrame, functions as F
 _IMPORT_RE = re.compile(
     r"(?m)^(?:import[ \t]+([\w.]+)|from[ \t]+([\w.]+)[ \t]+import[ \t]+(\w+))[ \t]*$"
 )
+# the same two alternatives as separate JVM-regex passes (Java and Python
+# regex agree on this ASCII subset; tests pin row equality of both engines)
+_RE_PLAIN = r"(?m)^import[ \t]+([\w.]+)[ \t]*$"
+_RE_FROM_FULL = r"(?m)^from[ \t]+[\w.]+[ \t]+import[ \t]+\w+[ \t]*$"
 
 PARSED_SCHEMA = "repo STRING, path STRING, module STRING"
 
 
-def parse_import_statements(repo_files: DataFrame) -> DataFrame:
+def parse_import_statements(repo_files: DataFrame, engine: str = "jvm") -> DataFrame:
     """(repo, path, module) — one row per import statement in python files.
 
-    Arrow-batched; the regex runs vectorized over the whole content column
-    of each batch.
+    ``engine="jvm"`` (default): two ``regexp_extract_all`` passes + a
+    ``transform`` lambda, all inside whole-stage codegen — content bytes
+    never cross into Python (measured ~matching the Arrow path at small
+    scale and strictly cheaper at 100 TB: no serialization at all).
+    ``engine="arrow"``: vectorized pandas ``str.extractall`` over Arrow
+    batches — the pattern to copy for parsers that genuinely need Python.
     """
+    base = repo_files.where(F.col("lang") == "python").select(
+        "repo", "path", "content"
+    )
+    if engine == "jvm":
+        plain = F.regexp_extract_all("content", F.lit(_RE_PLAIN), 1)
+        from_full = F.regexp_extract_all("content", F.lit(_RE_FROM_FULL), 0)
+        from_mods = F.transform(
+            from_full,
+            lambda s: F.concat(
+                F.regexp_extract(s, r"from[ \t]+([\w.]+)", 1),
+                F.lit("."),
+                F.regexp_extract(s, r"import[ \t]+(\w+)", 1),
+            ),
+        )
+        return base.select(
+            "repo",
+            "path",
+            F.explode(F.concat(plain, from_mods)).alias("module"),
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hits = pdf["content"].str.findall(_IMPORT_RE)
-            out = pdf[["repo", "path"]].copy()
-            out["module"] = hits.map(
-                lambda ms: [m[0] if m[0] else f"{m[1]}.{m[2]}" for m in ms]
+            m = pdf["content"].str.extractall(_IMPORT_RE)
+            if m.empty:
+                yield pd.DataFrame(
+                    {"repo": pd.Series(dtype=str), "path": pd.Series(dtype=str),
+                     "module": pd.Series(dtype=str)}
+                )
+                continue
+            module = m[0].fillna(m[1] + "." + m[2])
+            idx = m.index.get_level_values(0)
+            yield pd.DataFrame(
+                {
+                    "repo": pdf["repo"].to_numpy()[idx],
+                    "path": pdf["path"].to_numpy()[idx],
+                    "module": module.to_numpy(),
+                }
             )
-            out = out.explode("module", ignore_index=True)
-            yield out[out["module"].notna()]
 
-    return repo_files.where(F.col("lang") == "python").select(
-        "repo", "path", "content"
-    ).mapInPandas(extract, PARSED_SCHEMA)
+    return base.mapInPandas(extract, PARSED_SCHEMA)
 
 
 def file_ids(repo_files: DataFrame) -> DataFrame:

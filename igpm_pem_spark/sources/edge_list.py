@@ -8,17 +8,18 @@
   (``load_edgelist_timestamp.py:20-42``; datetime-string flavor
   ``load_edgelist_dataverse.py:9-46``).
 
-Scale note: row-number stamping needs a total order; we use a zipWithIndex-
-free ``row_number`` over a monotonic file-position key
-(``monotonically_increasing_id`` is partition-ordered within a single file
-scan, which is exactly the reference's "file order" semantics). For
-multi-file inputs at scale, arrival order should come from the data
-(timestamps), not file position — which is the S3 variant.
+Scale note: row-number stamping needs a total order, but NOT a global
+sort: ``monotonically_increasing_id`` embeds (partition_index << 33) +
+local row index, so a tiny per-partition count job yields cumulative
+offsets and the global row number is pure arithmetic per row — zero
+shuffles, no single-partition window. For multi-file inputs at scale,
+arrival order should come from the data (timestamps), not file position —
+which is the S3 variant.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def load_edge_list(
@@ -33,12 +34,84 @@ def load_edge_list(
         .csv(path)
         .withColumn("_ord", F.monotonically_increasing_id())
     )
-    w = Window.orderBy("_ord")
-    edges = raw.withColumn("rn", F.row_number().over(w) - 1).select(
+    # global row number via partition-local arithmetic: mid = (pid << 33) +
+    # local_index with local indexes contiguous from 0, so one small count
+    # job (one row per partition) gives each partition's offset and
+    # rn = offset[pid] + (mid & (2^33 - 1)). The pid is decoded from the
+    # mid itself, so the two jobs cannot disagree about partitioning.
+    pid = F.shiftright(F.col("_ord"), 33)
+    local = F.col("_ord") - F.shiftleft(pid, 33)
+    counts = sorted(
+        (r["pid"], r["c"])
+        for r in raw.groupBy(pid.alias("pid")).agg(F.count("*").alias("c")).collect()
+    )
+    offsets, run = {}, 0
+    for p, c in counts:
+        offsets[p] = run
+        run += c
+    pairs = [
+        x
+        for p, off in offsets.items()
+        for x in (F.lit(p).cast("bigint"), F.lit(off).cast("bigint"))
+    ]
+    off_map = (
+        F.create_map(*pairs) if pairs else F.create_map().cast("map<bigint,bigint>")
+    )
+    edges = raw.withColumn(
+        "rn", F.element_at(off_map, pid.cast("bigint")) + local
+    ).select(
         "src",
         "dst",
         F.lit("yes").alias("label"),
         (F.col("rn") / F.lit(tm_size)).cast("int").alias("ts"),
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.lit("cyan").alias("label"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    return vertices, edges
+
+
+def load_datetime_edge_list(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Datetime-string CSV flavor (ts_str, src, dst) → ts = days since the
+    minimum timestamp — the reference's dataverse loader
+    (``load_edgelist_dataverse.py:9-46``: strptime → epoch days, rebased
+    to the min day). Quote characters (single or double) around fields are
+    stripped, mirroring its ``quotechar="'"`` + ``replace('\"')``."""
+    raw = (
+        spark.read.option("sep", sep)
+        .option("comment", "#")
+        .schema("ts_raw STRING, src_raw STRING, dst_raw STRING")
+        .csv(path)
+    )
+    unq = lambda c: F.regexp_replace(F.trim(F.col(c)), "[\"']", "")  # noqa: E731
+    # naive calendar-day arithmetic (datediff on the parsed date), exactly
+    # the reference's strptime→(t-epoch)//86400 — NOT unix_timestamp, whose
+    # local-tz instant conversion can shift rows across midnight
+    days = raw.select(
+        unq("src_raw").cast("bigint").alias("src"),
+        unq("dst_raw").cast("bigint").alias("dst"),
+        F.datediff(
+            F.to_date(F.to_timestamp(unq("ts_raw"), fmt)), F.lit("1970-01-01")
+        ).cast("bigint").alias("day"),
+    )
+    min_day = days.agg(F.min("day").alias("m"))
+    edges = days.crossJoin(F.broadcast(min_day)).select(
+        "src",
+        "dst",
+        F.lit("yes").alias("label"),
+        (F.col("day") - F.col("m")).cast("int").alias("ts"),
     )
     vertices = (
         edges.select(F.col("src").alias("id"))

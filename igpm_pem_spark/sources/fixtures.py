@@ -229,13 +229,7 @@ def fixture_graph(
     return load_node_link(spark, obj)
 
 
-def ba_graph(spark: SparkSession, n: int = 100, m: int = 4, seed: int = 0):
-    """Barabási–Albert scale/skew fixture (mirrors the reference's
-    ``generator.py:20-37`` BA family, ``sample/large/barabasi_albert-100_4.json``).
-    Returns (vertices, edges, directed=False)."""
-    import networkx as nx
-
-    g = nx.barabasi_albert_graph(n, m, seed=seed)
+def _nx_fixture(spark: SparkSession, g):
     obj = {
         "directed": False,
         "nodes": [{"id": int(v), "label": "cyan"} for v in g.nodes()],
@@ -244,3 +238,33 @@ def ba_graph(spark: SparkSession, n: int = 100, m: int = 4, seed: int = 0):
         ],
     }
     return load_node_link(spark, obj)
+
+
+def ba_graph(spark: SparkSession, n: int = 100, m: int = 4, seed: int = 0):
+    """Barabási–Albert scale/skew fixture (mirrors the reference's
+    ``generator.py:20-37`` BA family, ``sample/large/barabasi_albert-100_4.json``).
+    Returns (vertices, edges, directed=False)."""
+    import networkx as nx
+
+    return _nx_fixture(spark, nx.barabasi_albert_graph(n, m, seed=seed))
+
+
+def powerlaw_cluster_graph(
+    spark: SparkSession, n: int = 100, m: int = 4, p: float = 0.2, seed: int = 0
+):
+    """Powerlaw-cluster fixture — the reference's second generator family
+    (``generator.py:40-85``, its hard-coded p=0.2 is the default here).
+    Returns (vertices, edges, directed=False)."""
+    import networkx as nx
+
+    return _nx_fixture(spark, nx.powerlaw_cluster_graph(n, m, p, seed=seed))
+
+
+def random_regular_graph(
+    spark: SparkSession, n: int = 100, d: int = 4, seed: int = 0
+):
+    """Random d-regular fixture (``generator.py:88-133``).
+    Returns (vertices, edges, directed=False)."""
+    import networkx as nx
+
+    return _nx_fixture(spark, nx.random_regular_graph(d, n, seed=seed))

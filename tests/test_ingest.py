@@ -59,6 +59,15 @@ def test_import_edges_match_pure_python_rederivation(spark):
     rf.unpersist()
 
 
+def test_jvm_and_arrow_parsers_agree(spark):
+    rf = generate_repo_files(spark, n_repos=8, files_per_repo=15).cache()
+    jvm = sorted(map(tuple, parse_import_statements(rf, engine="jvm").collect()))
+    arrow = sorted(map(tuple, parse_import_statements(rf, engine="arrow").collect()))
+    assert jvm == arrow
+    assert len(jvm) > 50
+    rf.unpersist()
+
+
 def test_non_python_rows_not_parsed(spark):
     rf = generate_repo_files(spark, n_repos=10, files_per_repo=20).cache()
     parsed = parse_import_statements(rf)

@@ -202,6 +202,64 @@ def test_string_prop_numeric_coercion(spark):
         assert r["a_score"] + r["b_score"] >= 5
 
 
+def test_near_miss_mode_retains_flagged_condition_failures(spark):
+    """append_approx semantics (gray_incremental.py:301-330): structural
+    matches failing the condition survive flagged approx=true; the exact
+    subset is identical to strict-mode output."""
+    verts, edges, _ = fixture_graph(spark, "test1p")
+    # symmetric condition (triangle score sum): triangle (0,1,3) sums to 5
+    # and is a near-miss; the other three sum to 6 and are exact
+    qstr = (
+        "--vertex a b c --edge x:a:b y:b:c z:c:a "
+        "--condition a.score + b.score + c.score >= 6"
+    )
+    q = parse_query_args(qstr)
+    strict = match_pattern(spark, verts, edges, q)
+    both = match_pattern(spark, verts, edges, q, keep_near_miss=True)
+    unconditioned = match_pattern(
+        spark, verts, edges,
+        parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a"),
+    )
+    rows = both.collect()
+    exact = [r for r in rows if not r["approx"]]
+    approx = [r for r in rows if r["approx"]]
+    assert len(exact) == strict.count() == 3
+    assert len(rows) == unconditioned.count() == 4  # nothing structural lost
+    assert len(approx) == 1
+    for r in approx:
+        assert r["a_score"] + r["b_score"] + r["c_score"] < 6
+
+
+def test_per_anchor_cap_bounds_enumeration(spark):
+    """Scale guard: a loose wedge pattern on the BA hub graph explodes
+    per-anchor; the cap must bound it to N deterministic representatives
+    that are a subset of the exact result."""
+    from igpm_pem_spark.sources.fixtures import ba_graph
+
+    verts, edges, _ = ba_graph(spark, 60, 4, seed=0)
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c")
+    exact = match_pattern(spark, verts, edges, q)
+    capped = match_pattern(spark, verts, edges, q, max_matches_per_anchor=5)
+    exact_sigs = {tuple((p["u"], p["v"]) for p in r["sig"]) for r in exact.collect()}
+    capped_rows = capped.collect()
+    capped_sigs = {tuple((p["u"], p["v"]) for p in r["sig"]) for r in capped_rows}
+    assert capped_sigs <= exact_sigs
+    assert len(capped_sigs) < len(exact_sigs)  # the cap actually bit
+    anchor = "a"  # all candidate sets equal ⇒ lexicographically first
+    from collections import Counter
+
+    per_anchor = Counter(r[anchor] for r in capped_rows)
+    assert max(per_anchor.values()) <= 5
+    # determinism: same call → same representatives
+    again = {
+        tuple((p["u"], p["v"]) for p in r["sig"])
+        for r in match_pattern(
+            spark, verts, edges, q, max_matches_per_anchor=5
+        ).collect()
+    }
+    assert again == capped_sigs
+
+
 def test_condition_compiler_semantics(spark):
     df = spark.createDataFrame(
         [(7.0, 5.0, 5.0), (8.0, 9.0, 2.0), (1.0, 1.0, 5.0)], "x_a DOUBLE, x_b DOUBLE, x_c DOUBLE"

@@ -72,12 +72,27 @@ def test_condition_compiles_without_python_udf(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
-def test_import_parser_is_arrow_vectorized(spark):
+def test_import_parser_default_is_pure_jvm(spark):
+    from igpm_pem_spark.sources.code_imports import parse_import_statements
+    from igpm_pem_spark.sources.repo_files import generate_repo_files
+
+    # materialize the synthetic input first — the generator itself is
+    # mapInPandas, and this test is about the PARSER's plan only
+    rf = generate_repo_files(spark, n_repos=2, files_per_repo=5).localCheckpoint(
+        eager=True
+    )
+    plan = _explain(parse_import_statements(rf))
+    # default engine: regexp inside codegen — content never leaves the JVM
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_import_parser_arrow_variant_is_vectorized(spark):
     from igpm_pem_spark.sources.code_imports import parse_import_statements
     from igpm_pem_spark.sources.repo_files import generate_repo_files
 
     rf = generate_repo_files(spark, n_repos=2, files_per_repo=5)
-    plan = _explain(parse_import_statements(rf))
+    plan = _explain(parse_import_statements(rf, engine="arrow"))
     # mapInPandas shows as MapInPandas (Arrow), never row-wise BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
