@@ -98,7 +98,10 @@ def hyperplane_buckets(
 
         return term
 
-    per_table = []
+    # all L signatures in ONE projection + explode — a union of per-table
+    # selects would rescan the embedding table L times (fatal at 100 TB);
+    # this plan reads each vector once and fans out L (tbl, sig) rows
+    table_structs = []
     for t in range(n_tables):
         sig = F.lit(0).cast("long")
         for p in range(n_planes):
@@ -108,18 +111,14 @@ def hyperplane_buckets(
                 lambda acc, x: acc + x,
             )
             sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-        per_table.append(
-            emb.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("emb"),
-                F.lit(t).alias("tbl"),
-                sig.alias("sig"),
-            )
+        table_structs.append(
+            F.struct(F.lit(t).alias("tbl"), sig.alias("sig"))
         )
-    out = per_table[0]
-    for df in per_table[1:]:
-        out = out.unionByName(df)
-    return out
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        F.explode(F.array(*table_structs)).alias("_ts"),
+    ).select("id", "emb", F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
 
 
 def ann_lsh_topk(

@@ -161,6 +161,7 @@ def match_pattern(
     max_path_hops: int = MAX_HOPS,
     max_matches_per_anchor: int | None = None,
     keep_near_miss: bool = False,
+    delta_edges: DataFrame | None = None,
 ) -> DataFrame:
     """One row per distinct matching subgraph; columns = query symbols
     (+ sym_prop columns for referenced props, + the canonical sig).
@@ -179,6 +180,12 @@ def match_pattern(
       structurally-matching rows that FAIL it, flagged ``approx=true``
       (exact rows get ``approx=false``) — the relational analogue of
       ``append_approx``.
+    * ``delta_edges`` — incremental (append-only) mode: return only the
+      matches that use at least one edge from this bucket (``edges`` is
+      the cumulative graph). Work is proportional to the perturbation —
+      the relational form of the reference's affected-area recomputation
+      (``gray_incremental.py:230-271``). See
+      ``operators/incremental.incremental_pattern_match``.
     """
     refs = _prop_refs(q)
 
@@ -219,35 +226,77 @@ def match_pattern(
 
     ordered = _edge_order(q, cand_counts)
     anchor = min(q.vertices, key=lambda s: (cand_counts.get(s, 0), s))
-    df = cand(anchor)
-    bound = {anchor}
 
-    for e in ordered:
-        r = rel(e)
-        if e.a in bound and e.b in bound:
-            # existence check (semi-join) — J3
-            df = df.join(
-                r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b)),
-                [e.a, e.b],
-                "left_semi",
+    def join_chain(rel_for_edge) -> DataFrame:
+        """Left-deep chain with a per-edge relation supplier — the hook
+        incremental matching uses to pin one edge position to the
+        new-arrivals bucket."""
+        df = cand(anchor)
+        bound = {anchor}
+        for e in ordered:
+            r = rel_for_edge(e)
+            if e.a in bound and e.b in bound:
+                # existence check (semi-join) — J3
+                df = df.join(
+                    r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b)),
+                    [e.a, e.b],
+                    "left_semi",
+                )
+                continue
+            # The edge relation always maps data src->e.a and dst->e.b (the
+            # query edge's direction); which symbol is already bound only
+            # selects the join key. Re-aliasing dst->e.a when e.b was bound
+            # would match the data edge REVERSED on directed queries.
+            rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
+            if e.a in bound:
+                src_sym, dst_sym = e.a, e.b
+            elif e.b in bound:
+                src_sym, dst_sym = e.b, e.a
+            else:  # disconnected start: cross join a fresh anchor cand set
+                df = df.crossJoin(cand(e.a))
+                bound.add(e.a)
+                src_sym, dst_sym = e.a, e.b
+            df = df.join(rr, src_sym)
+            df = df.join(cand(dst_sym), dst_sym)  # label + prop projection
+            bound.add(dst_sym)
+        return df
+
+    if delta_edges is None:
+        df = join_chain(rel)
+    else:
+        # incremental (append-only) enumeration: every NEW match must use
+        # at least one edge from the new bucket — union over edge
+        # positions, pinning position i to the new-edge relation and the
+        # rest to the cumulative graph (dedup collapses overlaps)
+        new_base = delta_edges.select(
+            "src", "dst", *(["label"] if "label" in delta_edges.columns else [])
+        )
+
+        def rel_new(e: QueryEdge) -> DataFrame:
+            r = new_base
+            if e.label is not None and "label" in r.columns:
+                r = r.where(F.col("label") == e.label)
+            r = r.select("src", "dst")
+            if not q.directed:
+                r = r.unionByName(
+                    r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+            return r.where(F.col("src") != F.col("dst")).dropDuplicates(
+                ["src", "dst"]
             )
-            continue
-        # The edge relation always maps data src->e.a and dst->e.b (the
-        # query edge's direction); which symbol is already bound only
-        # selects the join key. Re-aliasing dst->e.a when e.b was bound
-        # would match the data edge REVERSED on directed queries.
-        rr = r.select(F.col("src").alias(e.a), F.col("dst").alias(e.b))
-        if e.a in bound:
-            src_sym, dst_sym = e.a, e.b
-        elif e.b in bound:
-            src_sym, dst_sym = e.b, e.a
-        else:  # disconnected start: cross join a fresh anchor candidate set
-            df = df.crossJoin(cand(e.a))
-            bound.add(e.a)
-            src_sym, dst_sym = e.a, e.b
-        df = df.join(rr, src_sym)
-        df = df.join(cand(dst_sym), dst_sym)  # label + prop projection
-        bound.add(dst_sym)
+
+        if any(e.is_path for e in q.edges):
+            raise ValueError(
+                "delta_edges is unsupported for --path queries: a new edge "
+                "can extend a hop closure anywhere; recompute in full"
+            )
+        df = None
+        for i in range(len(q.edges)):
+            relf = (
+                lambda e, _pin=q.edges[i]: rel_new(e) if e is _pin else rel(e)
+            )
+            part = join_chain(relf)
+            df = part if df is None else df.unionByName(part)
 
     # injectivity: reference valid_result demands as many data vertices as
     # query vertices (gray_multiple.py:40-60)

@@ -6,9 +6,14 @@ timestamped edge log (SURVEY.md §2.8): buckets arrive in order, state
 Spark form is a file-source stream of edge parquet + ``foreachBatch``
 driving exactly the same per-bucket update the batch replay uses
 (operators/incremental.py), with engine state carried across batches by
-the driver. Watermarks/late data are deliberately out of scope — the
-reference's buckets are ordered (``step_list`` sorted,
+the driver. For the graph replay, watermarks are deliberately out of
+scope — the reference's buckets are ordered (``step_list`` sorted,
 ``gray/query_call.py:135``).
+
+Training-data additions (round instructions): ``dedup_stream`` (exact
+content dedup over a document stream, state in the streaming engine) and
+``windowed_event_counts`` (event-time windows + watermark, late rows
+dropped) — the two streaming shapes a corpus pipeline actually runs.
 """
 
 from __future__ import annotations
@@ -112,3 +117,57 @@ def components_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
     return query, state
+
+
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id BIGINT, text STRING",
+) -> "object":
+    """Streaming exact dedup: first-seen document per content hash is
+    appended to the parquet sink; later duplicates (within and across
+    micro-batches, across restarts via the checkpoint) are dropped by the
+    engine's dropDuplicates state store. Returns the StreamingQuery
+    (availableNow trigger — caller awaits termination)."""
+    s = spark.readStream.schema(schema).parquet(source_dir)
+    out = s.select(
+        "doc_id", F.md5(F.col("text")).alias("sha"), "text"
+    ).dropDuplicates(["sha"])
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_dur: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time daily rollup with late-data handling: rows later than
+    ``watermark`` behind the max seen event time are dropped; a window is
+    emitted (append mode) once the watermark passes its end — the
+    standard Structured Streaming shape for event feeds (F3/A1 on a
+    stream). Returns the transformed streaming DataFrame; caller picks
+    the sink."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"), "n_events", "total_value"
+        )
+    )

@@ -74,6 +74,48 @@ def test_incremental_pagerank_directed_dangling(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_incremental_pattern_match_equals_batch(spark):
+    """IGPM headline: per-bucket delta enumeration (matches using ≥1 new
+    edge) unioned into the match table must land on the batch answer."""
+    from igpm_pem_spark.operators.incremental import incremental_pattern_match
+    from igpm_pem_spark.plans.pattern import match_pattern, parse_query_args
+
+    verts, edges, _ = fixture_graph(spark, "dynamic_test1")
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c z:c:a "
+        "--vertexlabel a:cyan b:cyan c:cyan"
+    )
+    res = incremental_pattern_match(spark, verts, edges, q, base_steps=1)
+    batch = match_pattern(spark, verts, edges, q)
+
+    def sigs(df):
+        return {
+            tuple((p["u"], p["v"]) for p in r["sig"]) for r in df.collect()
+        }
+
+    assert sigs(res.state) == sigs(batch)
+    assert len(sigs(res.state)) == 2  # test1 has 2 triangles
+    assert len(res.steps) == 3
+    assert sum(s.n_new_matches for s in res.steps) >= 2
+
+
+def test_incremental_pattern_match_ba_buckets(spark):
+    from igpm_pem_spark.operators.incremental import incremental_pattern_match
+    from igpm_pem_spark.plans.pattern import match_pattern, parse_query_args
+    from pyspark.sql import functions as F
+
+    verts, edges, _ = ba_graph(spark, 40, 3, seed=1)
+    dyn = edges.withColumn(
+        "ts", (F.xxhash64("src", "dst") % 3 + 3) % 3
+    )
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c z:c:a")
+    res = incremental_pattern_match(spark, verts, dyn, q, base_steps=1)
+    batch = match_pattern(spark, verts, dyn, q)
+    got = {tuple((p["u"], p["v"]) for p in r["sig"]) for r in res.state.collect()}
+    want = {tuple((p["u"], p["v"]) for p in r["sig"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_incremental_pagerank_with_pattern_counts(spark):
     _, edges, _ = fixture_graph(spark, "dynamic_test1")
     res = incremental_pagerank(

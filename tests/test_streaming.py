@@ -32,3 +32,70 @@ def test_components_stream_matches_batch(spark, tmp_path):
     pairs = [(r.src, r.dst) for r in edges.collect()]
     got = {r.id: r.component for r in state.components.collect()}
     assert got == components_oracle(pairs)
+
+
+def test_dedup_stream_keeps_one_doc_per_content(spark, tmp_path):
+    from igpm_pem_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    sink = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src, exist_ok=True)
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id BIGINT, text STRING"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    # duplicates across RESTARTS are also dropped (state in the checkpoint)
+    batch2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id BIGINT, text STRING"
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.read.parquet(sink).collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["alpha", "beta", "gamma"]
+
+
+def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
+    """Watermark semantics across restarts: a row a full watermark behind
+    the max seen event time is dropped, finalized windows append once."""
+    from igpm_pem_spark.streaming.stream import windowed_event_counts
+
+    src = str(tmp_path / "ev_src")
+    sink = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def run_round(rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, value DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        s = spark.readStream.schema("ts TIMESTAMP, value DOUBLE").parquet(src)
+        q = (
+            windowed_event_counts(s)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    import datetime as dt
+
+    d = lambda day, h=0: dt.datetime(2024, 1, 1 + day, h)  # noqa: E731
+    run_round([(d(0), 1.0), (d(0, 6), 2.0), (d(1), 3.0), (d(3), 4.0)])
+    # round 2: d(0) row arrives 4 days late (watermark is at d(2)) → DROPPED
+    run_round([(d(0, 12), 100.0), (d(5), 5.0)])
+    out = {r.day_start.day: (r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert out[1] == (2, 3.0)  # day0 window: late +100 row NOT included
+    assert out[2] == (1, 3.0)
+    assert out[4] == (1, 4.0)  # day3 window finalized by round-2 watermark
+    assert 6 not in out  # day5 window still open (not appended)
