@@ -191,16 +191,27 @@ def _scaling(n_low: int, n_high: int) -> None:
     supersteps = int(os.environ.get("SPARK_GRAFT_SCALE_STEPS", "10"))
     n_mid = n_low * 2
     levels = [n_low, n_mid, n_high]
-    results = {}
-    for cpus in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-run",
-             str(n_vertices), str(n_edges), str(supersteps)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    # best-of-N with INTERLEAVED level order: this Firecracker host's
+    # neighbors swing identical runs by ±40%, so a single pass can show
+    # anything from 0.6 to 1.4 "efficiency". Interleaving means one busy
+    # window hits all levels equally; best-of-N approximates the
+    # uncontended time per level.
+    results: dict[int, dict] = {}
+    for _round in range(repeats):
+        for cpus in levels:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-run",
+                 str(n_vertices), str(n_edges), str(supersteps)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            if cpus not in results or r["loop_sec"] < results[cpus]["loop_sec"]:
+                results[cpus] = r
 
     lo, mid, hi = results[n_low], results[n_mid], results[n_high]
     tp_lo, tp_mid, tp_hi = (
@@ -225,7 +236,10 @@ def _scaling(n_low: int, n_high: int) -> None:
         f"identical deterministic input: synthetic skewed graph, {n_vertices:,}",
         f"vertices / {n_edges:,} edges (src-uniform, dst power-law), exact",
         f"PageRank, {supersteps} supersteps, fixed 16-partition layout,",
-        "loop-only timing (see _scale_run docstring for the measured tuning).",
+        f"loop-only timing, best of {repeats} interleaved repeats per level",
+        "(neighboring tenants on this host swing identical runs by ±40%;",
+        "interleaved best-of-N approximates the uncontended time — see",
+        "_scale_run docstring for the measured engine tuning).",
         "",
         f"Core-count choice: this VM's pure-CPU scaling (multiprocessing",
         f"calibration) is near-linear only up to 8 hardware threads",

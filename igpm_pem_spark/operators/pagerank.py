@@ -62,7 +62,13 @@ def _adjacency_with_degree(edges: DataFrame, directed: bool, num_partitions: int
     adj = partitioned_adjacency(edges, num_partitions, directed=directed)
     # degree via partition-local window: adj is already hash-partitioned by
     # src, so this sorts within partitions instead of joining (no shuffle)
-    return adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+    out = adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+    # pin the layout on the DataFrame so every superstep's message
+    # aggregation shuffles to the SAME partition count as the adjacency —
+    # not whatever spark.sql.shuffle.partitions happens to be (at 1e9+
+    # edges a mismatched session default re-buckets V rows every superstep)
+    out._igpm_nparts = num_partitions
+    return out
 
 
 def _personalization_df(spark: SparkSession, personalization) -> DataFrame:
@@ -380,7 +386,7 @@ def _dangling_mass_col(state: DataFrame, dangling: DataFrame, col: str) -> DataF
     )
 
 
-def _group_sum(msgs: DataFrame, val: str) -> DataFrame:
+def _group_sum(msgs: DataFrame, val: str, n_parts: int | None = None) -> DataFrame:
     """sum(val) by dst via explicit repartition-then-aggregate.
 
     A bare groupBy would map-side combine BEFORE the exchange; with ~V
@@ -398,7 +404,10 @@ def _group_sum(msgs: DataFrame, val: str) -> DataFrame:
 
     if os.environ.get("IGPM_AGG_MODE", "repartition") == "partial":
         return msgs.groupBy("dst").agg(F.sum(val).alias(val))
-    return msgs.repartition("dst").groupBy("dst").agg(F.sum(val).alias(val))
+    rep = (
+        msgs.repartition(n_parts, "dst") if n_parts else msgs.repartition("dst")
+    )
+    return rep.groupBy("dst").agg(F.sum(val).alias(val))
 
 
 def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
@@ -412,6 +421,7 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
             state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
         "c",
+        getattr(adj, "_igpm_nparts", None),
     )
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -443,6 +453,7 @@ def _personalized_exact_step(
             state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
         "c",
+        getattr(adj, "_igpm_nparts", None),
     )
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -474,6 +485,7 @@ def _personalized_delta_step(
             active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
         "m",
+        getattr(adj, "_igpm_nparts", None),
     )
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -501,6 +513,7 @@ def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
             active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
         "m",
+        getattr(adj, "_igpm_nparts", None),
     )
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:

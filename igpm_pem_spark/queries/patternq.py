@@ -47,6 +47,33 @@ def _q_pattern_wedge(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_matches BIGINT")
 
 
+def _q_pattern_triangle_incremental(spark, sf_dir):
+    """IGPM headline in the correctness gate: ts-bucket replay with
+    delta-only enumeration must land on the same triangle count as the
+    batch 3-join oracle."""
+    from ..operators.incremental import incremental_pattern_match
+    from ..plans.pattern import parse_query_args
+
+    verts, e = _graph(spark, sf_dir)
+    dyn = e.withColumn("ts", (F.col("src") % 3).cast("int"))
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c z:c:a "
+        "--vertexlabel a:cyan b:cyan c:cyan --edgelabel x:yes y:yes z:yes"
+    )
+    res = incremental_pattern_match(spark, verts, dyn, q, base_steps=1)
+    n = res.state.count()
+    return spark.createDataFrame([(n,)], "n_matches BIGINT")
+
+
+def _q_path_hops_histogram(spark, sf_dir):
+    """J4 in the correctness gate: ≤3-hop minimal-hop closure, counted by
+    hop distance (walk semantics collapse under the min-groupBy)."""
+    from ..operators.paths import path_closure
+
+    pc = path_closure(edges(spark, sf_dir, G_SPARSE_SQL), max_hops=3)
+    return pc.groupBy("hops").agg(F.count("*").alias("n_pairs"))
+
+
 QUERIES = {
     # distinct triangles found by the pattern engine == plain 3-join count
     "pattern_triangle_match": (
@@ -65,6 +92,35 @@ QUERIES = {
         WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL})
         SELECT count(*) AS n_matches
         FROM sym e1 JOIN sym e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        """,
+    ),
+    # incremental replay reaches the batch fixpoint — same oracle as batch
+    "pattern_triangle_incremental": (
+        _q_pattern_triangle_incremental,
+        f"""
+        WITH g AS ({G_SPARSE_SQL})
+        SELECT count(*) AS n_matches
+        FROM g e1 JOIN g e2 ON e1.dst = e2.src JOIN g e3
+          ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+    ),
+    # minimal-hop pair counts at 1..3 hops over the symmetrized graph
+    "path_hops_histogram": (
+        _q_path_hops_histogram,
+        f"""
+        WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL}),
+        h1 AS (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+        h2 AS (SELECT a.src, b.dst FROM h1 a JOIN h1 b
+               ON a.dst = b.src AND a.src <> b.dst),
+        h3 AS (SELECT a.src, b.dst FROM h2 a JOIN h1 b
+               ON a.dst = b.src AND a.src <> b.dst),
+        unioned AS (
+          SELECT src, dst, 1 AS hops FROM h1
+          UNION ALL SELECT src, dst, 2 FROM h2
+          UNION ALL SELECT src, dst, 3 FROM h3
+        ),
+        mins AS (SELECT src, dst, min(hops) AS hops FROM unioned GROUP BY src, dst)
+        SELECT hops, count(*) AS n_pairs FROM mins GROUP BY hops
         """,
     ),
 }
