@@ -50,6 +50,32 @@ def test_pagerank_resume_continues_and_matches(spark, tmp_path):
     assert any(r.edge_count > 0 for r in rows)
 
 
+def test_seeded_rwr_resume_matches_uninterrupted(spark, tmp_path):
+    """Resume must re-attach the restart vector: checkpointed state lacks
+    the p column (rank/delta only), so the resumed run rejoins the seeds
+    and continues to the same fixpoint."""
+    edges = _edges(spark)
+    ckpt = str(tmp_path / "rwr")
+    pers = {0: 2.0, 1: 1.0}
+    full = pagerank(
+        spark, edges, alpha=0.3, tol=1e-9, max_iter=300, personalization=pers
+    )
+    assert full.converged
+    partial = pagerank(
+        spark, edges, alpha=0.3, tol=1e-9, max_iter=2,
+        checkpoint_dir=ckpt, personalization=pers,
+    )
+    assert not partial.converged
+    resumed = pagerank(
+        spark, edges, alpha=0.3, tol=1e-9, max_iter=300,
+        checkpoint_dir=ckpt, personalization=pers,
+    )
+    assert resumed.resumed_from == 1 and resumed.converged
+    got = {r.id: r["rank"] for r in resumed.ranks.collect()}
+    want = {r.id: r["rank"] for r in full.ranks.collect()}
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-8
+
+
 def test_components_resume_skips_settled_vertices(spark, tmp_path):
     edges = _edges(spark)
     ckpt = str(tmp_path / "cc")
