@@ -130,6 +130,35 @@ def resize_pixels(media: DataFrame, max_side: int = 256) -> DataFrame:
     raise NotImplementedError("codec path reserved for environments with PIL")
 
 
+FEATURE_SCHEMA = "asset_id BIGINT, embedding ARRAY<FLOAT>"
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """(asset_id, embedding): content-derived feature vector per asset —
+    the Arrow-batched extraction stage a real encoder (CLIP/wav2vec)
+    slots into. Without model weights in this container the feature is a
+    deterministic L2-normalized byte histogram (mod-``dim`` bincount of
+    the raw bytes): identical content ⇒ identical embedding, so the
+    downstream similarity operators (``operators/similarity``: ANN top-k,
+    near-dup) compose end-to-end and are testable. Bytes never leave the
+    executors; output matches the embeddings-table schema, so everything
+    that runs on ``embeddings.parquet`` runs on extracted features."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            embs = []
+            for b in pdf["bytes"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                h = np.bincount(raw % dim, minlength=dim).astype("float32")
+                n = float(np.linalg.norm(h))
+                embs.append((h / n).tolist() if n else h.tolist())
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "embedding": embs})
+
+    return media.select("asset_id", "bytes").mapInPandas(feat, FEATURE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, n_frames_meta_key: str = "n_frames") -> DataFrame:
     """(asset_id, frame_idx): deterministic frame-sampling plan for video
     assets — frame count from metadata (a real demuxer would probe the

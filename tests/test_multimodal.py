@@ -80,3 +80,53 @@ def test_frame_sampling(spark):
         (r.asset_id, r.frame_idx) for r in sample_frames(media, every_n=10).collect()
     )
     assert got == [(1, 0), (1, 10), (1, 20), (1, 30), (2, 0)]
+
+
+def test_feature_extraction_feeds_similarity_pipeline(spark):
+    """End-to-end multimodal composition: binary assets → deterministic
+    feature vectors → ANN near-dup. Duplicate payloads must surface as
+    cosine-1.0 pairs through the SAME similarity operators the embeddings
+    table uses."""
+    from igpm_pem_spark.multimodal.binary_ops import extract_features
+    from igpm_pem_spark.operators.similarity import (
+        ann_lsh_topk,
+        near_dup_pairs_ann,
+    )
+
+    base = synthetic_media(spark, 40)
+    # asset 1000 duplicates asset 0's bytes exactly
+    dup = base.where("asset_id = 0").select(
+        (F.col("asset_id") + 1000).alias("asset_id"), "kind", "bytes", "meta"
+    )
+    media = base.unionByName(dup)
+    emb = extract_features(media)
+    assert emb.count() == 41
+    row = emb.first()
+    assert len(row.embedding) == 64
+    # identical content ⇒ identical embedding ⇒ cos4 = 1.0 near-dup pair
+    pairs = near_dup_pairs_ann(
+        emb, threshold=0.999, id_col="asset_id", vec_col="embedding"
+    ).collect()
+    assert any(
+        {r.id_a, r.id_b} == {0, 1000} and r.cos4 == 1.0 for r in pairs
+    )
+    # the ANN top-k path runs on extracted features too
+    topk = ann_lsh_topk(
+        emb, k=2, query_mod=1000, id_col="asset_id", vec_col="embedding"
+    ).collect()
+    per_query = {r.query_id for r in topk}
+    assert 0 in per_query  # query subset asset 0 found neighbors
+
+
+def test_feature_extraction_deterministic_across_partitionings(spark):
+    from igpm_pem_spark.multimodal.binary_ops import extract_features
+
+    a = {
+        r.asset_id: tuple(r.embedding)
+        for r in extract_features(synthetic_media(spark, 30, 2)).collect()
+    }
+    b = {
+        r.asset_id: tuple(r.embedding)
+        for r in extract_features(synthetic_media(spark, 30, 8)).collect()
+    }
+    assert a == b
