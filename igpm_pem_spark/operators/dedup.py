@@ -115,6 +115,51 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return sums.select("doc_id", sh.alias("simhash"))
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-duplicates — pairs whose
+    16-bit simhash differs in ≤ ``max_hamming`` bits. Candidate pairing is
+    the pigeonhole band join (split into max_hamming+1 bands; a pair
+    within distance k must agree EXACTLY on ≥1 band), then the exact
+    hamming distance (bit_count of xor) filters. No all-pairs stage:
+    the self-join is keyed on (band index, band value), the same
+    skew-bounded shape as MinHash-LSH's."""
+    n_bands = max_hamming + 1
+    sh = simhash(docs, id_col, text_col, bits)
+    width = (bits + n_bands - 1) // n_bands
+    band_structs = []
+    for k in range(n_bands):
+        off = k * width
+        w = min(width, bits - off)
+        val = F.shiftright(F.col("simhash"), off) % F.lit(2**w)
+        band_structs.append(F.struct(F.lit(k).alias("bk"), val.alias("bv")))
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "simhash", F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bk", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bk", "bv"
+    )
+    return (
+        a.join(b, ["bk", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, ngram): distinct word n-grams via window lead over token
     positions (engine-portable: same lead() construction in SQL)."""

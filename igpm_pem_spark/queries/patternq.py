@@ -11,18 +11,33 @@ from pyspark.sql import functions as F
 from ._common import G_SPARSE_SQL, SYM_SQL, edges
 
 
-def _graph(spark, sf_dir):
+def _graph(spark, sf_dir, with_props: bool = False):
     e = edges(spark, sf_dir, G_SPARSE_SQL)
-    verts = (
+    ids = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .select(
+    )
+    if with_props:
+        # attach the part's retailprice as a string prop — the reference's
+        # property-graph shape (props are strings, coerced at condition
+        # eval, ConditionParser.py:77-80)
+        part = spark.table("part")
+        verts = ids.join(
+            part.select(F.col("p_partkey").alias("id"), "p_retailprice"), "id"
+        ).select(
+            "id",
+            F.lit("cyan").alias("label"),
+            F.create_map(
+                F.lit("retailprice"), F.col("p_retailprice").cast("string")
+            ).alias("props"),
+        )
+    else:
+        verts = ids.select(
             "id",
             F.lit("cyan").alias("label"),
             F.create_map().cast("map<string,string>").alias("props"),
         )
-    )
     return verts, e.select("src", "dst", F.lit("yes").alias("label"))
 
 
@@ -43,6 +58,21 @@ def _q_pattern_wedge(spark, sf_dir):
 
     verts, e = _graph(spark, sf_dir)
     q = parse_query_args("--vertex a b c --edge x:a:b y:b:c")
+    n = match_pattern(spark, verts, e, q).count()
+    return spark.createDataFrame([(n,)], "n_matches BIGINT")
+
+
+def _q_pattern_wedge_condition(spark, sf_dir):
+    """P6 over vertex props inside the match pipeline: wedges where the
+    'a' endpoint's retailprice clears a threshold. Dedup keeps a match if
+    ANY symbol assignment satisfies the condition (a/c interchangeable on
+    the undirected wedge), which the oracle mirrors with an OR."""
+    from ..plans.pattern import match_pattern, parse_query_args
+
+    verts, e = _graph(spark, sf_dir, with_props=True)
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c --condition a.retailprice > 1500"
+    )
     n = match_pattern(spark, verts, e, q).count()
     return spark.createDataFrame([(n,)], "n_matches BIGINT")
 
@@ -92,6 +122,19 @@ QUERIES = {
         WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL})
         SELECT count(*) AS n_matches
         FROM sym e1 JOIN sym e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        """,
+    ),
+    # wedges where either endpoint's retailprice clears the threshold
+    # (condition references symbol a; a/c interchange under dedup)
+    "pattern_wedge_condition": (
+        _q_pattern_wedge_condition,
+        f"""
+        WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL}),
+        pr AS (SELECT p_partkey AS id, p_retailprice AS rp FROM part)
+        SELECT count(*) AS n_matches
+        FROM sym e1 JOIN sym e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        JOIN pr pa ON pa.id = e1.src JOIN pr pc ON pc.id = e2.dst
+        WHERE pa.rp > 1500 OR pc.rp > 1500
         """,
     ),
     # incremental replay reaches the batch fixpoint — same oracle as batch

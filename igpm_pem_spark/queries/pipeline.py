@@ -95,6 +95,12 @@ def _q_lsh_jaccard(spark, sf_dir):
     return lsh_jaccard_pairs(docs(spark, sf_dir), threshold=0.1)
 
 
+def _q_simhash_near_dup(spark, sf_dir):
+    from ..operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(docs(spark, sf_dir), max_hamming=2)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ..operators.similarity import cosine_topk
 
@@ -284,6 +290,35 @@ SELECT * FROM (
 """
 
 
+def _simhash_near_dup_sql(max_hamming: int = 2, bits: int = 16) -> str:
+    """Exact SQL mirror of operators/dedup.simhash_near_dup (pigeonhole
+    bands + bit_count(xor) verify)."""
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    bands = []
+    for k in range(n_bands):
+        off = k * width
+        w = min(width, bits - off)
+        bands.append(
+            f"SELECT doc_id, simhash, {k} AS bk, "
+            f"(simhash >> {off}) % {2 ** w} AS bv FROM sh"
+        )
+    banded = " UNION ALL ".join(bands)
+    return (
+        _TOK_CTE
+        + f""",
+sums AS (SELECT doc_id, {_simhash_sums()} FROM dt GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_simhash_fold()} AS BIGINT) AS simhash FROM sums),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+    )
+
+
 def _ann_sigs_union() -> str:
     """Per-table signature SELECTs over e(vec_id, emb) — the exact SQL
     mirror of operators/similarity.hyperplane_buckets."""
@@ -385,6 +420,7 @@ QUERIES = {
         _q_lsh_jaccard,
         _LSH_JACCARD_SQL.format(minhash=_minhash_select(), bands=_band_union()),
     ),
+    "doc_simhash_near_dup": (_q_simhash_near_dup, _simhash_near_dup_sql()),
     "emb_cosine_topk": (_q_cosine_topk, _COSINE_TOPK_SQL),
     "emb_near_dup_pairs": (_q_near_dups, _NEAR_DUP_SQL),
     "emb_ann_lsh_topk": (_q_ann_lsh, _ann_topk_sql()),
