@@ -34,6 +34,45 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
+# BPE-ish pre-tokenization: alphanumeric runs + single punctuation marks.
+# Chosen so Java (Spark) and RE2 (DuckDB) regex agree byte-for-byte.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_bpe_ish(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, token): BPE-style pre-tokens — lower-cased alnum runs
+    and individual punctuation marks — via JVM ``regexp_extract_all``
+    (codegen'd; no Python). The shape real BPE counts tokens over."""
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos0", "token")
+    )
+    return ex.select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def token_stats_bpe(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_alnum, n_punct, n_distinct) over the BPE-ish
+    pre-tokens — all array expressions on the extracted token list (one
+    scan, no explode/shuffle)."""
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0
+    )
+    alnum = F.size(F.filter(arr, lambda x: x.rlike("^[a-z0-9]+$")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("n_tokens"),
+        alnum.alias("n_alnum"),
+        (F.size(arr) - alnum).alias("n_punct"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+    )
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_token_len) — F2/A1 over text."""
     t = tokens(docs, id_col, text_col)

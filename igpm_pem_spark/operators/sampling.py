@@ -1,0 +1,78 @@
+"""Dataset splitting / sampling for training-data pipelines.
+
+Splits must be DETERMINISTIC (reproducible across runs, engines, and
+partitionings), STABLE under appends (a document's split never changes
+when other rows arrive), and shuffle-free — which rules out
+``randomSplit`` (partition-order dependent). The assignment is a pure
+function of the row key: the portable md5-prefix hash
+(functions/hashing.token_id_sql family) bucketed into [0, 1e6), cut by
+cumulative split weights. The same expression runs in DuckDB, so the
+driver oracle checks every assignment exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SPLIT_BUCKETS = 1_000_000
+
+
+def split_bucket(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): portable md5-prefix
+    hash of ``salt || ':' || key`` — identical in any engine with md5."""
+    s = F.concat(F.lit(salt + ":"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(SPLIT_BUCKETS)
+    )
+
+
+def split_bucket_sql(key: str, salt: str = "split") -> str:
+    """DuckDB SQL text of split_bucket (same value per row)."""
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SPLIT_BUCKETS})"
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given weights (normalized). Hash-based: stable under appends and
+    engine-portable, unlike ``randomSplit``."""
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    bucket = split_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(acc * SPLIT_BUCKETS)
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def split_case_sql(key: str, splits: dict[str, float] | None = None, salt: str = "split") -> str:
+    """DuckDB CASE expression mirroring split_by_hash's assignment."""
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    b = split_bucket_sql(key, salt)
+    parts = ["CASE"]
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(acc * SPLIT_BUCKETS)
+        parts.append(f"WHEN {b} < {cut} THEN '{name}'")
+    parts.append(f"ELSE '{items[-1][0]}' END")
+    return " ".join(parts)

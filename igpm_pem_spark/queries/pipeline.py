@@ -101,6 +101,18 @@ def _q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup(docs(spark, sf_dir), max_hamming=2)
 
 
+def _q_token_stats_bpe(spark, sf_dir):
+    from ..functions.text import token_stats_bpe
+
+    return token_stats_bpe(docs(spark, sf_dir))
+
+
+def _q_split_assign(spark, sf_dir):
+    from ..operators.sampling import split_by_hash
+
+    return split_by_hash(docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ..operators.similarity import cosine_topk
 
@@ -421,8 +433,39 @@ QUERIES = {
         _LSH_JACCARD_SQL.format(minhash=_minhash_select(), bands=_band_union()),
     ),
     "doc_simhash_near_dup": (_q_simhash_near_dup, _simhash_near_dup_sql()),
+    "doc_token_stats_bpe": (
+        _q_token_stats_bpe,
+        r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS l
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(l) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(l, x -> regexp_matches(x, '^[a-z0-9]+$')))
+                    AS INTEGER) AS n_alnum,
+               CAST(len(l) - len(list_filter(l, x -> regexp_matches(x, '^[a-z0-9]+$')))
+                    AS INTEGER) AS n_punct,
+               CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct
+        FROM t
+        """,
+    ),
+    "doc_split_assign": (
+        _q_split_assign,
+        None,  # replaced right below (needs the sampling module's builder)
+    ),
     "emb_cosine_topk": (_q_cosine_topk, _COSINE_TOPK_SQL),
     "emb_near_dup_pairs": (_q_near_dups, _NEAR_DUP_SQL),
     "emb_ann_lsh_topk": (_q_ann_lsh, _ann_topk_sql()),
     "emb_ann_near_dup": (_q_ann_near_dup, _ann_near_dup_sql()),
 }
+
+
+# hash-split oracle: the exact CASE expression split_by_hash evaluates
+from ..operators.sampling import split_case_sql as _split_case_sql  # noqa: E402
+
+QUERIES["doc_split_assign"] = (
+    _q_split_assign,
+    f"SELECT doc_id, {_split_case_sql('doc_id')} AS split FROM documents",
+)

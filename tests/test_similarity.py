@@ -58,3 +58,37 @@ def test_hyperplane_buckets_deterministic_across_partitionings(spark):
         .select("id", "tbl", "sig")
     )
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_split_by_hash_stable_and_stratified(spark):
+    """Dataset split: deterministic, append-stable, roughly matching the
+    requested proportions."""
+    from igpm_pem_spark.operators.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r.doc_id: r.split for r in split_by_hash(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_by_hash(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    # append-stability: assignments computed on a subset are identical
+    half = docs.where("doc_id < 250")
+    h = {r.doc_id: r.split for r in split_by_hash(half, "doc_id").collect()}
+    assert all(a[k] == v for k, v in h.items())
+    from collections import Counter
+
+    frac = Counter(a.values())
+    n = len(a)
+    assert 0.84 <= frac["train"] / n <= 0.96
+    assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_bpe_ish_tokens_shape(spark):
+    from igpm_pem_spark.functions.text import tokens_bpe_ish
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! It's x9.")], "doc_id BIGINT, text STRING"
+    )
+    toks = [r.token for r in tokens_bpe_ish(docs).orderBy("pos").collect()]
+    assert toks == ["hello", ",", "world", "!", "it", "'", "s", "x9", "."]
