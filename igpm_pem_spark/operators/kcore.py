@@ -1,0 +1,77 @@
+"""k-core decomposition — iterative peeling as a shrinking superstep loop.
+
+Not in the reference (its community notion is Louvain-for-scoping,
+``incremental/gray_incremental.py:92``), but a standard link-graph engine
+operator: the k-core is the maximal subgraph where every vertex has
+degree ≥ k (web-graph spam filtering, community pre-pruning). The loop is
+the engine's partial-execution shape in its purest form — each round
+recomputes degrees ONLY over the surviving subgraph, so work shrinks
+monotonically, and the edge table is re-materialized per round via
+localCheckpoint (same lineage-truncation discipline as the kernels).
+
+Scale notes: each round is one degree aggregation (O(E_alive) shuffle,
+repartition-then-aggregate like pagerank's ``_group_sum``) plus two
+semi-joins to drop peeled endpoints; rounds ≤ the peeling depth (tiny on
+real graphs). No collect beyond the per-round dropped-count scalar.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import simple_edges
+
+
+@dataclass
+class KCoreResult:
+    vertices: DataFrame  # (id) — members of the k-core
+    edges: DataFrame  # surviving symmetrized edges
+    rounds: int
+    converged: bool
+    peeled_per_round: list[int] = field(default_factory=list)
+
+
+def k_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> KCoreResult:
+    """Peel vertices with degree < k until stable; equals
+    ``networkx.k_core(g, k)`` (tests pin it)."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    e = (
+        simple_edges(edges, directed=False)
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    peeled: list[int] = []
+    converged = False
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = (
+            e.repartition(num_partitions, "src")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
+        drop_cnt = deg.where(F.col("deg") < k).count()
+        peeled.append(int(drop_cnt))
+        if drop_cnt == 0:
+            converged = True
+            break
+        e = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    verts = e.select(F.col("src").alias("id")).distinct()
+    return KCoreResult(verts, e, rounds, converged, peeled)

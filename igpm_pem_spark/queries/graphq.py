@@ -68,6 +68,16 @@ def _q_pagerank_fixed8(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
 
+def _q_kcore3(spark, sf_dir):
+    """3-core membership on the sparse graph — iterative peeling must
+    match the unrolled filter-chain oracle exactly."""
+    from ..operators.kcore import k_core
+
+    res = k_core(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=3)
+    assert res.converged and res.rounds < KCORE_ORACLE_ROUNDS
+    return res.vertices.select("id")
+
+
 def _q_rwr_seeded_fixed8(spark, sf_dir):
     """Seeded RWR, 8 fixed rounds — the reference's proximity primitive
     (rwr.py:149-180; restart 0.7 ⇔ alpha 0.3) with the restart vector on
@@ -118,6 +128,29 @@ def _q_pagerank_converged(spark, sf_dir):
         steps_per_commit=5,
     )
     return res.ranks.select("id", F.round("rank", 6).alias("rank6"))
+
+
+# k-core oracle: an unrolled peel chain (each round = degree filter +
+# edge restriction). The kernel asserts it converged in fewer rounds, so
+# the fixed unroll is exact, not an approximation.
+KCORE_ORACLE_ROUNDS = 20
+
+
+def _kcore_sql(k: int, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    # each e{r} is referenced twice by round r+1 — MATERIALIZED stops
+    # DuckDB from inlining the chain into 2^rounds scans
+    parts = [", e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r} AS MATERIALIZED (
+  SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN a{r} x ON x.id = e.src JOIN a{r} y ON y.id = e.dst
+)"""
+        )
+    parts.append(f" SELECT DISTINCT src AS id FROM e{rounds}")
+    return "".join(parts)
 
 
 # Hash-min CTE bound: must exceed the min-label propagation diameter of
@@ -225,6 +258,10 @@ QUERIES = {
             G_PARTS_SQL,
             recursive=True,
         ),
+    ),
+    "kcore3_vertices": (
+        _q_kcore3,
+        _with_g(_kcore_sql(3), G_SPARSE_SQL),
     ),
     "rwr_seeded_fixed8": (
         _q_rwr_seeded_fixed8,

@@ -160,6 +160,23 @@ def test_degree_oriented_triangles_equal_plain(spark, graph):
     assert triangle_count_degree_oriented(edges) == total_want
 
 
+@pytest.mark.parametrize("graph,k", [("test1", 2), ("ba100", 3), ("ba100", 5), ("two_comp", 2)])
+def test_kcore_matches_networkx(spark, graph, k):
+    from igpm_pem_spark.operators.kcore import k_core
+
+    edges, pairs, _ = _pairs(graph, spark)
+    res = k_core(spark, edges, k)
+    assert res.converged
+    got = {r.id for r in res.vertices.collect()}
+    g = nx_graph(pairs)
+    g.remove_edges_from(nx.selfloop_edges(g))
+    want = set(nx.k_core(g, k).nodes())
+    assert got == want
+    # peeling strictly shrinks until stable
+    assert res.peeled_per_round[-1] == 0
+    assert all(p >= 0 for p in res.peeled_per_round)
+
+
 def test_star_count_matches_reference_rule(spark):
     # reference counts vertices with degree >= 4 as 5-node stars
     # (gray_incremental.py:194,202)
