@@ -154,6 +154,28 @@ def _q_temporal_bucket(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Per-user sessionization with a 30-minute inactivity gap — Spark's
+    built-in ``session_window`` (the streaming-native stateful op, usable
+    identically on a stream with a watermark). Oracle: the classic
+    lag/gap-flag/cumulative-sum rewrite."""
+    register(spark, sf_dir)
+    e = spark.table("events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def _q_condition_expr(spark, sf_dir):
     """P6: the reference's boolean/arithmetic condition grammar compiled
     to a Catalyst expression (ConditionParser.py:20-54) — evaluated here
@@ -261,6 +283,29 @@ QUERIES = {
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                round(sum(value), 4) AS total_value
         FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+        """,
+    ),
+    "rel_sessionize": (
+        _q_sessionize,
+        """
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 -- new session when the gap reaches 30 min (session_window's
+                 -- end is exclusive: next >= prev + gap starts a new one)
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        -- floor, not cast: Spark's unix_timestamp truncates sub-second parts
+        SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM sess GROUP BY user_id, sid
         """,
     ),
     "rel_condition_expr": (
