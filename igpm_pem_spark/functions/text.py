@@ -154,6 +154,25 @@ def token_id(col: str | "F.Column" = "token"):
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % F.lit(P)
 
 
+def top_tokens(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, n_occurrences, n_docs) for the k most frequent tokens,
+    deterministic tie-break by token — corpus heavy hitters (stopword
+    discovery / vocab pruning). One aggregation over the exploded tokens;
+    the top-k is a single-partition sort of the (tiny) aggregate, not of
+    the data."""
+    t = tokens(docs, id_col, text_col)
+    agg = t.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
 def vocab(token_df: DataFrame, method: str = "hash") -> DataFrame:
     """(token, tid) for each distinct token.
 

@@ -101,6 +101,12 @@ def _q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup(docs(spark, sf_dir), max_hamming=2)
 
 
+def _q_top_tokens(spark, sf_dir):
+    from ..functions.text import top_tokens
+
+    return top_tokens(docs(spark, sf_dir), k=20)
+
+
 def _q_token_stats_bpe(spark, sf_dir):
     from ..functions.text import token_stats_bpe
 
@@ -433,6 +439,16 @@ QUERIES = {
         _LSH_JACCARD_SQL.format(minhash=_minhash_select(), bands=_band_union()),
     ),
     "doc_simhash_near_dup": (_q_simhash_near_dup, _simhash_near_dup_sql()),
+    "doc_top_tokens": (
+        _q_top_tokens,
+        _TOK_CTE
+        + """
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM tok GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC LIMIT 20
+        """,
+    ),
     "doc_token_stats_bpe": (
         _q_token_stats_bpe,
         r"""
