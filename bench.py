@@ -90,6 +90,22 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
     meta["ingest_files"] = scale * 50
     meta["ingest_edges"] = n_parsed
     meta["ingest_edges_per_sec"] = n_parsed / timings["ingest"]
+
+    # MinHash-LSH dedup over the same corpus as a documents table —
+    # exercises tokenize → inline hash tids → signatures → band self-join
+    # at a size that scales with the sf dir (the fixed 500-row documents
+    # parquet would not)
+    from igpm_pem_spark.operators.dedup import lsh_candidate_pairs
+
+    corpus = rf.select(
+        F.xxhash64("repo", "path").alias("doc_id"), F.col("content").alias("text")
+    )
+    t0 = time.time()
+    n_pairs = lsh_candidate_pairs(corpus).count()
+    timings["dedup_lsh"] = time.time() - t0
+    meta["dedup_docs"] = scale * 50
+    meta["dedup_candidate_pairs"] = int(n_pairs)
+    meta["dedup_docs_per_sec"] = scale * 50 / timings["dedup_lsh"]
     rf.unpersist()
 
     dense.unpersist()
