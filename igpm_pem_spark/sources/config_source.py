@@ -58,10 +58,22 @@ def load_query_config(path: str) -> QueryConfig:
 
 def run_query_config(spark: SparkSession, path: str) -> DataFrame:
     """Load the config, read its node-link graph, run the pattern match
-    (one row per distinct match) — the S8 end-to-end entry point."""
+    (one row per distinct match) — the S8 end-to-end entry point.
+
+    ``steps > 1`` selects the reference's dynamic mode
+    (``run_query_step``, ``incremental/query_call.py:180-258``): edges'
+    ``ts`` (the JSON ``add`` attribute) buckets replay through the
+    incremental matcher — per step only matches touching new edges are
+    enumerated — landing on the same result set as a batch run."""
+    from ..operators.incremental import incremental_pattern_match
     from ..plans.pattern import match_pattern
     from .node_link import load_node_link
 
     cfg = load_query_config(path)
     vertices, edges, _directed = load_node_link(spark, cfg.input_json)
+    if cfg.steps > 1:
+        res = incremental_pattern_match(
+            spark, vertices, edges, cfg.query, base_steps=cfg.base_steps
+        )
+        return res.state
     return match_pattern(spark, vertices, edges, cfg.query)

@@ -116,6 +116,35 @@ def test_ini_config_source_runs_query(spark, tmp_path):
     assert run_query_config(spark, str(ini)).count() == 2
 
 
+def test_ini_config_dynamic_steps_replay(spark, tmp_path):
+    """steps > 1 drives the incremental matcher over the ts ('add')
+    buckets; the final match set equals the batch run on the full graph
+    (reference run_query_step, incremental/query_call.py:180-258)."""
+    import json
+
+    from igpm_pem_spark.sources.config_source import run_query_config
+    from igpm_pem_spark.sources.fixtures import GRAPHS
+
+    g = GRAPHS["dynamic_test1"]
+    gfile = tmp_path / "dyn.json"
+    gfile.write_text(
+        json.dumps(
+            {"directed": False, "graph": {}, "multigraph": False,
+             "nodes": g["nodes"], "links": g["links"]}
+        )
+    )
+    ini = tmp_path / "dyn.ini"
+    ini.write_text(
+        "[G-Ray]\n"
+        f"input_json = {gfile}\n"
+        "base_steps = 1\nsteps = 3\n"
+        "query = --vertex a b c --edge x:a:b y:b:c z:c:a\n"
+    )
+    out = run_query_config(spark, str(ini))
+    # final graph = test1 → exactly the 2 triangles, found incrementally
+    assert out.count() == 2
+
+
 def test_generator_fixtures(spark):
     from igpm_pem_spark.sources.fixtures import (
         powerlaw_cluster_graph,
