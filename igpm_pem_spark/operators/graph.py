@@ -93,9 +93,15 @@ def salted_count(
     # or drop. Hashing every column is stable under recomputation; rows
     # that are full duplicates share a salt, which only matters if one
     # key's rows are ALL identical (then salting degenerates to 1 reducer
-    # for that key — same as unsalted, still correct).
+    # for that key — same as unsalted, still correct). Map columns are
+    # excluded: Spark's hash functions reject MapType (map equality is
+    # undefined), and a props map adds no salt entropy beyond the rest of
+    # the row anyway.
+    hashable = [
+        f.name for f in df.schema.fields if not f.dataType.typeName().startswith("map")
+    ] or [key]
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias(out))

@@ -290,7 +290,13 @@ def match_pattern(
                 "delta_edges is unsupported for --path queries: a new edge "
                 "can extend a hop closure anywhere; recompute in full"
             )
-        df = None
+        if q.edges:
+            df = None
+        else:
+            # a vertex-only query gains no new matches from new edges —
+            # reuse the batch plan's schema with an always-false filter
+            # (no job runs on the empty plan)
+            df = join_chain(rel).where(F.lit(False))
         for i in range(len(q.edges)):
             relf = (
                 lambda e, _pin=q.edges[i]: rel_new(e) if e is _pin else rel(e)

@@ -74,7 +74,15 @@ def _q_kcore3(spark, sf_dir):
     from ..operators.kcore import k_core
 
     res = k_core(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=3)
-    assert res.converged and res.rounds < KCORE_ORACLE_ROUNDS
+    if not (res.converged and res.rounds < KCORE_ORACLE_ROUNDS):
+        # RuntimeError, not assert: the guard protects ORACLE validity (the
+        # unrolled peel chain is exact only past the peeling depth) and must
+        # survive python -O
+        raise RuntimeError(
+            f"k-core peeling took {res.rounds} rounds (converged="
+            f"{res.converged}); the {KCORE_ORACLE_ROUNDS}-round unrolled "
+            "oracle would silently diverge — raise KCORE_ORACLE_ROUNDS"
+        )
     return res.vertices.select("id")
 
 

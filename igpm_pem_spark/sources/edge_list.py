@@ -33,6 +33,10 @@ def load_edge_list(
         .schema("src BIGINT, dst BIGINT")
         .csv(path)
         .withColumn("_ord", F.monotonically_increasing_id())
+        # pin the scan BEFORE the count job: the offset map below is only
+        # valid against the exact file splits it was computed from, and an
+        # uncached re-scan is not contractually obliged to reproduce them
+        .localCheckpoint(eager=True)
     )
     # global row number via partition-local arithmetic: mid = (pid << 33) +
     # local_index with local indexes contiguous from 0, so one small count
@@ -57,8 +61,21 @@ def load_edge_list(
     off_map = (
         F.create_map(*pairs) if pairs else F.create_map().cast("map<bigint,bigint>")
     )
+    # a pid absent from the offset map means the scan diverged from the
+    # count job's view of it — fail loudly instead of emitting null ts
+    rn_raw = F.element_at(off_map, pid.cast("bigint"))
     edges = raw.withColumn(
-        "rn", F.element_at(off_map, pid.cast("bigint")) + local
+        "rn",
+        F.when(
+            rn_raw.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("edge-list partition "),
+                    pid.cast("string"),
+                    F.lit(" missing from the row-offset map"),
+                )
+            ).cast("bigint"),
+        ).otherwise(rn_raw + local),
     ).select(
         "src",
         "dst",

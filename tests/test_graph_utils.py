@@ -49,6 +49,17 @@ def test_salted_count_equals_plain_groupby(spark):
     assert got == want
 
 
+def test_salted_count_tolerates_map_columns(spark):
+    # vertices carry a props map; Spark hash functions reject MapType, so
+    # the salt must be derived from the non-map columns only
+    df = spark.createDataFrame(
+        [(i % 3, {"k": str(i)}) for i in range(30)],
+        "k BIGINT, props MAP<STRING,STRING>",
+    )
+    got = {r.k: r.cnt for r in salted_count(df, "k", n_salts=4).collect()}
+    assert got == {0: 10, 1: 10, 2: 10}
+
+
 def test_bin_pack_components(spark):
     sizes = spark.createDataFrame(
         [(1, 100), (2, 90), (3, 50), (4, 40), (5, 10), (6, 5)],

@@ -270,3 +270,17 @@ def test_condition_compiler_semantics(spark):
     # row1: a>7 F...  (7>7 F) OR (5*2-6==4 T) -> T; row2: (8>7 T AND 9<8 F)
     # OR (2*2-6==4 F) -> F; row3: F OR (5*2-6==4 T) -> T
     assert {(r.x_a, r.x_b, r.x_c) for r in got} == {(7.0, 5.0, 5.0), (1.0, 1.0, 5.0)}
+
+
+def test_delta_mode_vertex_only_query_returns_empty(spark):
+    # a query with vertices but no edges can gain no new matches from a
+    # bucket — delta mode must return an empty frame, not crash
+    from pyspark.sql import functions as F
+
+    verts, edges, _ = fixture_graph(spark, "test1")
+    q = parse_query_args("--vertex a --vertexlabel a:cyan")
+    bucket = edges.limit(1)
+    out = match_pattern(spark, verts, edges, q, delta_edges=bucket)
+    assert out.count() == 0
+    # batch mode on the same query still enumerates candidates
+    assert match_pattern(spark, verts, edges, q).count() > 0
