@@ -27,16 +27,17 @@ from ._superstep import commit_and_stats, edge_partition_counts
 from .graph import partitioned_adjacency, vertex_ids
 
 
-def _cc_step(state: DataFrame, adj: DataFrame) -> DataFrame:
+def _cc_step(state: DataFrame, adj: DataFrame, n_parts: int | None = None) -> DataFrame:
     # only vertices that improved last round can improve a neighbor
     frontier = state.where("changed").select(
         F.col("id").alias("src"), F.col("component").alias("cand")
     )
     raw = adj.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
     # repartition-then-min: avoids V×P map-side combine output (see
-    # pagerank._group_sum)
+    # pagerank._group_sum); layout pinned to the adjacency's partition
+    # count, not the session shuffle default (pagerank.py does the same)
     msgs = (
-        raw.repartition("dst")
+        (raw.repartition(n_parts, "dst") if n_parts else raw.repartition("dst"))
         .groupBy(F.col("dst").alias("id"))
         .agg(F.min("cand").alias("cand"))
     )
@@ -98,7 +99,7 @@ def connected_components(
         block = min(steps_per_commit, max_iter - step)
         new_state, intermediates = state, []
         for b in range(block):
-            new_state = _cc_step(new_state, adj)
+            new_state = _cc_step(new_state, adj, num_partitions)
             if b < block - 1:
                 new_state = new_state.persist()  # keep unrolled plan linear
                 intermediates.append(new_state)

@@ -160,6 +160,7 @@ def _pagerank_warm(spark, cum_edges, prev_ranks, directed, alpha, tol, num_parti
             init.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
         "c",
+        num_partitions,
     )
     target = (
         init.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
@@ -211,7 +212,8 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions):
         new_state = state
         for _ in range(3):
             new_state = _delta_step(
-                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps
+                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps,
+                num_partitions,
             )
         step += 3
         state, delta, _ = commit_and_stats(
@@ -349,7 +351,7 @@ def incremental_components(
                 t1 = time.time()
                 new_state = state
                 for _ in range(2):
-                    new_state = _cc_step(new_state, adj)
+                    new_state = _cc_step(new_state, adj, num_partitions)
                 supersteps += 2
                 state, delta, _ = commit_and_stats(
                     log, supersteps - 1, new_state,

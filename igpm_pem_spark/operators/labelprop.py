@@ -31,14 +31,15 @@ from ._superstep import commit_and_stats, edge_partition_counts
 from .graph import partitioned_adjacency, vertex_ids
 
 
-def _lpa_step(state: DataFrame, adj: DataFrame) -> DataFrame:
+def _lpa_step(state: DataFrame, adj: DataFrame, n_parts: int | None = None) -> DataFrame:
     raw = adj.join(
         state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"), "src"
     ).select("dst", "label")
     # repartition-then-count: (dst,label) keys have near-edge cardinality,
-    # so map-side combine buys nothing and costs V×P (pagerank._group_sum)
+    # so map-side combine buys nothing and costs V×P (pagerank._group_sum);
+    # layout pinned to the adjacency's partition count (pagerank.py ditto)
     hist = (
-        raw.repartition("dst")
+        (raw.repartition(n_parts, "dst") if n_parts else raw.repartition("dst"))
         .groupBy(F.col("dst").alias("id"), "label")
         .agg(F.count("*").alias("cnt"))
     )
@@ -103,7 +104,7 @@ def label_propagation(
         block = min(steps_per_commit, max_iter - step)
         new_state, intermediates = state, []
         for b in range(block):
-            new_state = _lpa_step(new_state, adj)
+            new_state = _lpa_step(new_state, adj, num_partitions)
             if b < block - 1:
                 new_state = new_state.persist()  # keep unrolled plan linear
                 intermediates.append(new_state)

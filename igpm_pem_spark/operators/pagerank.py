@@ -61,14 +61,12 @@ class PageRankResult:
 def _adjacency_with_degree(edges: DataFrame, directed: bool, num_partitions: int) -> DataFrame:
     adj = partitioned_adjacency(edges, num_partitions, directed=directed)
     # degree via partition-local window: adj is already hash-partitioned by
-    # src, so this sorts within partitions instead of joining (no shuffle)
-    out = adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
-    # pin the layout on the DataFrame so every superstep's message
-    # aggregation shuffles to the SAME partition count as the adjacency —
+    # src, so this sorts within partitions instead of joining (no shuffle).
+    # Every step function receives num_partitions EXPLICITLY so the message
+    # aggregation shuffles to the SAME partition count as this adjacency —
     # not whatever spark.sql.shuffle.partitions happens to be (at 1e9+
-    # edges a mismatched session default re-buckets V rows every superstep)
-    out._igpm_nparts = num_partitions
-    return out
+    # edges a mismatched session default re-buckets V rows every superstep).
+    return adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
 
 
 def _personalization_df(spark: SparkSession, personalization) -> DataFrame:
@@ -251,7 +249,10 @@ def pagerank(
         block = min(steps_per_commit, max_iter - step)
         new_state, intermediates = state, []
         for b in range(block):
-            new_state = runner(new_state, adj, dangling, n_dangling, n, alpha, frontier_eps)
+            new_state = runner(
+                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps,
+                num_partitions,
+            )
             if b < block - 1:
                 # lazy persist: each sub-step's state is referenced by
                 # several operators of the next one — caching keeps the
@@ -315,6 +316,7 @@ def _run_exact_undirected(
                 s.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
             ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
             "c",
+            num_partitions,
         )
         return contribs.select(
             F.col("dst").alias("id"),
@@ -410,7 +412,7 @@ def _group_sum(msgs: DataFrame, val: str, n_parts: int | None = None) -> DataFra
     return rep.groupBy("dst").agg(F.sum(val).alias(val))
 
 
-def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
+def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_parts) -> DataFrame:
     # shuffle_hash on the (small) state side: the cached adjacency's hash
     # partitioning is reused (zero exchange on the big side) and the hash
     # build parallelizes per partition — broadcasting a 1e9-row rank vector
@@ -421,7 +423,7 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
             state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
         "c",
-        getattr(adj, "_igpm_nparts", None),
+        n_parts,
     )
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -443,7 +445,7 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> Dat
 
 
 def _personalized_exact_step(
-    state, adj, dangling, n_dangling, n, alpha, frontier_eps
+    state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_parts
 ) -> DataFrame:
     """Exact RWR power iteration: state carries the restart weight ``p``;
     restart AND dangling mass land ∝ p (NetworkX personalized semantics,
@@ -453,7 +455,7 @@ def _personalized_exact_step(
             state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
         "c",
-        getattr(adj, "_igpm_nparts", None),
+        n_parts,
     )
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -475,7 +477,7 @@ def _personalized_exact_step(
 
 
 def _personalized_delta_step(
-    state, adj, dangling, n_dangling, n, alpha, frontier_eps
+    state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_parts
 ) -> DataFrame:
     """Residual push for seeded RWR — linearity makes the delta kernel
     identical to the uniform one except restart/dangling mass scale by p."""
@@ -485,7 +487,7 @@ def _personalized_delta_step(
             active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
         "m",
-        getattr(adj, "_igpm_nparts", None),
+        n_parts,
     )
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
@@ -506,14 +508,14 @@ def _personalized_delta_step(
     )
 
 
-def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps) -> DataFrame:
+def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_parts) -> DataFrame:
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
     msgs = _group_sum(
         adj.join(
             active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
         ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
         "m",
-        getattr(adj, "_igpm_nparts", None),
+        n_parts,
     )
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:

@@ -97,7 +97,7 @@ def components_stream(
             t1 = _t.time()
             ns = st
             for _ in range(2):
-                ns = _cc_step(ns, adj)
+                ns = _cc_step(ns, adj, num_partitions)
             supersteps += 2
             st, delta, _ = commit_and_stats(
                 log, supersteps - 1, ns,

@@ -37,13 +37,48 @@ def test_pagerank_step_never_broadcasts_state(spark):
     state = verts.select(
         "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
     ).localCheckpoint(eager=True)
-    plan = _explain(_exact_step(state, adj, None, 0, n, 0.85, 1e-9))
+    plan = _explain(_exact_step(state, adj, None, 0, n, 0.85, 1e-9, 4))
     # the rank-vector side must come in via a shuffled hash join — a
     # broadcast of per-vertex state cannot scale to 1e9 vertices, and its
     # single-threaded build also flattens core scaling (measured)
     assert "ShuffledHashJoin" in plan
     # adjacency is served from cache, not regenerated
     assert "InMemoryTableScan" in plan
+    adj.unpersist()
+
+
+def test_message_agg_layout_pinned_to_adjacency_partitions(spark):
+    """The post-join message Exchange must use the ADJACENCY's partition
+    count in every kernel (PR, CC, LPA), not the session shuffle default —
+    a mismatched default re-buckets V rows every superstep at scale. Built
+    with 3 partitions (≠ the session's 4) so the pin is observable."""
+    import re
+
+    from igpm_pem_spark.operators.components import _cc_step
+    from igpm_pem_spark.operators.labelprop import _lpa_step
+    from igpm_pem_spark.operators.pagerank import _exact_step
+
+    edges = synthetic_edges(spark, 500, 3000)
+    adj = _adjacency_with_degree(edges, False, 3).persist()
+    adj.count()
+    verts = vertex_ids(adj)
+    n = verts.count()
+    pr_state = verts.select(
+        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    cc_state = verts.select(
+        "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+    ).localCheckpoint(eager=True)
+    lpa_state = verts.select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+    ).localCheckpoint(eager=True)
+    for step_df in (
+        _exact_step(pr_state, adj, None, 0, n, 0.85, 1e-9, 3),
+        _cc_step(cc_state, adj, 3),
+        _lpa_step(lpa_state, adj, 3),
+    ):
+        plan = _explain(step_df)
+        assert re.search(r"hashpartitioning\(dst#\d+L?, 3\)", plan), plan[:2000]
     adj.unpersist()
 
 
