@@ -203,7 +203,19 @@ def match_pattern(
                 )
         return c.select(*cols)
 
-    cand_counts = {s: cand(s).count() for s in q.vertices}
+    # selectivity map in ONE job: a per-symbol cand(s).count() would run
+    # |symbols| vertex scans before planning; the label histogram yields
+    # every symbol's candidate count at once (prop projection never
+    # changes cardinality, so histogram counts == cand(s).count())
+    label_counts = {
+        r["label"]: int(r["n"])
+        for r in vertices.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    total_verts = sum(label_counts.values())
+    cand_counts = {
+        s: (label_counts.get(lbl, 0) if lbl else total_verts)
+        for s, lbl in q.vertices.items()
+    }
 
     # edge relation per query edge: label-filtered, direction handled,
     # parallel same-label edges collapsed ((src,dst,label) identity)

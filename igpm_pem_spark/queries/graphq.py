@@ -32,8 +32,9 @@ def _q_degree_distribution(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    # engine default = degree-oriented (hub-safe); the id-ordered a<b plan
-    # stays the DuckDB-mirrorable spec and tests pin their equality
+    # engine default = adaptive (degree probe picks id-ordered when no hub,
+    # degree-oriented otherwise); the id-ordered a<b plan stays the
+    # DuckDB-mirrorable spec and tests pin all plans equal
     from ..operators.triangles import triangle_count
 
     n = triangle_count(edges(spark, sf_dir, G_SPARSE_SQL))

@@ -191,3 +191,22 @@ def test_degrees_match_networkx(spark):
     g = nx_graph(pairs)
     got = {r.id: r.degree for r in degrees(edges).collect()}
     assert got == dict(g.degree())
+
+
+@pytest.mark.parametrize("graph", ["test1", "ba100", "two_comp"])
+def test_triangle_plans_all_agree(spark, graph):
+    edges, pairs, _ = _pairs(graph, spark)
+    _, total_want = triangles_oracle(pairs)
+    for plan in ("adaptive", "id_ordered", "degree_oriented"):
+        assert triangle_count(edges, plan=plan) == total_want, plan
+
+
+def test_adaptive_triangle_probe_handles_hub(spark):
+    # star graph: hub degree n-1 ≫ sqrt(E) → adaptive must take the
+    # degree-oriented path and still count 0 triangles; add one closing
+    # edge → 1 triangle
+    from tests.conftest import edges_df
+
+    star = [(0, i) for i in range(1, 200)]
+    assert triangle_count(edges_df(spark, star)) == 0
+    assert triangle_count(edges_df(spark, star + [(1, 2)])) == 1

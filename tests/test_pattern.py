@@ -284,3 +284,30 @@ def test_delta_mode_vertex_only_query_returns_empty(spark):
     assert out.count() == 0
     # batch mode on the same query still enumerates candidates
     assert match_pattern(spark, verts, edges, q).count() > 0
+
+
+def test_pattern_planner_runs_single_selectivity_job(spark, monkeypatch):
+    # planning must trigger exactly ONE driver action (the label
+    # histogram), not one candidate count per query symbol
+    verts, edges, _ = fixture_graph(spark, "test1")
+    q = parse_query_args(
+        "--vertex a b c d --edge x:a:b y:b:c z:c:d --vertexlabel a:cyan"
+    )
+    actions = {"collect": 0, "count": 0}
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides collect/count, so patching the base would miss)
+    cls = type(verts)
+    orig_collect, orig_count = cls.collect, cls.count
+
+    def counting_collect(self):
+        actions["collect"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        actions["count"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    monkeypatch.setattr(cls, "count", counting_count)
+    match_pattern(spark, verts, edges, q)  # plan construction only
+    assert actions == {"collect": 1, "count": 0}
