@@ -77,9 +77,16 @@ def lsh_candidate_pairs(
         for r in range(ROWS_PER_BAND):
             key = key * F.lit(P) + F.col(f"mh{lo + r}")
         band_cols.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # persist: the band-bucket relation is referenced twice (rows + the
+    # size histogram) and would otherwise re-derive the whole tokenize →
+    # minhash chain per reference — at corpus scale that doubles the most
+    # expensive scans (the self-join below then reads it twice more from
+    # cache instead of recomputing)
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        .persist()
+    )
     # cap degenerate buckets (hub protection — the dedup analogue of the
     # kernels' skew salting)
     sized = buckets.join(
@@ -190,8 +197,12 @@ def lsh_jaccard_pairs(
     verifies them, keeping pairs with jaccard ≥ threshold. No quadratic
     stage: candidates come only from the (bucket-capped) band self-join,
     and the verify step is two joins keyed on doc id + ngram."""
-    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket)
-    g = word_ngrams(docs, n, id_col, text_col)
+    # persist the shared subplans: pairs feeds 3 joins, the n-gram relation
+    # feeds ga/gb/sizes — without the cache each reference re-runs the full
+    # tokenize→ngram (and tokenize→minhash→band) chain, tripling the most
+    # expensive scans at corpus scale
+    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket).persist()
+    g = word_ngrams(docs, n, id_col, text_col).persist()
     ga = g.select(F.col("doc_id").alias("doc_a"), "ngram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "ngram")
     inter = (

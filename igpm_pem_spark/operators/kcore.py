@@ -56,15 +56,20 @@ def k_core(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        # persist: deg feeds both the drop-count action and the two keep
+        # semi-joins; without the cache the degree aggregation runs twice
+        # per peel round over the surviving edges
         deg = (
             e.repartition(num_partitions, "src")
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
+            .persist()
         )
         keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
         drop_cnt = deg.where(F.col("deg") < k).count()
         peeled.append(int(drop_cnt))
         if drop_cnt == 0:
+            deg.unpersist()
             converged = True
             break
         e = (
@@ -73,5 +78,6 @@ def k_core(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        deg.unpersist()  # e is materialized; the round's cache can go
     verts = e.select(F.col("src").alias("id")).distinct()
     return KCoreResult(verts, e, rounds, converged, peeled)

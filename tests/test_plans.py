@@ -100,6 +100,23 @@ def test_dedup_plans_have_no_single_partition_exchange(spark):
         assert "rangepartitioning" not in plan.lower(), build.__name__
 
 
+def test_lsh_jaccard_shares_subplans_via_cache(spark):
+    """The verify-join must read the candidate-pair and n-gram relations
+    from cache (single evaluation), not re-derive the tokenize→minhash→
+    band chain once per reference."""
+    from igpm_pem_spark.operators.dedup import lsh_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lsh_jaccard_pairs(docs, threshold=0.5)
+    plan = _explain(out)
+    assert "InMemoryTableScan" in plan
+    # no uncached re-derivation: every tokenizer invocation in the final
+    # plan must sit under a cached subtree, so the text column is read
+    # from parquet only inside InMemoryRelation builds, not the main plan
+    main = plan.split("InMemoryRelation", 1)[0]
+    assert "documents.parquet" not in main
+
+
 def test_condition_compiles_without_python_udf(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x_a DOUBLE, x_b DOUBLE")
     q = df.where(compile_condition("x.a * 2 - 1 > 0 AND NOT x.b == 5"))
