@@ -10,10 +10,14 @@ communities around the new edges (``incremental/query_call.py:180-258``,
 Our realization (O2/O3 in SURVEY.md §4) replaces the heuristic community
 scope with the exact/delta frontier the kernels already have:
 
-* PageRank — ranks carry over; one full residual pass on the updated graph
-  re-seeds per-vertex deltas (the affected set falls out as |Δ| > ε), then
-  frontier-restricted supersteps converge. Work per step is proportional
-  to the perturbation, not the graph.
+* PageRank — ranks carry over; residuals are seeded ONLY where they can be
+  nonzero. The carried ranks satisfy the previous graph's fixpoint
+  equation, so at any vertex whose in-contributions didn't change the
+  residual is exactly the uniform base shift (zero when V is unchanged);
+  correction messages are generated solely from edges whose source's
+  out-degree changed — i.e. from the delta bucket's endpoints. The seed
+  join therefore shuffles O(edges incident to the perturbation), not O(E),
+  and the delta frontier starts at the perturbation instead of everywhere.
 * Connected components — the previous fixpoint stays valid except where
   new edges merge components: seed ``changed`` at new-edge endpoints only
   and rerun to fixpoint. Exact.
@@ -83,6 +87,8 @@ def incremental_pagerank(
 
     result = IncrementalResult(state=None)
     prev_ranks: DataFrame | None = None
+    prev_n, prev_dm = 0, 0.0
+    prev_cut: int | None = None
     for si, cut in enumerate(steps):
         if si < base_steps - 1:
             continue
@@ -97,9 +103,13 @@ def incremental_pagerank(
                 spark, cum, directed=directed, alpha=alpha, tol=tol,
                 mode="delta", num_partitions=num_partitions, steps_per_commit=5,
             )
+            prev_n, prev_dm = _graph_consts(res.ranks, cum, directed)
         else:
-            res = _pagerank_warm(
-                spark, cum, prev_ranks, directed, alpha, tol, num_partitions
+            bucket = edges.where(F.col(ts_col) == cut)
+            prev_cum = edges.where(F.col(ts_col) <= prev_cut)
+            res, prev_n, prev_dm = _pagerank_warm(
+                spark, cum, bucket, prev_cum, prev_ranks, prev_n, prev_dm,
+                directed, alpha, tol, num_partitions,
             )
         wall = time.time() - t0
         m = cum.count()
@@ -116,82 +126,155 @@ def incremental_pagerank(
             metrics.n_stars = star_count(cum, 4)
         result.steps.append(metrics)
         prev_ranks = res.ranks.localCheckpoint(eager=True)
+        prev_cut = cut
     result.state = prev_ranks
     return result
 
 
-def _pagerank_warm(spark, cum_edges, prev_ranks, directed, alpha, tol, num_partitions):
-    """One exact residual pass on the updated graph seeds the delta state;
-    then delta-mode frontier supersteps finish the job. New vertices start
-    at the uniform base; carried ranks are renormalized against the new n."""
-    from .pagerank import PageRankResult, _adjacency_with_degree
+def _graph_consts(ranks: DataFrame, edges: DataFrame, directed: bool) -> tuple[int, float]:
+    """(n, dangling_mass) of a converged rank vector on its graph — the
+    scalars the next warm start needs to seed the uniform base shift."""
+    n = ranks.count()
+    if not directed:
+        return n, 0.0
+    srcs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    dm = (
+        ranks.join(srcs, "id", "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .first()[0]
+    )
+    return n, float(dm)
+
+
+def _sym_pairs(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return e
+
+
+def _pagerank_warm(
+    spark, cum_edges, bucket_edges, prev_edges, prev_ranks, prev_n, prev_dm,
+    directed, alpha, tol, num_partitions,
+):
+    """Perturbation-proportional warm start.
+
+    The carried ranks satisfy the PREVIOUS graph's fixpoint equation
+    r = (1-α)/n₀ + α(A₀r + dm₀/n₀) up to the previous run's tolerance, so
+    the residual against the NEW graph decomposes exactly:
+
+        δ_v = c_base(v) + α · corr_v
+
+    where ``c_base`` is a per-vertex CONSTANT (the uniform base/dangling
+    shift — zero when neither V nor the dangling mass changed) and
+    ``corr_v`` sums contribution changes from in-neighbors whose
+    out-degree changed — i.e. only from vertices incident to the bucket.
+    The seed therefore joins the (tiny) affected-source set against the
+    cached adjacency and the previous edge slice; no whole-graph
+    contribution pass (the round-2 version's O(E) message shuffle per
+    bucket). Inherits ≤ O(tol) extra error from the carried residue —
+    the same order as the convergence tolerance itself.
+
+    Returns (PageRankResult, n_new, dm_new) — the scalars carried to the
+    next bucket. The result gains a ``seed_active`` attribute: the number
+    of vertices seeded with |δ| > frontier_eps (the evidence that seeding
+    work is perturbation-proportional, asserted by tests).
+    """
+    from .pagerank import _adjacency_with_degree
 
     adj = _adjacency_with_degree(cum_edges, directed, num_partitions).persist()
     verts = vertex_ids(adj)
     n = verts.count()
-    base = (1.0 - alpha) / n
-    # carried state: previous rank where known, uniform base for new ids
-    init = (
-        verts.join(prev_ranks.withColumnRenamed("rank", "prev"), "id", "left")
-        .select("id", F.coalesce(F.col("prev"), F.lit(1.0 / n)).alias("rank"))
+
+    # affected sources: endpoints of the bucket as message SENDERS under
+    # the kernel's orientation (both directions when symmetrized)
+    U = _sym_pairs(bucket_edges, directed).select("src").distinct()
+    ranks_u = (
+        prev_ranks.withColumnRenamed("id", "src").join(U, "src", "left_semi")
     )
-    total = float(init.agg(F.sum("rank")).first()[0])
-    init = init.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
-    # dangling mass (directed graphs only — symmetrized ones can't dangle):
-    # carried ranks sitting on sink vertices must be respread uniformly in
-    # the residual target, exactly as the batch kernel's _exact_step does,
-    # or the warm start silently drops rank mass and diverges from batch.
+
+    # new-side contributions of affected sources (adjacency is cached and
+    # already carries deg; semi-join keeps only U's edges)
+    t1 = (
+        adj.join(U, "src", "left_semi")
+        .join(F.broadcast(ranks_u), "src")
+        .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+    )
+    # old-side contributions: U's edges in the previous slice, degree
+    # recomputed over that slice only (filter BEFORE dedup so the shuffle
+    # is proportional to edges incident to U, not E)
+    pe_u = (
+        _sym_pairs(prev_edges, directed)
+        .join(U, "src", "left_semi")
+        .dropDuplicates(["src", "dst"])
+    )
+    deg_old = pe_u.groupBy("src").agg(F.count("*").alias("dold"))
+    t2 = (
+        pe_u.join(deg_old, "src")
+        .join(F.broadcast(ranks_u), "src")
+        .select("dst", (-F.col("rank") / F.col("dold")).alias("c"))
+    )
+    corr = (
+        t1.unionByName(t2)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("c").alias("c"))
+    )
+
+    # uniform base/dangling shift (scalars; zero-zero when V and the
+    # dangling mass are unchanged — the common intra-graph bucket)
     if directed:
-        dangling_ids = verts.join(
+        dangling_new = verts.join(
             adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
         )
-        dm_val = float(
-            init.join(dangling_ids, "id", "left_semi")
+        dm_new = float(
+            prev_ranks.join(dangling_new, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
     else:
-        dm_val = 0.0
-    # full residual pass: delta = (exact step result) - rank
-    from .pagerank import _group_sum
+        dm_new = 0.0
+    cb_new_vertex = ((1.0 - alpha) + alpha * dm_new) / n
+    cb_known = cb_new_vertex - ((1.0 - alpha) + alpha * prev_dm) / max(prev_n, 1)
 
-    contribs = _group_sum(
-        adj.join(
-            init.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
-        "c",
-        num_partitions,
-    )
-    target = (
-        init.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+    frontier_eps = tol / (10.0 * n)
+    # the delta kernel's state convention: rank already INCLUDES the
+    # current delta (each step adds only the newly pushed delta)
+    delta_expr = F.when(F.col("prev").isNotNull(), F.lit(cb_known)).otherwise(
+        F.lit(cb_new_vertex)
+    ) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
+    seeded = (
+        verts.join(prev_ranks.withColumnRenamed("rank", "prev"), "id", "left")
+        .join(corr, "id", "left")
         .select(
             "id",
-            F.col("rank"),
-            (
-                F.lit(base)
-                + F.lit(alpha)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm_val / n))
-                - F.col("rank")
-            ).alias("delta"),
+            (F.coalesce(F.col("prev"), F.lit(0.0)) + delta_expr).alias("rank"),
+            delta_expr.alias("delta"),
         )
+        .localCheckpoint(eager=True)
     )
-    seeded = target.select(
-        "id", (F.col("rank") + F.col("delta")).alias("rank"), "delta"
-    ).localCheckpoint(eager=True)
-    adj.unpersist()
-
-    # hand the seeded state to the delta kernel via a temp checkpoint-free
-    # run: reuse pagerank's delta loop by monkey-free direct call
-    res = _delta_converge(spark, cum_edges, seeded, directed, alpha, tol, num_partitions)
-    return res
+    seed_active = seeded.where(F.abs(F.col("delta")) > frontier_eps).count()
+    res = _delta_converge(
+        spark, cum_edges, seeded, directed, alpha, tol, num_partitions, adj=adj
+    )
+    res.seed_active = seed_active
+    n_out, dm_out = _graph_consts(res.ranks, cum_edges, directed)
+    return res, n_out, dm_out
 
 
-def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions):
+def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions, adj=None):
     from ..lineage import LineageLog
     from ._superstep import commit_and_stats, edge_partition_counts
     from .pagerank import PageRankResult, _adjacency_with_degree, _delta_step
 
-    adj = _adjacency_with_degree(edges, directed, num_partitions).persist()
+    if adj is None:
+        adj = _adjacency_with_degree(edges, directed, num_partitions).persist()
     verts = vertex_ids(adj)
     n = verts.count()
     if directed:

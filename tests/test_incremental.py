@@ -125,3 +125,51 @@ def test_incremental_pagerank_with_pattern_counts(spark):
     # (gray_incremental.py:193-202); final graph = test1 → 2 triangles
     assert res.steps[-1].n_triangles == 2
     assert res.steps[-1].n_stars is not None
+
+
+def test_warm_start_seed_is_perturbation_proportional(spark):
+    """A bucket touching a handful of existing vertices must seed residuals
+    only at the perturbation (carried ranks already satisfy the old
+    fixpoint; V unchanged → the uniform base shift is zero), and still land
+    on the batch fixpoint."""
+    from igpm_pem_spark.operators.incremental import _graph_consts, _pagerank_warm
+    from igpm_pem_spark.operators.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    _, edges, _ = ba_graph(spark, 300, 3, seed=2)
+    n_verts = 300
+    # bucket: 3 new edges among EXISTING vertices (no new ids, undirected)
+    bucket = spark.createDataFrame(
+        [(5, 290), (17, 250), (100, 200)], "src BIGINT, dst BIGINT"
+    )
+    base = pagerank(spark, edges, tol=1e-9, mode="delta", steps_per_commit=5)
+    n0, dm0 = _graph_consts(base.ranks, edges, False)
+    cum = edges.select("src", "dst").unionByName(bucket)
+    res, _, _ = _pagerank_warm(
+        spark, cum, bucket, edges, base.ranks.localCheckpoint(eager=True),
+        n0, dm0, False, 0.85, 1e-9, 4,
+    )
+    # seeded frontier ∝ perturbation: only bucket endpoints + vertices that
+    # receive a changed contribution (their out-neighbors) can carry
+    # residue — compute that affected set exactly and pin the seed to it
+    eps_pairs = {(r.src, r.dst) for r in cum.collect()}
+    adjm = {}
+    for a, b in eps_pairs:
+        if a != b:
+            adjm.setdefault(a, set()).add(b)
+            adjm.setdefault(b, set()).add(a)
+    endpoints = {5, 290, 17, 250, 100, 200}
+    affected = set(endpoints)
+    for u in endpoints:
+        affected |= adjm.get(u, set())
+    assert res.seed_active <= len(affected), (res.seed_active, len(affected))
+    assert res.seed_active < n_verts / 2  # ≪ the graph
+    # fixpoint equals batch on the updated graph
+    want = {
+        r.id: r["rank"]
+        for r in pagerank(spark, cum, tol=1e-9, mode="delta",
+                          steps_per_commit=5).ranks.collect()
+    }
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    assert len(got) == n_verts
