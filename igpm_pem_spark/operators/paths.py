@@ -20,6 +20,95 @@ from pyspark.sql import DataFrame, functions as F
 MAX_HOPS = 3  # extract.py:12
 
 
+def _pair_rel(edges: DataFrame, directed: bool, label: str | None) -> DataFrame:
+    """Shared prep: label filter, self-loop drop, symmetrize, dedup."""
+    e = edges
+    if label is not None and "label" in e.columns:
+        e = e.where(F.col("label") == label)
+    e = e.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return e.dropDuplicates(["src", "dst"])
+
+
+def _closure_from_rel(e: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """(src, dst, hops) with src ∈ seeds(id) — frontier expansion seeded at
+    the given vertex set, so the join work is proportional to the seeds'
+    ≤max_hops neighborhoods, not the whole graph."""
+    hop1 = e.join(
+        seeds.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).withColumn("hops", F.lit(1))
+    closure = hop1
+    frontier = hop1
+    for _ in range(1, max_hops):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.hops") + 1).alias("hops"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure.groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+
+
+def path_closure_from(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = MAX_HOPS,
+    directed: bool = False,
+    label: str | None = None,
+) -> DataFrame:
+    """Seeded variant of ``path_closure``: reachable pairs whose SOURCE is
+    in ``seeds`` (a 1-column ``id`` DataFrame). The incremental matcher's
+    workhorse — expanding only from the vertices a partial match has
+    already bound keeps per-bucket work proportional to the perturbation
+    (the relational analogue of ``extract_incremental.py:39-46``, which
+    recomputes EXTRACT trees only for affected nodes)."""
+    return _closure_from_rel(_pair_rel(edges, directed, label), seeds, max_hops)
+
+
+def path_closure_delta(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    max_hops: int = MAX_HOPS,
+    directed: bool = False,
+    label: str | None = None,
+) -> DataFrame:
+    """(src, dst): pairs ≤max_hops-reachable in old ∪ new but NOT in old —
+    the pinned relation for a ``--path`` query edge in incremental
+    matching (append-only closures are monotone in the pair set).
+
+    Any qualifying path crosses ≥1 new edge, so its source lies within
+    ≤max_hops-1 hops BACKWARD of a new edge's source: the candidate
+    source set S is found by seeded backward expansion from the bucket,
+    then forward closures from S over old∪new and old alone are diffed.
+    All three expansions are seeded — work scales with the bucket's
+    neighborhood, not the graph."""
+    eo = _pair_rel(old_edges, directed, label)
+    en = _pair_rel(new_edges, directed, label)
+    cum = eo.unionByName(en).dropDuplicates(["src", "dst"])
+    bsrc = en.select(F.col("src").alias("id")).distinct()
+    back = _closure_from_rel(
+        cum.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        bsrc,
+        max_hops - 1,
+    ) if max_hops > 1 else None
+    seeds = bsrc
+    if back is not None:
+        seeds = seeds.unionByName(back.select(F.col("dst").alias("id"))).distinct()
+    cand = _closure_from_rel(cum, seeds, max_hops).select("src", "dst")
+    old_p = _closure_from_rel(eo, seeds, max_hops).select("src", "dst")
+    return cand.join(old_p, ["src", "dst"], "left_anti")
+
+
 def path_closure(
     edges: DataFrame,
     max_hops: int = MAX_HOPS,

@@ -162,6 +162,7 @@ def match_pattern(
     max_matches_per_anchor: int | None = None,
     keep_near_miss: bool = False,
     delta_edges: DataFrame | None = None,
+    old_edges: DataFrame | None = None,
 ) -> DataFrame:
     """One row per distinct matching subgraph; columns = query symbols
     (+ sym_prop columns for referenced props, + the canonical sig).
@@ -186,6 +187,14 @@ def match_pattern(
       the relational form of the reference's affected-area recomputation
       (``gray_incremental.py:230-271``). See
       ``operators/incremental.incremental_pattern_match``.
+    * ``old_edges`` — required alongside ``delta_edges`` when the query
+      has ``--path`` edges: the cumulative graph BEFORE this bucket. Path
+      closures are then handled incrementally (the analogue of
+      ``extract_incremental.py:39-46``): the pinned position gets the
+      pairs newly ≤k-hop-connected (seeded expansion around the bucket,
+      ``paths.path_closure_delta``), and unpinned path positions expand
+      only from the vertices the partial match has already bound
+      (``paths.path_closure_from``) — no full-closure recompute per step.
     """
     refs = _prop_refs(q)
 
@@ -239,14 +248,18 @@ def match_pattern(
     ordered = _edge_order(q, cand_counts)
     anchor = min(q.vertices, key=lambda s: (cand_counts.get(s, 0), s))
 
-    def join_chain(rel_for_edge) -> DataFrame:
+    def join_chain(rel_for_edge, path_rel=None) -> DataFrame:
         """Left-deep chain with a per-edge relation supplier — the hook
         incremental matching uses to pin one edge position to the
-        new-arrivals bucket."""
+        new-arrivals bucket. ``path_rel(e, df, bound)`` may supply a
+        bound-aware relation for path edges (incremental mode); returning
+        None falls back to ``rel_for_edge``."""
         df = cand(anchor)
         bound = {anchor}
         for e in ordered:
-            r = rel_for_edge(e)
+            r = path_rel(e, df, bound) if path_rel is not None else None
+            if r is None:
+                r = rel_for_edge(e)
             if e.a in bound and e.b in bound:
                 # existence check (semi-join) — J3
                 df = df.join(
@@ -297,11 +310,51 @@ def match_pattern(
                 ["src", "dst"]
             )
 
-        if any(e.is_path for e in q.edges):
+        has_path = any(e.is_path for e in q.edges)
+        if has_path and old_edges is None:
             raise ValueError(
-                "delta_edges is unsupported for --path queries: a new edge "
-                "can extend a hop closure anywhere; recompute in full"
+                "delta_edges with --path query edges needs old_edges (the "
+                "cumulative graph before this bucket) so hop closures can "
+                "be recomputed incrementally around the bucket"
             )
+
+        def make_path_rel(pinned: QueryEdge):
+            """Bound-aware path relations for one pinned-position plan:
+            the pinned path edge gets the NEW closure pairs (seeded diff
+            around the bucket); other path edges expand only from the
+            symbols the chain has already bound."""
+            from ..operators.paths import path_closure_delta, path_closure_from
+
+            def path_rel(e: QueryEdge, df: DataFrame, bound: set):
+                if not e.is_path:
+                    return None
+                if e is pinned:
+                    return path_closure_delta(
+                        old_edges, delta_edges, max_path_hops, q.directed, e.label
+                    )
+                # seeded expansion from whichever endpoint is bound;
+                # forward from e.a, backward (reversed edges) from e.b
+                if e.a in bound:
+                    seeds = df.select(F.col(e.a).alias("id")).distinct()
+                    return path_closure_from(
+                        base, seeds, max_path_hops, q.directed, e.label
+                    ).select("src", "dst")
+                if e.b in bound:
+                    seeds = df.select(F.col(e.b).alias("id")).distinct()
+                    rev = base.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        *(["label"] if "label" in base.columns else []),
+                    )
+                    return path_closure_from(
+                        rev, seeds, max_path_hops, q.directed, e.label
+                    ).select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                return None  # disconnected start: full closure fallback
+
+            return path_rel
+
         if q.edges:
             df = None
         else:
@@ -310,10 +363,9 @@ def match_pattern(
             # (no job runs on the empty plan)
             df = join_chain(rel).where(F.lit(False))
         for i in range(len(q.edges)):
-            relf = (
-                lambda e, _pin=q.edges[i]: rel_new(e) if e is _pin else rel(e)
-            )
-            part = join_chain(relf)
+            pin = q.edges[i]
+            relf = lambda e, _pin=pin: rel_new(e) if e is _pin else rel(e)
+            part = join_chain(relf, make_path_rel(pin) if has_path else None)
             df = part if df is None else df.unionByName(part)
 
     # injectivity: reference valid_result demands as many data vertices as

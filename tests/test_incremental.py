@@ -173,3 +173,39 @@ def test_warm_start_seed_is_perturbation_proportional(spark):
     got = {r.id: r["rank"] for r in res.ranks.collect()}
     assert max(abs(got[k] - want[k]) for k in want) < 1e-6
     assert len(got) == n_verts
+
+
+def test_incremental_pattern_counts_equal_full_recompute(spark):
+    """Per-step triangle/star ground truth now rides the delta-only plans;
+    every step's value must equal a full recompute on that prefix."""
+    from igpm_pem_spark.operators.triangles import star_count, triangle_count
+    from pyspark.sql import functions as F
+
+    _, edges, _ = ba_graph(spark, 60, 3, seed=4)
+    dyn = edges.withColumn("ts", ((F.col("src") + F.col("dst")) % 3).cast("int"))
+    res = incremental_pagerank(
+        spark, dyn, base_steps=1, tol=1e-6, with_pattern_counts=True
+    )
+    for s in res.steps:
+        prefix = dyn.where(F.col("ts") <= s.step)
+        assert s.n_triangles == triangle_count(prefix), s.step
+        assert s.n_stars == star_count(prefix, 4), s.step
+
+
+def test_incremental_path_pattern_equals_batch(spark):
+    """--path query edges now replay incrementally: per-bucket closure
+    deltas + bound-seeded expansions must reach the batch match set."""
+    from igpm_pem_spark.operators.incremental import incremental_pattern_match
+    from igpm_pem_spark.plans.pattern import match_pattern, parse_query_args
+    from pyspark.sql import functions as F
+
+    verts, edges, _ = ba_graph(spark, 30, 2, seed=5)
+    dyn = edges.withColumn(
+        "ts", ((F.xxhash64("src", "dst") % 3 + 3) % 3).cast("int")
+    ).withColumn("label", F.lit("yes"))
+    q = parse_query_args("--vertex a b c --edge x:a:b --path z:b:c")
+    res = incremental_pattern_match(spark, verts, dyn, q, base_steps=1)
+    batch = match_pattern(spark, verts, dyn, q)
+    got = {tuple(sorted((p["u"], p["v"]) for p in r["sig"])) for r in res.state.collect()}
+    want = {tuple(sorted((p["u"], p["v"]) for p in r["sig"])) for r in batch.collect()}
+    assert got == want and len(want) > 0

@@ -70,3 +70,46 @@ def test_shortest_paths_directed(spark):
     # 0→5 needs 0→4→5 (directed); 5 has no out-edges, so no (5, x) rows
     assert got[(0, 5)] == [0, 4, 5]
     assert not any(s == 5 for s, _ in got)
+
+
+def test_path_closure_delta_equals_closure_diff(spark):
+    """The seeded delta closure must equal the brute diff
+    closure(old ∪ new) − closure(old) exactly, directed and not."""
+    from igpm_pem_spark.operators.paths import path_closure, path_closure_delta
+    from igpm_pem_spark.sources.fixtures import ba_graph
+
+    _, edges, _ = ba_graph(spark, 40, 2, seed=6)
+    old = edges.where("src % 5 != 0")
+    new = edges.where("src % 5 = 0")
+    for directed in (False, True):
+        got = {
+            (r.src, r.dst)
+            for r in path_closure_delta(old, new, 3, directed).collect()
+        }
+        cum_p = {
+            (r.src, r.dst)
+            for r in path_closure(edges, 3, directed).collect()
+        }
+        old_p = {
+            (r.src, r.dst)
+            for r in path_closure(old, 3, directed).collect()
+        }
+        assert got == cum_p - old_p, directed
+
+
+def test_path_closure_from_restricts_sources(spark):
+    from igpm_pem_spark.operators.paths import path_closure, path_closure_from
+    from igpm_pem_spark.sources.fixtures import ba_graph
+
+    _, edges, _ = ba_graph(spark, 40, 2, seed=7)
+    seeds = spark.createDataFrame([(1,), (5,)], "id BIGINT")
+    got = {
+        (r.src, r.dst, r.hops)
+        for r in path_closure_from(edges, seeds, 3).collect()
+    }
+    full = {
+        (r.src, r.dst, r.hops)
+        for r in path_closure(edges, 3).collect()
+        if r.src in (1, 5)
+    }
+    assert got == full
