@@ -147,11 +147,69 @@ def path_closure(
     return closure.groupBy("src", "dst").agg(F.min("hops").alias("hops"))
 
 
+def _simple_paths(
+    e: DataFrame, max_hops: int, scores: DataFrame | None
+) -> DataFrame:
+    """All simple paths ≤ max_hops over a prepped pair relation:
+    (src, dst, hops, path[, ssum]) — ``ssum`` sums the per-vertex scores
+    over the path's vertices when a (id, score) frame is given (missing
+    vertices score 0)."""
+    if scores is None:
+        hop1 = e.select(
+            "src", "dst", F.lit(1).alias("hops"),
+            F.array("src", "dst").alias("path"),
+        )
+    else:
+        s = scores.select("id", "score")
+        hop1 = (
+            e.join(s.withColumnRenamed("id", "src"), "src", "left")
+            .withColumnRenamed("score", "s_src")
+            .join(s.withColumnRenamed("id", "dst"), "dst", "left")
+            .select(
+                "src", "dst", F.lit(1).alias("hops"),
+                F.array("src", "dst").alias("path"),
+                (
+                    F.coalesce(F.col("s_src"), F.lit(0.0))
+                    + F.coalesce(F.col("score"), F.lit(0.0))
+                ).alias("ssum"),
+            )
+        )
+    closure = hop1
+    frontier = hop1
+    for _ in range(1, max_hops):
+        step = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .where(~F.array_contains(F.col("f.path"), F.col("e.dst")))
+        )
+        cols = [
+            F.col("f.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            (F.col("f.hops") + 1).alias("hops"),
+            F.array_append(F.col("f.path"), F.col("e.dst")).alias("path"),
+        ]
+        if scores is not None:
+            step = step.join(
+                scores.select(F.col("id").alias("_sid"), F.col("score").alias("_s")),
+                F.col("e.dst") == F.col("_sid"),
+                "left",
+            )
+            cols.append(
+                (F.col("f.ssum") + F.coalesce(F.col("_s"), F.lit(0.0))).alias("ssum")
+            )
+        nxt = step.select(*cols)
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure
+
+
 def shortest_paths(
     edges: DataFrame,
     max_hops: int = MAX_HOPS,
     directed: bool = False,
     label: str | None = None,
+    scores: DataFrame | None = None,
+    score_eps: float = 1e-5,
 ) -> DataFrame:
     """(src, dst, hops, path): one MATERIALIZED best path per reachable
     pair within ``max_hops`` — the EXTRACT parity the closure alone lacks
@@ -160,47 +218,70 @@ def shortest_paths(
     ``gray_multiple.py:446-449``).
 
     ``path`` is the full vertex array [src, …, dst]. Among minimal-hop
-    paths the lexicographically smallest vertex array is kept, so results
-    are deterministic without the reference's RWR scores. Only simple
-    paths are expanded (a frontier row never revisits a vertex), which
-    bounds the fan-out that a cyclic graph would otherwise feed back into
-    every level. Per-hop label validation = the label filter applied to
-    the edge relation before expansion (one EXTRACT per label, as in
-    ``gray_multiple.py:173-178``)."""
-    e = edges
-    if label is not None and "label" in e.columns:
-        e = e.where(F.col("label") == label)
-    e = e.select("src", "dst").where(F.col("src") != F.col("dst"))
-    if not directed:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    e = e.dropDuplicates(["src", "dst"])
-
-    hop1 = e.select(
-        "src", "dst", F.lit(1).alias("hops"), F.array("src", "dst").alias("path")
-    )
-    closure = hop1
-    frontier = hop1
-    for _ in range(1, max_hops):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .where(~F.array_contains(F.col("f.path"), F.col("e.dst")))
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                (F.col("f.hops") + 1).alias("hops"),
-                F.array_append(F.col("f.path"), F.col("e.dst")).alias("path"),
-            )
-        )
-        closure = closure.unionByName(nxt)
-        frontier = nxt
-    best = F.min(F.struct("hops", "path")).alias("b")
+    paths, when ``scores`` (an (id, score) proximity frame, e.g. seeded
+    RWR from ``pagerank(personalization=...)``) is given the path with the
+    highest mean vertex score wins, ε-ties (``score_eps``, the reference's
+    1e-5 from ``gray_multiple.py:438``) broken by the lexicographically
+    smallest vertex array; without scores the smallest array wins
+    directly. Only simple paths are expanded (a frontier row never
+    revisits a vertex), which bounds the fan-out that a cyclic graph would
+    otherwise feed back into every level. Per-hop label validation = the
+    label filter applied to the edge relation before expansion (one
+    EXTRACT per label, as in ``gray_multiple.py:173-178``)."""
+    closure = _simple_paths(_pair_rel(edges, directed, label), max_hops, scores)
+    if scores is None:
+        best = F.min(F.struct("hops", "path")).alias("b")
+    else:
+        # quantized NEGATED mean score sorts best-first inside the min
+        gq = -F.floor(F.col("ssum") / (F.col("hops") + 1) / F.lit(score_eps))
+        closure = closure.withColumn("_gq", gq.cast("long"))
+        best = F.min(F.struct("hops", "_gq", "path")).alias("b")
     return (
         closure.groupBy("src", "dst")
         .agg(best)
         .select("src", "dst", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
+    )
+
+
+def best_paths_rwr(
+    edges: DataFrame,
+    scores: DataFrame,
+    max_hops: int = MAX_HOPS,
+    directed: bool = False,
+    label: str | None = None,
+    score_eps: float = 1e-5,
+) -> DataFrame:
+    """(src, dst, hops, path, goodness): the RWR-guided best path per
+    reachable pair — full EXTRACT ranking parity (``extract.py:30-79``).
+
+    The reference's Dijkstra maximizes the RUNNING MEAN of RWR proximity
+    over a path's vertices, ``dist = (rwr(v) + d[u]·l[u])/(l[u]+1)``,
+    hop-capped at 3; this operator computes the true argmax of that mean
+    over ALL simple paths ≤ ``max_hops`` (the reference's greedy expansion
+    is a heuristic for the same objective — on graphs where greedy is
+    exact, results coincide; tests pin it on the reference's test1p).
+    ε-ties (1e-5, the ``gray_multiple.py:436-441`` argmax tolerance) are
+    broken by fewer hops, then the lexicographically smallest path, so
+    the chosen path is deterministic. ``scores`` is an (id, score)
+    proximity frame — seeded RWR from the query focus, i.e. one
+    ``pagerank(personalization=seed)`` run per source of interest instead
+    of the reference's all-pairs proximity dict (``rwr.py:108-129``)."""
+    closure = _simple_paths(_pair_rel(edges, directed, label), max_hops, scores)
+    good = F.col("ssum") / (F.col("hops") + 1)
+    closure = closure.withColumn(
+        "_gq", (-F.floor(good / F.lit(score_eps))).cast("long")
+    ).withColumn("_good", good)
+    best = F.min(F.struct("_gq", "hops", "path", "_good")).alias("b")
+    return (
+        closure.groupBy("src", "dst")
+        .agg(best)
+        .select(
+            "src",
+            "dst",
+            F.col("b.hops").alias("hops"),
+            F.col("b.path").alias("path"),
+            F.col("b._good").alias("goodness"),
+        )
     )
 
 

@@ -163,6 +163,8 @@ def match_pattern(
     keep_near_miss: bool = False,
     delta_edges: DataFrame | None = None,
     old_edges: DataFrame | None = None,
+    rank_scores: DataFrame | None = None,
+    rank_eps: float | None = 1e-5,
 ) -> DataFrame:
     """One row per distinct matching subgraph; columns = query symbols
     (+ sym_prop columns for referenced props, + the canonical sig).
@@ -187,6 +189,15 @@ def match_pattern(
       the relational form of the reference's affected-area recomputation
       (``gray_incremental.py:230-271``). See
       ``operators/incremental.incremental_pattern_match``.
+    * ``rank_scores`` — an (id, score) proximity frame (seeded RWR from
+      the query focus, ``pagerank(personalization=...)``): representative
+      selection (signature dedup AND ``max_matches_per_anchor``) then
+      prefers the match whose non-anchor vertices have the highest summed
+      proximity — the reference's RWR-guided choice
+      (``gray_multiple.py:430-443`` argmax over ``log_good``), with
+      ``rank_eps`` ε-ties (1e-5, its ``max_good - 1e-5`` rule) broken by
+      symbol order; ``rank_eps=None`` ranks by exact score. Output gains
+      a ``rank_score`` column.
     * ``old_edges`` — required alongside ``delta_edges`` when the query
       has ``--path`` edges: the cumulative graph BEFORE this bucket. Path
       closures are then handled incrementally (the analogue of
@@ -386,6 +397,35 @@ def match_pattern(
     elif keep_near_miss:
         df = df.withColumn("approx", F.lit(False))
 
+    # RWR-guided ranking (the reference's selection rule): attach the
+    # seeded-proximity score of every non-anchor symbol's vertex and rank
+    # representatives by the sum — G-Ray picks candidates by argmax RWR
+    # proximity to the seed with 1e-5 ε-ties (``gray_multiple.py:430-443``
+    # over log_good); rank_eps=None selects exact-score ordering (used by
+    # the driver oracle, where quantization boundaries would be flaky)
+    if rank_scores is not None:
+        s = rank_scores.select("id", "score")
+        score_expr = F.lit(0.0)
+        for sym in syms:
+            if sym == anchor:
+                continue
+            df = df.join(
+                s.select(F.col("id").alias(sym), F.col("score").alias(f"_rs_{sym}")),
+                sym,
+                "left",
+            )
+            score_expr = score_expr + F.coalesce(F.col(f"_rs_{sym}"), F.lit(0.0))
+        df = df.withColumn("rank_score", score_expr).drop(
+            *[f"_rs_{sym}" for sym in syms if sym != anchor]
+        )
+        rank_key = [
+            F.floor(F.col("rank_score") / F.lit(rank_eps)).desc()
+            if rank_eps
+            else F.col("rank_score").desc()
+        ]
+    else:
+        rank_key = []
+
     # canonical-signature dedup (A6): matched edge multiset, symbol-free
     pairs = []
     for e in q.edges:
@@ -398,10 +438,13 @@ def match_pattern(
                 )
             )
     df = df.withColumn("sig", F.sort_array(F.array(*pairs)))
-    # prefer an exact representative over an approx one for the same sig
+    # prefer an exact representative over an approx one for the same sig,
+    # then the highest-proximity one (when ranking), then symbol order
     dedup_order = (
-        [F.col("approx").asc()] if keep_near_miss else []
-    ) + [F.col(s) for s in syms]
+        ([F.col("approx").asc()] if keep_near_miss else [])
+        + rank_key
+        + [F.col(s) for s in syms]
+    )
     w = Window.partitionBy("sig").orderBy(*dedup_order)
     df = (
         df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")

@@ -95,6 +95,33 @@ def _q_pattern_triangle_incremental(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_matches BIGINT")
 
 
+def _q_pattern_best_match_rwr(spark, sf_dir):
+    """G-Ray ranking parity in the correctness gate: per anchor vertex,
+    keep the ONE wedge whose non-anchor vertices have the highest summed
+    seeded-RWR proximity (the reference's argmax selection,
+    ``gray_multiple.py:430-443``), scores from an 8-round RWR restarting
+    at the 5 smallest vertex ids (alpha 0.3 ⇔ restart 0.7). rank_eps=None
+    (exact-score ordering): the quantized ε-argmax is engine API; the
+    oracle mirrors exact ordering on the proven-identical round-7 scores."""
+    from ..operators.graph import vertex_ids
+    from ..operators.pagerank import pagerank
+    from ..plans.pattern import match_pattern, parse_query_args
+
+    verts, e = _graph(spark, sf_dir)
+    seeds = [int(r.id) for r in vertex_ids(e).orderBy("id").limit(5).collect()]
+    res = pagerank(
+        spark, e, alpha=0.3, tol=0.0, max_iter=8, mode="exact",
+        personalization={s: 1.0 for s in seeds},
+    )
+    scores = res.ranks.select("id", F.round("rank", 7).alias("score"))
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c")
+    m = match_pattern(
+        spark, verts, e, q, max_matches_per_anchor=1,
+        rank_scores=scores, rank_eps=None,
+    )
+    return m.select("a", "b", "c", F.round("rank_score", 7).alias("score"))
+
+
 def _q_path_hops_histogram(spark, sf_dir):
     """J4 in the correctness gate: ≤3-hop minimal-hop closure, counted by
     hop distance (walk semantics collapse under the min-groupBy)."""
@@ -145,6 +172,59 @@ QUERIES = {
         SELECT count(*) AS n_matches
         FROM g e1 JOIN g e2 ON e1.dst = e2.src JOIN g e3
           ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+    ),
+    # RWR-guided best wedge per anchor: seeded-RWR CTE + the same
+    # dedup/cap windows (score DESC, then symbol order)
+    "pattern_best_match_rwr": (
+        _q_pattern_best_match_rwr,
+        f"""
+        WITH RECURSIVE g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL})
+        , verts AS (SELECT DISTINCT src AS id FROM sym)
+        , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+        , nn AS (SELECT count(*) AS c FROM verts)
+        , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+        , pv AS (SELECT v.id,
+                        CASE WHEN s.id IS NULL THEN 0.0 ELSE 0.2 END AS p
+                 FROM verts v LEFT JOIN seeds s ON s.id = v.id)
+        , pr(iter, id, r) AS (
+            SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+            UNION ALL
+            SELECT p.iter + 1, e.dst,
+                   0.7 * min(pv.p) + 0.3 * sum(p.r / d.d)
+            FROM pr p JOIN sym e ON e.src = p.id
+                      JOIN deg d ON d.src = p.id
+                      JOIN pv ON pv.id = e.dst
+            WHERE p.iter < 8
+            GROUP BY p.iter, e.dst
+        )
+        , sc AS (SELECT id, round(r, 7) AS s FROM pr WHERE iter = 8)
+        , w AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+            WHERE e1.src <> e2.dst
+        )
+        , scored AS (
+            SELECT a, b, c, 0.0 + sb.s + sc2.s AS score,
+                   least(a, b) AS p1u, greatest(a, b) AS p1v,
+                   least(b, c) AS p2u, greatest(b, c) AS p2v
+            FROM w JOIN sc sb ON sb.id = b JOIN sc sc2 ON sc2.id = c
+        )
+        , sigd AS (
+            SELECT *, CASE WHEN (p1u < p2u) OR (p1u = p2u AND p1v <= p2v)
+                 THEN p1u || ',' || p1v || '|' || p2u || ',' || p2v
+                 ELSE p2u || ',' || p2v || '|' || p1u || ',' || p1v END AS sig
+            FROM scored
+        )
+        , dedup AS (
+            SELECT * FROM sigd QUALIFY row_number() OVER (
+                PARTITION BY sig ORDER BY score DESC, a, b, c) = 1
+        )
+        , best AS (
+            SELECT * FROM dedup QUALIFY row_number() OVER (
+                PARTITION BY a ORDER BY score DESC, a, b, c) = 1
+        )
+        SELECT a, b, c, round(score, 7) AS score FROM best
         """,
     ),
     # minimal-hop pair counts at 1..3 hops over the symmetrized graph

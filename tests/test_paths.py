@@ -113,3 +113,110 @@ def test_path_closure_from_restricts_sources(spark):
         if r.src in (1, 5)
     }
     assert got == full
+
+
+def _simple_paths_py(adj, src, max_hops):
+    out = []
+    stack = [(src, [src])]
+    while stack:
+        v, path = stack.pop()
+        if len(path) > 1:
+            out.append(path)
+        if len(path) <= max_hops:
+            for w in sorted(adj.get(v, ())):
+                if w not in path:
+                    stack.append((w, path + [w]))
+    return out
+
+
+def test_best_paths_rwr_matches_reference_choice_on_test1p(spark):
+    """Full EXTRACT ranking parity (reference extract.py:30-79): per-source
+    best path maximizes the mean seeded-RWR proximity of its vertices,
+    hop-capped at 3. Pinned two ways on the reference's test1p sample:
+    against a brute-force exact argmax (our spec'd semantics) and against
+    the greedy best-first expansion the reference/paper uses (Tong &
+    Faloutsos 2006) — both choices coincide here."""
+    from igpm_pem_spark.operators.paths import best_paths_rwr
+
+    from .oracles import pagerank_oracle
+
+    _, edges, _ = fixture_graph(spark, "test1p")
+    pairs = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    src = 0
+    rwr = pagerank_oracle(pairs, alpha=0.3, personalization={src: 1.0})
+    scores = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in rwr.items()], "id BIGINT, score DOUBLE"
+    )
+    got = {
+        r.dst: (tuple(r.path), r.hops, r.goodness)
+        for r in best_paths_rwr(edges, scores).where(f"src = {src}").collect()
+    }
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute-force exact argmax of mean proximity (ties: fewer hops, then
+    # lexicographically smallest path) — the operator's spec
+    best = {}
+    for path in _simple_paths_py(adj, src, 3):
+        j = path[-1]
+        good = sum(rwr[v] for v in path) / len(path)
+        key = (-round(good / 1e-5), len(path) - 1, path)
+        if j not in best or key < best[j][0]:
+            best[j] = (key, path, good)
+    assert set(got) == set(best)
+    for j, (_, path, good) in best.items():
+        assert got[j][0] == tuple(path), j
+        assert abs(got[j][2] - good) < 1e-12
+
+    # greedy best-first expansion (the paper's heuristic): its chosen
+    # path's goodness must equal ours on this fixture
+    import heapq
+
+    d = {src: rwr[src]}
+    ln = {src: 1}
+    done = set()
+    heap = [(-rwr[src], src)]
+    while heap:
+        negd, u = heapq.heappop(heap)
+        if u in done:
+            continue
+        done.add(u)
+        if ln[u] - 1 >= 3:
+            continue
+        for v in sorted(adj.get(u, ())):
+            dist = (rwr[v] + d[u] * ln[u]) / (ln[u] + 1)
+            if v not in d or d[v] < dist:
+                d[v] = dist
+                ln[v] = ln[u] + 1
+                heapq.heappush(heap, (-dist, v))
+    for j in got:
+        assert abs(d[j] - got[j][2]) < 1e-9, j
+
+
+def test_shortest_paths_score_tiebreak(spark):
+    """Among minimal-hop paths the highest mean-proximity one wins (A9
+    ε-argmax); without scores the lexicographic rule stands."""
+    from igpm_pem_spark.operators.paths import shortest_paths
+
+    # diamond: 0-1-3 and 0-2-3 — two 2-hop paths
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 2), (2, 3)], "src BIGINT, dst BIGINT"
+    )
+    scores = spark.createDataFrame(
+        [(0, 0.4), (1, 0.1), (2, 0.3), (3, 0.2)], "id BIGINT, score DOUBLE"
+    )
+    plain = {
+        (r.src, r.dst): tuple(r.path) for r in shortest_paths(edges).collect()
+    }
+    assert plain[(0, 3)] == (0, 1, 3)  # lexicographic default
+    ranked = {
+        (r.src, r.dst): tuple(r.path)
+        for r in shortest_paths(edges, scores=scores).collect()
+    }
+    assert ranked[(0, 3)] == (0, 2, 3)  # 0.3 beats 0.1 on the middle hop
+    # hop minimality unchanged everywhere
+    assert {k: len(v) for k, v in ranked.items()} == {
+        k: len(v) for k, v in plain.items()
+    }

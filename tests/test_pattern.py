@@ -311,3 +311,30 @@ def test_pattern_planner_runs_single_selectivity_job(spark, monkeypatch):
     monkeypatch.setattr(cls, "count", counting_count)
     match_pattern(spark, verts, edges, q)  # plan construction only
     assert actions == {"collect": 1, "count": 0}
+
+
+def test_rank_scores_pick_rwr_guided_representative(spark):
+    """max_matches_per_anchor + rank_scores must keep the match whose
+    non-anchor vertices are closest to the seed (G-Ray's argmax,
+    gray_multiple.py:430-443), not the lexicographic one."""
+    from pyspark.sql import functions as F
+
+    verts = spark.createDataFrame(
+        [(i, "cyan") for i in range(4)], "id BIGINT, label STRING"
+    ).withColumn("props", F.create_map().cast("map<string,string>"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 2), (2, 3)], "src BIGINT, dst BIGINT"
+    ).withColumn("label", F.lit("yes"))
+    q = parse_query_args("--vertex a b c --edge x:a:b y:b:c")
+    scores = spark.createDataFrame(
+        [(0, 0.0), (1, 0.1), (2, 0.3), (3, 0.0)], "id BIGINT, score DOUBLE"
+    )
+    plain = match_pattern(spark, verts, edges, q, max_matches_per_anchor=1)
+    assert {(r.a, r.b, r.c) for r in plain.collect() if r.a == 0} == {(0, 1, 3)}
+    ranked = match_pattern(
+        spark, verts, edges, q, max_matches_per_anchor=1, rank_scores=scores
+    )
+    rows = {r.a: (r.b, r.c, r.rank_score) for r in ranked.collect()}
+    # anchor 0's best wedge now routes through the high-proximity vertex 2
+    assert rows[0][:2] == (2, 3)
+    assert abs(rows[0][2] - 0.3) < 1e-12
