@@ -122,6 +122,67 @@ def _q_pattern_best_match_rwr(spark, sf_dir):
     return m.select("a", "b", "c", F.round("rank_score", 7).alias("score"))
 
 
+def _q_pattern_agg_max(spark, sf_dir):
+    """A1 over matches: MAX of the kept representative's a.retailprice
+    across deduped wedges — exercises aggregation downstream of the
+    match pipeline (reference Aggregator, ``gray/aggregator.py:30-52``)."""
+    from ..plans.pattern import match_pattern, parse_query_args
+    from ..plans.postprocess import apply_aggregate
+
+    verts, e = _graph(spark, sf_dir, with_props=True)
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c --aggregate MAX:a.retailprice"
+    )
+    m = match_pattern(spark, verts, e, q)
+    return apply_aggregate(m, q.aggregates[0])
+
+
+def _q_pattern_groupby(spark, sf_dir):
+    """A2 over matches: per-a.retailprice match counts of the deduped
+    wedge table (reference Grouping, ``query/Grouping.py:26-41``)."""
+    from ..plans.pattern import match_pattern, parse_query_args
+    from ..plans.postprocess import apply_groupby
+
+    verts, e = _graph(spark, sf_dir, with_props=True)
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c --groupby a.retailprice"
+    )
+    m = match_pattern(spark, verts, e, q)
+    return apply_groupby(m, q.groupby)
+
+
+def _q_pattern_topk_ordered(spark, sf_dir):
+    """A3 over matches: top-10 wedges by (a.retailprice, a, b, c) desc —
+    deterministic ordering so LIMIT is oracle-stable (reference Ordering,
+    ``query/Ordering.py:22-26``)."""
+    from ..plans.pattern import match_pattern, parse_query_args
+    from ..plans.postprocess import apply_orderby
+
+    verts, e = _graph(spark, sf_dir, with_props=True)
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c "
+        "--orderby a.retailprice a b c --descending"
+    )
+    m = match_pattern(spark, verts, e, q)
+    top = apply_orderby(m, q.orderby, q.descending).limit(10)
+    return top.select("a", "b", "c", F.col("a_retailprice").alias("rp"))
+
+
+def _q_pattern_near_miss(spark, sf_dir):
+    """Approximate-match bookkeeping (``gray_incremental.py:301-330``
+    ``append_approx``): wedges failing the condition are RETAINED flagged
+    approx=true; a signature counts as exact when ANY symbol assignment
+    passes. Returns (approx, n)."""
+    from ..plans.pattern import match_pattern, parse_query_args
+
+    verts, e = _graph(spark, sf_dir, with_props=True)
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c --condition a.retailprice > 1500"
+    )
+    m = match_pattern(spark, verts, e, q, keep_near_miss=True)
+    return m.groupBy("approx").agg(F.count("*").alias("n"))
+
+
 def _q_path_hops_histogram(spark, sf_dir):
     """J4 in the correctness gate: ≤3-hop minimal-hop closure, counted by
     hop distance (walk semantics collapse under the min-groupBy)."""
@@ -129,6 +190,37 @@ def _q_path_hops_histogram(spark, sf_dir):
 
     pc = path_closure(edges(spark, sf_dir, G_SPARSE_SQL), max_hops=3)
     return pc.groupBy("hops").agg(F.count("*").alias("n_pairs"))
+
+
+# shared oracle fragment: prop-carrying wedges, canonical-signature dedup
+# with the engine's lexicographic representative rule (ORDER BY a, b, c)
+_WEDGE_DEDUP_SQL = f"""
+WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL})
+, pr AS (SELECT p_partkey AS id, p_retailprice AS rp FROM part)
+, w AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, pa.rp AS rp_a
+    FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+    JOIN pr pa ON pa.id = e1.src
+    JOIN pr pb ON pb.id = e1.dst
+    JOIN pr pc ON pc.id = e2.dst
+    WHERE e1.src <> e2.dst
+)
+, keyed AS (
+    SELECT *, least(a, b) AS p1u, greatest(a, b) AS p1v,
+              least(b, c) AS p2u, greatest(b, c) AS p2v
+    FROM w
+)
+, sigd AS (
+    SELECT *, CASE WHEN (p1u < p2u) OR (p1u = p2u AND p1v <= p2v)
+         THEN p1u || ',' || p1v || '|' || p2u || ',' || p2v
+         ELSE p2u || ',' || p2v || '|' || p1u || ',' || p1v END AS sig
+    FROM keyed
+)
+, dedup AS (
+    SELECT a, b, c, rp_a FROM sigd QUALIFY row_number() OVER (
+        PARTITION BY sig ORDER BY a, b, c) = 1
+)
+"""
 
 
 QUERIES = {
@@ -172,6 +264,42 @@ QUERIES = {
         SELECT count(*) AS n_matches
         FROM g e1 JOIN g e2 ON e1.dst = e2.src JOIN g e3
           ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+    ),
+    # A1 over matches: MAX of the deduped representative's a.retailprice
+    "pattern_agg_max": (
+        _q_pattern_agg_max,
+        _WEDGE_DEDUP_SQL + "SELECT max(rp_a) AS max_a_retailprice FROM dedup",
+    ),
+    # A2 over matches: per-a.retailprice match counts
+    "pattern_groupby": (
+        _q_pattern_groupby,
+        _WEDGE_DEDUP_SQL
+        + """
+        SELECT rp_a AS a_retailprice, count(*) AS n_matches
+        FROM dedup GROUP BY rp_a
+        """,
+    ),
+    # A3 over matches: deterministic top-10 by (rp, a, b, c) desc
+    "pattern_topk_ordered": (
+        _q_pattern_topk_ordered,
+        _WEDGE_DEDUP_SQL
+        + """
+        SELECT a, b, c, rp_a AS rp FROM dedup
+        ORDER BY rp_a DESC, a DESC, b DESC, c DESC LIMIT 10
+        """,
+    ),
+    # append_approx semantics: signatures with NO passing assignment stay
+    # as approx=true rows; representative prefers a passing assignment
+    "pattern_near_miss": (
+        _q_pattern_near_miss,
+        _WEDGE_DEDUP_SQL.replace(
+            "PARTITION BY sig ORDER BY a, b, c",
+            "PARTITION BY sig ORDER BY CASE WHEN rp_a > 1500 THEN 0 ELSE 1 END, a, b, c",
+        )
+        + """
+        SELECT (NOT rp_a > 1500) AS approx, count(*) AS n
+        FROM dedup GROUP BY 1
         """,
     ),
     # RWR-guided best wedge per anchor: seeded-RWR CTE + the same
