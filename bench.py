@@ -16,6 +16,10 @@ Headline set (the north-rule kernels on the sf-dir's derived graphs):
   label_prop3     3 supersteps deterministic LPA on the dense graph
   triangles       exact triangle count on the sparse graph
   ingest          repo_files generation + JVM-regex import parse + sha manifest
+  dedup_lsh       MinHash-LSH candidate pairs over the scaled corpus
+  simhash_neardup SimHash near-dup (pigeonhole bands) over the same corpus
+  ann_topk        hyperplane-LSH ANN top-10 over a scaled synthetic
+                  embedding corpus (32-dim, hash-derived, JVM-built)
 """
 
 from __future__ import annotations
@@ -99,14 +103,50 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
 
     corpus = rf.select(
         F.xxhash64("repo", "path").alias("doc_id"), F.col("content").alias("text")
-    )
+    ).persist()
+    n_docs = corpus.count()
     t0 = time.time()
     n_pairs = lsh_candidate_pairs(corpus).count()
     timings["dedup_lsh"] = time.time() - t0
-    meta["dedup_docs"] = scale * 50
+    meta["dedup_docs"] = n_docs
     meta["dedup_candidate_pairs"] = int(n_pairs)
-    meta["dedup_docs_per_sec"] = scale * 50 / timings["dedup_lsh"]
+    meta["dedup_docs_per_sec"] = n_docs / timings["dedup_lsh"]
+
+    # SimHash near-dup over the same corpus (pigeonhole band join)
+    from igpm_pem_spark.operators.dedup import simhash_near_dup
+
+    t0 = time.time()
+    n_sh = simhash_near_dup(corpus, max_hamming=1).count()
+    timings["simhash_neardup"] = time.time() - t0
+    meta["simhash_pairs"] = int(n_sh)
+    meta["simhash_docs_per_sec"] = n_docs / timings["simhash_neardup"]
+    corpus.unpersist()
     rf.unpersist()
+
+    # ANN top-k over a synthetic embedding corpus scaled with the sf dir
+    # (the fixed 2k-row embeddings parquet would not exercise scale):
+    # deterministic hash-derived 32-dim vectors, built JVM-side
+    from igpm_pem_spark.operators.similarity import ann_lsh_topk
+
+    n_vec = max(n_docs, 1000)
+    dim = 32
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) - 500) / 500.0
+            ).cast("float"),
+        ).alias("embedding"),
+    ).persist()
+    emb.count()
+    t0 = time.time()
+    n_ann = ann_lsh_topk(emb, k=10, query_mod=25).count()
+    timings["ann_topk"] = time.time() - t0
+    meta["ann_vectors"] = n_vec
+    meta["ann_result_rows"] = int(n_ann)
+    meta["ann_vectors_per_sec"] = n_vec / timings["ann_topk"]
+    emb.unpersist()
 
     dense.unpersist()
     sparse.unpersist()

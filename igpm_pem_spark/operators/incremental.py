@@ -65,6 +65,16 @@ def step_list(edges: DataFrame, ts_col: str = "ts") -> list[int]:
     ]
 
 
+def _bucket_sizes(edges: DataFrame, ts_col: str) -> dict[int, int]:
+    """One histogram job replaces the per-step count actions the replay
+    loops would otherwise run (2-3 full scans per bucket): bucket sizes
+    and cumulative totals are derived driver-side from this dict."""
+    return {
+        int(r[0]): int(r[1])
+        for r in edges.groupBy(ts_col).agg(F.count("*")).collect()
+    }
+
+
 def incremental_pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -81,8 +91,10 @@ def incremental_pagerank(
     re-converge with delta-restricted supersteps."""
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    steps = step_list(edges, ts_col)
+    sizes = _bucket_sizes(edges, ts_col)
+    steps = sorted(sizes)
     base_cut = steps[min(base_steps, len(steps)) - 1] if steps else 0
+    cum_m = 0
 
     result = IncrementalResult(state=None)
     prev_ranks: DataFrame | None = None
@@ -90,13 +102,11 @@ def incremental_pagerank(
     prev_cut: int | None = None
     counts = _DeltaPatternCounts(num_partitions) if with_pattern_counts else None
     for si, cut in enumerate(steps):
+        cum_m += sizes[cut]
         if si < base_steps - 1:
             continue
         cum = edges.where(F.col(ts_col) <= cut)
-        new_cnt = (
-            edges.where(F.col(ts_col) == cut).count() if cut > base_cut else
-            cum.count()
-        )
+        new_cnt = sizes[cut] if cut > base_cut else cum_m
         t0 = time.time()
         if prev_ranks is None:
             res = pagerank(
@@ -112,14 +122,13 @@ def incremental_pagerank(
                 directed, alpha, tol, num_partitions,
             )
         wall = time.time() - t0
-        m = cum.count()
         metrics = StepMetrics(
             step=cut,
             n_new_edges=new_cnt,
-            n_total_edges=m,
+            n_total_edges=cum_m,
             supersteps=res.supersteps,
             wall_sec=round(wall, 3),
-            edges_per_sec=round(res.supersteps * 2 * m / wall, 1),
+            edges_per_sec=round(res.supersteps * 2 * cum_m / wall, 1),
         )
         if counts is not None:
             bucket_df = (
@@ -434,10 +443,13 @@ def incremental_pattern_match(
     pin it). State rows: one per distinct match signature."""
     from ..plans.pattern import match_pattern
 
-    steps = step_list(edges, ts_col)
+    sizes = _bucket_sizes(edges, ts_col)
+    steps = sorted(sizes)
+    cum_m = 0
     result = IncrementalResult(state=None)
     matches: DataFrame | None = None
     for si, cut in enumerate(steps):
+        cum_m += sizes[cut]
         if si < base_steps - 1:
             continue
         cum = edges.where(F.col(ts_col) <= cut)
@@ -462,15 +474,14 @@ def incremental_pattern_match(
             )
             n_new = matches.count() - before
         wall = time.time() - t0
-        m = cum.count()
         result.steps.append(
             StepMetrics(
                 step=cut,
-                n_new_edges=int(edges.where(F.col(ts_col) == cut).count()),
-                n_total_edges=m,
+                n_new_edges=sizes[cut],
+                n_total_edges=cum_m,
                 supersteps=1,
                 wall_sec=round(wall, 3),
-                edges_per_sec=round(m / max(wall, 1e-9), 1),
+                edges_per_sec=round(cum_m / max(wall, 1e-9), 1),
                 n_triangles=None,
                 n_stars=None,
                 n_new_matches=int(n_new),
@@ -496,10 +507,13 @@ def incremental_components(
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    steps = step_list(edges, ts_col)
+    sizes = _bucket_sizes(edges, ts_col)
+    steps = sorted(sizes)
+    cum_m = 0
     result = IncrementalResult(state=None)
     comp: DataFrame | None = None
     for si, cut in enumerate(steps):
+        cum_m += sizes[cut]
         if si < base_steps - 1:
             continue
         cum = edges.where(F.col(ts_col) <= cut)
@@ -548,15 +562,14 @@ def incremental_components(
             comp = state.select("id", "component").localCheckpoint(eager=True)
             adj.unpersist()
         wall = time.time() - t0
-        m = cum.count()
         result.steps.append(
             StepMetrics(
                 step=cut,
-                n_new_edges=int(edges.where(F.col(ts_col) == cut).count()),
-                n_total_edges=m,
+                n_new_edges=sizes[cut],
+                n_total_edges=cum_m,
                 supersteps=supersteps,
                 wall_sec=round(wall, 3),
-                edges_per_sec=round(supersteps * 2 * m / max(wall, 1e-9), 1),
+                edges_per_sec=round(supersteps * 2 * cum_m / max(wall, 1e-9), 1),
             )
         )
     result.state = comp
