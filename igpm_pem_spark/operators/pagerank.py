@@ -58,15 +58,49 @@ class PageRankResult:
     stats: list[SuperstepStats] = field(default_factory=list)
 
 
-def _adjacency_with_degree(edges: DataFrame, directed: bool, num_partitions: int) -> DataFrame:
-    adj = partitioned_adjacency(edges, num_partitions, directed=directed)
-    # degree via partition-local window: adj is already hash-partitioned by
-    # src, so this sorts within partitions instead of joining (no shuffle).
-    # Every step function receives num_partitions EXPLICITLY so the message
-    # aggregation shuffles to the SAME partition count as this adjacency —
-    # not whatever spark.sql.shuffle.partitions happens to be (at 1e9+
-    # edges a mismatched session default re-buckets V rows every superstep).
-    return adj.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+def _adjacency_with_degree(
+    edges: DataFrame, directed: bool, num_partitions: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(src, dst, deg[, w]) hash-partitioned by src. Unweighted: deg =
+    simple out-degree. Weighted: parallel edges' weights are SUMMED
+    (nx.MultiGraph semantics) and deg = total out-weight, so a vertex's
+    contribution share is w/Σw.
+
+    Degree via partition-local window: adj is already hash-partitioned by
+    src, so this sorts within partitions instead of joining (no shuffle);
+    the weighted groupBy(src, dst) also runs exchange-free because hash
+    partitioning on src already satisfies its clustering. Every step
+    function receives num_partitions EXPLICITLY so the message aggregation
+    shuffles to the SAME partition count as this adjacency — not whatever
+    spark.sql.shuffle.partitions happens to be (at 1e9+ edges a mismatched
+    session default re-buckets V rows every superstep)."""
+    if weight_col is None:
+        adj = partitioned_adjacency(edges, num_partitions, directed=directed)
+        return adj.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    adj = (
+        e.repartition(num_partitions, "src")
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    return adj.withColumn("deg", F.sum("w").over(Window.partitionBy("src")))
+
+
+def _share(joined: DataFrame, val: str):
+    """Per-edge contribution share of ``val``: rank/deg unweighted,
+    rank·w/Σw when the adjacency carries weights."""
+    if "w" in joined.columns:
+        return F.col(val) * F.col("w") / F.col("deg")
+    return F.col(val) / F.col("deg")
 
 
 def _personalization_df(spark: SparkSession, personalization) -> DataFrame:
@@ -102,11 +136,16 @@ def pagerank(
     frontier_eps: float | None = None,
     steps_per_commit: int = 1,
     personalization: dict | list | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank to L1 convergence ``sum(|Δ|) < tol``.
 
     ``edges``: (src, dst, ...). Undirected inputs are symmetrized (NetworkX
     semantics). Returns ranks summing to 1.
+
+    ``weight_col`` — weighted PageRank: each edge contributes its source's
+    rank ∝ weight/Σ(out-weights), matching ``networkx.pagerank(weight=…)``;
+    parallel edges' weights sum (MultiGraph). Weights must be positive.
 
     ``personalization`` — seed set (dict id->weight or iterable of ids):
     restart mass lands on the seeds instead of uniformly, i.e. random walk
@@ -119,7 +158,9 @@ def pagerank(
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    adj = _adjacency_with_degree(edges, directed, num_partitions).persist()
+    adj = _adjacency_with_degree(
+        edges, directed, num_partitions, weight_col
+    ).persist()
     verts = vertex_ids(adj).repartition(num_partitions, "id").persist()
     n = verts.count()
     if n == 0:
@@ -311,12 +352,11 @@ def _run_exact_undirected(
     base = (1.0 - alpha) / n
 
     def value_step(s: DataFrame) -> DataFrame:
+        j = adj.join(
+            s.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
+        )
         contribs = _group_sum(
-            adj.join(
-                s.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
-            ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
-            "c",
-            num_partitions,
+            j.select("dst", _share(j, "rank").alias("c")), "c", num_partitions
         )
         return contribs.select(
             F.col("dst").alias("id"),
@@ -418,13 +458,10 @@ def _exact_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_part
     # build parallelizes per partition — broadcasting a 1e9-row rank vector
     # is the plan that cannot scale, and its single-threaded build is also
     # what flattens local-mode core scaling
-    contribs = _group_sum(
-        adj.join(
-            state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
-        "c",
-        n_parts,
+    j = adj.join(
+        state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
     )
+    contribs = _group_sum(j.select("dst", _share(j, "rank").alias("c")), "c", n_parts)
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
         dm = F.col("_dm")
@@ -450,13 +487,10 @@ def _personalized_exact_step(
     """Exact RWR power iteration: state carries the restart weight ``p``;
     restart AND dangling mass land ∝ p (NetworkX personalized semantics,
     reference ``rwr.py:176-180``)."""
-    contribs = _group_sum(
-        adj.join(
-            state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("rank") / F.col("deg")).alias("c")),
-        "c",
-        n_parts,
+    j = adj.join(
+        state.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
     )
+    contribs = _group_sum(j.select("dst", _share(j, "rank").alias("c")), "c", n_parts)
     joined = state.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
         dm = F.col("_dm")
@@ -482,13 +516,10 @@ def _personalized_delta_step(
     """Residual push for seeded RWR — linearity makes the delta kernel
     identical to the uniform one except restart/dangling mass scale by p."""
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
-    msgs = _group_sum(
-        adj.join(
-            active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
-        "m",
-        n_parts,
+    j = adj.join(
+        active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
     )
+    msgs = _group_sum(j.select("dst", _share(j, "delta").alias("m")), "m", n_parts)
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
         dm = F.col("_dm")
@@ -510,13 +541,10 @@ def _personalized_delta_step(
 
 def _delta_step(state, adj, dangling, n_dangling, n, alpha, frontier_eps, n_parts) -> DataFrame:
     active = state.where(F.abs(F.col("delta")) > frontier_eps)
-    msgs = _group_sum(
-        adj.join(
-            active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("delta") / F.col("deg")).alias("m")),
-        "m",
-        n_parts,
+    j = adj.join(
+        active.select(F.col("id").alias("src"), "delta").hint("shuffle_hash"), "src"
     )
+    msgs = _group_sum(j.select("dst", _share(j, "delta").alias("m")), "m", n_parts)
     joined = state.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
     if n_dangling:
         dm = F.col("_dm")

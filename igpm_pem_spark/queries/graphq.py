@@ -69,6 +69,30 @@ def _q_pagerank_fixed8(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
 
+_G_WPARTS_SQL = """
+SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       CAST(count(*) AS DOUBLE) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.l_orderkey % 10 = 0
+GROUP BY a.l_partkey, b.l_partkey
+"""
+
+
+def _q_pagerank_weighted_fixed8(spark, sf_dir):
+    """Weighted PageRank, 8 fixed rounds: edge weight = co-occurrence
+    multiplicity (shared-order count), contribution ∝ w/Σw — the
+    import-multiplicity ranking a link-graph engine needs beyond the
+    unweighted kernel. Mirrored by a weighted recursive-CTE oracle."""
+    from ..operators.pagerank import pagerank
+
+    e = edges(spark, sf_dir, _G_WPARTS_SQL)
+    res = pagerank(
+        spark, e, tol=0.0, max_iter=8, mode="exact", weight_col="w"
+    )
+    return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
+
+
 def _q_kcore3(spark, sf_dir):
     """3-core membership on the sparse graph — iterative peeling must
     match the unrolled filter-chain oracle exactly."""
@@ -271,6 +295,27 @@ QUERIES = {
     "kcore3_vertices": (
         _q_kcore3,
         _with_g(_kcore_sql(3), G_SPARSE_SQL),
+    ),
+    "pagerank_weighted_fixed8": (
+        _q_pagerank_weighted_fixed8,
+        f"""
+        WITH RECURSIVE g AS ({_G_WPARTS_SQL})
+        , sym AS (SELECT src, dst, w FROM g
+                  UNION ALL SELECT dst AS src, src AS dst, w FROM g)
+        , verts AS (SELECT DISTINCT src AS id FROM sym)
+        , wdeg AS (SELECT src, sum(w) AS d FROM sym GROUP BY src)
+        , nn AS (SELECT count(*) AS c FROM verts)
+        , pr(iter, id, r) AS (
+            SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+            UNION ALL
+            SELECT p.iter + 1, e.dst,
+                   0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r * e.w / d.d)
+            FROM pr p JOIN sym e ON e.src = p.id JOIN wdeg d ON d.src = p.id
+            WHERE p.iter < 8
+            GROUP BY p.iter, e.dst
+        )
+        SELECT id, round(r, 7) AS rank7 FROM pr WHERE iter = 8
+        """,
     ),
     "rwr_seeded_fixed8": (
         _q_rwr_seeded_fixed8,

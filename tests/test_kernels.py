@@ -210,3 +210,61 @@ def test_adaptive_triangle_probe_handles_hub(spark):
     star = [(0, i) for i in range(1, 200)]
     assert triangle_count(edges_df(spark, star)) == 0
     assert triangle_count(edges_df(spark, star + [(1, 2)])) == 1
+
+
+def _weighted_pr_oracle(wpairs, directed, alpha=0.85, tol=1e-13, iters=3000):
+    """Pure-python weighted power iteration (nx.pagerank(weight=...) with
+    MultiGraph weight summing)."""
+    w = {}
+    verts = set()
+    for a, b, wt in wpairs:
+        if a == b:
+            continue
+        verts |= {a, b}
+        w[(a, b)] = w.get((a, b), 0.0) + wt
+        if not directed:
+            w[(b, a)] = w.get((b, a), 0.0) + wt
+    outw = {}
+    succ = {}
+    for (a, b), wt in w.items():
+        outw[a] = outw.get(a, 0.0) + wt
+        succ.setdefault(a, []).append((b, wt))
+    n = len(verts)
+    x = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        nxt = dict.fromkeys(verts, 0.0)
+        dangle = sum(x[v] for v in verts if v not in outw)
+        for v, lst in succ.items():
+            for u, wt in lst:
+                nxt[u] += x[v] * wt / outw[v]
+        nxt = {
+            v: (1 - alpha) / n + alpha * (nxt[v] + dangle / n) for v in verts
+        }
+        err = sum(abs(nxt[v] - x[v]) for v in verts)
+        x = nxt
+        if err < tol:
+            return x
+    raise RuntimeError("weighted oracle did not converge")
+
+
+@pytest.mark.parametrize("directed,mode", [
+    (False, "exact"), (False, "delta"), (True, "exact"), (True, "delta"),
+])
+def test_weighted_pagerank_matches_oracle(spark, directed, mode):
+    # parallel edge (0,1) appears twice -> weights must SUM; vertex 4 is a
+    # sink in the directed view (dangling)
+    wpairs = [
+        (0, 1, 1.0), (0, 1, 2.0), (1, 2, 5.0), (2, 0, 1.0),
+        (2, 3, 0.5), (3, 0, 2.0), (1, 4, 4.0),
+    ]
+    edges = spark.createDataFrame(
+        wpairs, "src BIGINT, dst BIGINT, wt DOUBLE"
+    )
+    res = pagerank(
+        spark, edges, directed=directed, mode=mode, tol=1e-10,
+        weight_col="wt", steps_per_commit=3,
+    )
+    got = {r.id: r["rank"] for r in res.ranks.collect()}
+    want = _weighted_pr_oracle(wpairs, directed)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-7
+    assert abs(sum(got.values()) - 1.0) < 1e-6
