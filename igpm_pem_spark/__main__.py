@@ -1,0 +1,157 @@
+"""spark-submit entry point — the north rule's launch path.
+
+Run locally::
+
+    python -m igpm_pem_spark pagerank --edges /data/edges.parquet \
+        --output /data/ranks.parquet --checkpoint-dir /ckpt/pr
+
+or on a cluster (the package zipped and shipped; master/executors come
+from spark-submit, so the same command scales from local[*] to N
+executors)::
+
+    zip -r igpm_pem_spark.zip igpm_pem_spark
+    spark-submit --py-files igpm_pem_spark.zip \
+        --num-executors 64 igpm_pem_spark/__main__.py \
+        pagerank --edges s3://bucket/edges --output s3://bucket/ranks
+
+Subcommands mirror the engine surface: ``config`` (the reference's INI
+batch entry, ``gray/query_call.py:415-438``), the iterative kernels
+(``pagerank``, ``components``, ``labelprop``, ``kcore``), ``triangles``,
+and ``ingest`` (repo-files → import edge table, the input_hint pipeline).
+Edge inputs are parquet with (src, dst[, weight, ts]) columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    # under spark-submit the master/executor topology comes from the
+    # submit command; getOrCreate respects it. Standalone `python -m`
+    # falls back to local[*] with the engine's tuned defaults.
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is not None:
+        return SparkSession.getActiveSession()
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _emit(df, output: str | None, n_show: int = 20) -> None:
+    if output:
+        df.write.mode("overwrite").parquet(output)
+    else:
+        df.show(n_show, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="igpm_pem_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("config", help="run an INI query config (S8)")
+    pc.add_argument("path")
+    pc.add_argument("--output")
+
+    def kernel_parser(name: str, help_: str):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("--edges", required=True, help="parquet with src,dst[,...]")
+        p.add_argument("--output")
+        p.add_argument("--directed", action="store_true")
+        p.add_argument("--num-partitions", type=int, default=None)
+        return p
+
+    pr = kernel_parser("pagerank", "(weighted/seeded) PageRank to convergence")
+    pr.add_argument("--alpha", type=float, default=0.85)
+    pr.add_argument("--tol", type=float, default=1e-6)
+    pr.add_argument("--max-iter", type=int, default=200)
+    pr.add_argument("--mode", choices=["exact", "delta"], default="delta")
+    pr.add_argument("--steps-per-commit", type=int, default=5)
+    pr.add_argument("--weight-col")
+    pr.add_argument("--seed", type=int, action="append", default=None,
+                    help="personalization seed vertex (repeatable)")
+    pr.add_argument("--checkpoint-dir")
+
+    cc = kernel_parser("components", "hash-min connected components")
+    cc.add_argument("--checkpoint-dir")
+
+    lp = kernel_parser("labelprop", "deterministic synchronous LPA")
+    lp.add_argument("--max-iter", type=int, default=10)
+
+    kc = kernel_parser("kcore", "k-core decomposition")
+    kc.add_argument("-k", type=int, required=True)
+
+    kernel_parser("triangles", "exact triangle count (adaptive plan)")
+
+    ing = sub.add_parser("ingest", help="repo files parquet -> import edges")
+    ing.add_argument("--repo-files", required=True,
+                     help="parquet with (repo, path, commit, lang, content)")
+    ing.add_argument("--output")
+
+    args = ap.parse_args(argv)
+    spark = _spark(f"igpm-pem-{args.cmd}")
+
+    if args.cmd == "config":
+        from .sources.config_source import run_query_config
+
+        _emit(run_query_config(spark, args.path), args.output)
+        return 0
+
+    if args.cmd == "ingest":
+        from .sources.code_imports import import_edges
+
+        rf = spark.read.parquet(args.repo_files)
+        _emit(import_edges(rf), args.output)
+        return 0
+
+    edges = spark.read.parquet(args.edges)
+    if args.cmd == "pagerank":
+        from .operators.pagerank import pagerank
+
+        res = pagerank(
+            spark, edges, directed=args.directed, alpha=args.alpha,
+            tol=args.tol, max_iter=args.max_iter, mode=args.mode,
+            steps_per_commit=args.steps_per_commit,
+            num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
+            weight_col=args.weight_col,
+            personalization=args.seed,
+        )
+        _emit(res.ranks, args.output)
+        print(f"supersteps={res.supersteps} converged={res.converged}",
+              file=sys.stderr)
+    elif args.cmd == "components":
+        from .operators.components import connected_components
+
+        res = connected_components(
+            spark, edges, num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir, steps_per_commit=4,
+        )
+        _emit(res.components, args.output)
+    elif args.cmd == "labelprop":
+        from .operators.labelprop import label_propagation
+
+        res = label_propagation(
+            spark, edges, max_iter=args.max_iter,
+            num_partitions=args.num_partitions, steps_per_commit=3,
+        )
+        _emit(res.labels, args.output)
+    elif args.cmd == "kcore":
+        from .operators.kcore import k_core
+
+        res = k_core(spark, edges, args.k, num_partitions=args.num_partitions)
+        _emit(res.vertices, args.output)
+    elif args.cmd == "triangles":
+        from .operators.triangles import triangle_count
+
+        print(triangle_count(edges))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
