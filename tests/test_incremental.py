@@ -209,3 +209,32 @@ def test_incremental_path_pattern_equals_batch(spark):
     got = {tuple(sorted((p["u"], p["v"]) for p in r["sig"])) for r in res.state.collect()}
     want = {tuple(sorted((p["u"], p["v"]) for p in r["sig"])) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_incremental_labelprop_stable_and_matches_batch_on_clear_communities(spark):
+    """Warm-started LPA replay must land on a STABLE labeling of the
+    final graph; on a graph whose communities are unambiguous (two dense
+    cliques joined late by one bridge edge) it equals batch."""
+    from igpm_pem_spark.operators.incremental import incremental_labelprop
+    from igpm_pem_spark.operators.labelprop import _lpa_step, label_propagation
+    from igpm_pem_spark.operators.graph import partitioned_adjacency
+
+    cl1 = [(a, b, 0) for a in range(5) for b in range(5) if a < b]
+    cl2 = [(a, b, 0) for a in range(10, 15) for b in range(10, 15) if a < b]
+    bridge = [(4, 10, 1)]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + bridge, "src BIGINT, dst BIGINT, ts INT"
+    )
+    res = incremental_labelprop(spark, edges, base_steps=1)
+    got = {r.id: r.label for r in res.state.collect()}
+    # two communities survive the single bridge
+    assert got[0] == got[4] and got[10] == got[14] and got[0] != got[10]
+    # stability: one more FULL sweep changes nothing
+    adj = partitioned_adjacency(edges, 4).persist()
+    state = res.state.withColumn("changed", F.lit(True))
+    swept = {r.id: r.label for r in _lpa_step(state, adj, 4).collect()}
+    adj.unpersist()
+    assert swept == got
+    # batch equality on this unambiguous graph
+    batch = label_propagation(spark, edges, max_iter=10)
+    assert {r.id: r.label for r in batch.labels.collect()} == got
