@@ -119,6 +119,66 @@ def components_stream(
     return query, state
 
 
+def pattern_match_stream(
+    spark: SparkSession,
+    vertices: DataFrame,
+    source_dir: str,
+    q,
+    *,
+    schema: str = "src BIGINT, dst BIGINT, label STRING, ts INT",
+    checkpoint_dir: str | None = None,
+) -> tuple["object", StreamState]:
+    """Streaming IGPM: a file-source edge stream drives incremental
+    pattern matching — per micro-batch, ONLY matches using ≥1 arriving
+    edge are enumerated (``match_pattern(delta_edges=…)``, path edges
+    included via seeded closure deltas) and unioned into the carried
+    match table. The streaming face of the engine's headline operator;
+    the match table after the stream drains equals a batch match over
+    all edges (pinned by tests).
+
+    Returns (StreamingQuery, StreamState) — ``state.components`` is
+    unused; the match table lands in ``state.matches``."""
+    from ..plans.pattern import match_pattern
+
+    state = StreamState()
+    state.matches = None  # (dynamic attr: match table)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.localCheckpoint(eager=True)
+        if new_edges.rdd.isEmpty():
+            return
+        state.batches += 1
+        if state.edges is None:
+            state.edges = new_edges
+            m = match_pattern(spark, vertices, state.edges, q)
+            state.matches = m.localCheckpoint(eager=True)
+            state.history.append(
+                {"batch": batch_id, "n_matches": state.matches.count()}
+            )
+            return
+        old = state.edges
+        state.edges = old.unionByName(new_edges).localCheckpoint(eager=True)
+        new_m = match_pattern(
+            spark, vertices, state.edges, q,
+            delta_edges=new_edges, old_edges=old,
+        )
+        state.matches = (
+            state.matches.unionByName(new_m)
+            .dropDuplicates(["sig"])
+            .localCheckpoint(eager=True)
+        )
+        state.history.append(
+            {"batch": batch_id, "n_matches": state.matches.count()}
+        )
+
+    reader = spark.readStream.schema(schema).parquet(source_dir)
+    writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    return query, state
+
+
 def dedup_stream(
     spark: SparkSession,
     source_dir: str,

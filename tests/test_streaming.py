@@ -99,3 +99,32 @@ def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     assert out[2] == (1, 3.0)
     assert out[4] == (1, 4.0)  # day3 window finalized by round-2 watermark
     assert 6 not in out  # day5 window still open (not appended)
+
+
+def test_pattern_match_stream_equals_batch(spark, tmp_path):
+    """Streaming IGPM: micro-batched edge arrival + delta-only match
+    enumeration must end at the batch match set (path edge included)."""
+    from igpm_pem_spark.plans.pattern import match_pattern, parse_query_args
+    from igpm_pem_spark.streaming.stream import pattern_match_stream
+
+    verts, edges, _ = fixture_graph(spark, "dynamic_test1")
+    src_dir = str(tmp_path / "pm_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for ts in (0, 1, 2):
+        edges.where(f"ts = {ts}").coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = parse_query_args(
+        "--vertex a b c --edge x:a:b y:b:c z:c:a --vertexlabel a:cyan b:cyan c:cyan"
+    )
+    query, state = pattern_match_stream(
+        spark, verts, src_dir, q, checkpoint_dir=str(tmp_path / "pm_ckpt")
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    def sigs(df):
+        return {tuple((p["u"], p["v"]) for p in r["sig"]) for r in df.collect()}
+
+    batch = match_pattern(spark, verts, edges, q)
+    assert sigs(state.matches) == sigs(batch)
+    assert len(sigs(state.matches)) == 2
