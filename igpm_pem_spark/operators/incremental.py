@@ -86,9 +86,16 @@ def incremental_pagerank(
     directed: bool = False,
     num_partitions: int | None = None,
     with_pattern_counts: bool = False,
+    pem=None,
 ) -> IncrementalResult:
     """Replay ts buckets; per step, warm-start from the previous ranks and
-    re-converge with delta-restricted supersteps."""
+    re-converge with delta-restricted supersteps.
+
+    ``pem`` — an ``operators.pem.PemController``: each step runs with the
+    controller's current ``frontier_eps`` (recompute scope) and reports
+    its wall time back, so the scope adapts to the per-step latency
+    budget — the deterministic replacement for the reference's DQN
+    (entry point 3, ``pem_egqp.py``; SURVEY §3.3 stance)."""
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     sizes = _bucket_sizes(edges, ts_col)
@@ -112,6 +119,7 @@ def incremental_pagerank(
             res = pagerank(
                 spark, cum, directed=directed, alpha=alpha, tol=tol,
                 mode="delta", num_partitions=num_partitions, steps_per_commit=5,
+                frontier_eps=pem.eps if pem is not None else None,
             )
             prev_n, prev_dm = _graph_consts(res.ranks, cum, directed)
         else:
@@ -120,8 +128,14 @@ def incremental_pagerank(
             res, prev_n, prev_dm = _pagerank_warm(
                 spark, cum, bucket, prev_cum, prev_ranks, prev_n, prev_dm,
                 directed, alpha, tol, num_partitions,
+                frontier_eps=pem.eps if pem is not None else None,
             )
         wall = time.time() - t0
+        if pem is not None:
+            pem.observe(
+                wall,
+                res.stats[-1].active_vertices if res.stats else None,
+            )
         metrics = StepMetrics(
             step=cut,
             n_new_edges=new_cnt,
@@ -270,7 +284,7 @@ def _sym_pairs(edges: DataFrame, directed: bool) -> DataFrame:
 
 def _pagerank_warm(
     spark, cum_edges, bucket_edges, prev_edges, prev_ranks, prev_n, prev_dm,
-    directed, alpha, tol, num_partitions,
+    directed, alpha, tol, num_partitions, frontier_eps=None,
 ):
     """Perturbation-proportional warm start.
 
@@ -351,7 +365,8 @@ def _pagerank_warm(
     cb_new_vertex = ((1.0 - alpha) + alpha * dm_new) / n
     cb_known = cb_new_vertex - ((1.0 - alpha) + alpha * prev_dm) / max(prev_n, 1)
 
-    frontier_eps = tol / (10.0 * n)
+    if frontier_eps is None:
+        frontier_eps = tol / (10.0 * n)
     # the delta kernel's state convention: rank already INCLUDES the
     # current delta (each step adds only the newly pushed delta)
     delta_expr = F.when(F.col("prev").isNotNull(), F.lit(cb_known)).otherwise(
@@ -369,14 +384,18 @@ def _pagerank_warm(
     )
     seed_active = seeded.where(F.abs(F.col("delta")) > frontier_eps).count()
     res = _delta_converge(
-        spark, cum_edges, seeded, directed, alpha, tol, num_partitions, adj=adj
+        spark, cum_edges, seeded, directed, alpha, tol, num_partitions,
+        adj=adj, frontier_eps=frontier_eps,
     )
     res.seed_active = seed_active
     n_out, dm_out = _graph_consts(res.ranks, cum_edges, directed)
     return res, n_out, dm_out
 
 
-def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions, adj=None):
+def _delta_converge(
+    spark, edges, state, directed, alpha, tol, num_partitions, adj=None,
+    frontier_eps=None,
+):
     from ..lineage import LineageLog
     from ._superstep import commit_and_stats, edge_partition_counts
     from .pagerank import PageRankResult, _adjacency_with_degree, _delta_step
@@ -395,7 +414,8 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions, a
     else:
         dangling, n_dangling = None, 0
     edge_parts = edge_partition_counts(adj)
-    frontier_eps = tol / (10.0 * n)
+    if frontier_eps is None:
+        frontier_eps = tol / (10.0 * n)
     log = LineageLog(spark, None)
     converged, step = False, 0
     while step < 100:
@@ -407,11 +427,13 @@ def _delta_converge(spark, edges, state, directed, alpha, tol, num_partitions, a
                 num_partitions,
             )
         step += 3
-        state, delta, _ = commit_and_stats(
+        state, delta, active = commit_and_stats(
             log, step - 1, new_state, F.abs(F.col("delta")),
             F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
         )
-        if delta < tol:
+        # a coarse PEM eps may truncate more residual mass than tol —
+        # an empty frontier is then the (documented) stopping point
+        if delta < tol or active == 0:
             converged = True
             break
     adj.unpersist()

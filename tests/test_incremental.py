@@ -238,3 +238,32 @@ def test_incremental_labelprop_stable_and_matches_batch_on_clear_communities(spa
     # batch equality on this unambiguous graph
     batch = label_propagation(spark, edges, max_iter=10)
     assert {r.id: r.label for r in batch.labels.collect()} == got
+
+
+def test_pem_controller_policy_is_deterministic():
+    from igpm_pem_spark.operators.pem import PemController
+
+    pem = PemController(target_step_sec=1.0, eps=1e-10)
+    # over budget → coarsen ×4; way under → refine ÷2; in band → hold
+    assert pem.observe(2.0) == 4e-10
+    assert pem.observe(0.1) == 2e-10
+    assert pem.observe(1.0) == 2e-10
+    assert [h["eps_after"] for h in pem.history] == [4e-10, 2e-10, 2e-10]
+    # clamps
+    pem2 = PemController(target_step_sec=1.0, eps=1e-4, eps_max=1e-4)
+    assert pem2.observe(10.0) == 1e-4
+
+
+def test_incremental_pagerank_with_pem_adapts_scope(spark):
+    """A hopeless per-step budget must coarsen the recompute scope (eps
+    climbs toward eps_max) while ranks stay a sane distribution; the
+    controller's audit trail records every decision."""
+    from igpm_pem_spark.operators.pem import PemController
+
+    edges = _dynamic_ba(spark)
+    pem = PemController(target_step_sec=0.001, eps=1e-9, eps_max=1e-5)
+    res = incremental_pagerank(spark, edges, base_steps=1, tol=1e-6, pem=pem)
+    assert len(pem.history) == len(res.steps) == 4
+    assert pem.eps > 1e-9  # scope coarsened under the impossible budget
+    total = sum(r["rank"] for r in res.state.collect())
+    assert abs(total - 1.0) < 1e-6
