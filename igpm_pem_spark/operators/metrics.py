@@ -1,0 +1,117 @@
+"""Per-vertex / whole-graph structural metrics beyond counts.
+
+The reference's statistic surface is degrees, triangle counts, community
+sizes (``gray_incremental.py:92-96,193-202``); these are the standard
+next ring of link-graph metrics — local clustering coefficient, degree
+assortativity, neighborhood aggregates, and common-neighbor link
+prediction — each a short composition of the same canonical-edge joins
+the triangle kernel uses, all SQL-mirrorable exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .graph import canonical_undirected, symmetrize
+from .triangles import triangles_per_vertex
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, lcc): local clustering coefficient 2·tri(v) / (d(v)·(d(v)−1))
+    on the undirected simple graph; vertices with degree < 2 score 0.0
+    (``nx.clustering`` convention — the reference's NetworkX world)."""
+    e = canonical_undirected(edges)
+    deg = (
+        symmetrize(e)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    tri = triangles_per_vertex(e)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        F.when(
+            F.col("d") >= 2,
+            2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> float:
+    """Pearson correlation of (deg(u), deg(v)) over the symmetrized edge
+    list — the standard degree-assortativity coefficient (Newman 2002).
+    One degree aggregate + two broadcast-size joins + corr; a single-pass
+    whole-graph scalar at any scale."""
+    df = degree_pairs(edges)
+    row = df.agg(F.corr("du", "dv").alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else float("nan")
+
+
+def degree_pairs(edges: DataFrame) -> DataFrame:
+    """(src, dst, du, dv): each symmetrized edge with its endpoint degrees
+    — the assortativity input relation (exposed for the SQL oracle)."""
+    sym = symmetrize(canonical_undirected(edges))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    return (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+        .select("src", "dst", "du", "dv")
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(id, avg_nbr_deg): mean degree over each vertex's neighbors — the
+    canonical 1-hop neighborhood aggregate (``nx.average_neighbor_degree``).
+    Same relation as assortativity, grouped the other way."""
+    return (
+        degree_pairs(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.avg("dv").alias("avg_nbr_deg"))
+    )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, min_common: int = 2
+) -> DataFrame:
+    """(a, b, cn, jaccard): common-neighbor counts and Jaccard scores for
+    NON-adjacent vertex pairs sharing ≥ ``min_common`` neighbors — the
+    classic link-prediction candidate generator.
+
+    Plan shape: wedge self-join on the shared neighbor (same skeleton as
+    triangle counting, bounded by Σ d(v)² like any wedge enumeration),
+    aggregate to (pair → cn), anti-join existing edges, then one
+    degree-join pair for the union size. ``min_common`` prunes the
+    enormous cn=1 tail BEFORE the anti-join and degree joins — at scale
+    that filter is what keeps the candidate set near-linear."""
+    sym = symmetrize(canonical_undirected(edges)).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    w1 = sym.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+    w2 = sym.select(F.col("dst").alias("n"), F.col("src").alias("b"))
+    cn = (
+        w1.join(w2, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= min_common)
+    )
+    cand = cn.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    out = (
+        cand.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b", "cn",
+            (
+                F.col("cn")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

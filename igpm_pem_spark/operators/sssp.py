@@ -1,0 +1,130 @@
+"""Weighted single-source shortest paths — frontier-restricted Bellman-Ford.
+
+The reference's EXTRACT is Dijkstra over RWR goodness capped at 3 hops
+(``patternmatching/gray/extract.py:30-79``); ``paths.shortest_paths``
+covers that hop-bounded form. This kernel is the unbounded weighted
+closure a link-graph engine also needs (e.g. "cheapest dependency chain
+from this repo"): classic distributed Bellman-Ford where each superstep
+relaxes only edges out of vertices whose tentative distance improved last
+round, so the join work decays to the active frontier exactly like the CC
+kernel (O2 partial execution in SURVEY.md §4).
+
+Determinism: distances are sums of the input weight column; with integral
+weights (edge multiplicities — the co-occurrence use) every sum is exact
+in DOUBLE, so the fixpoint is engine-independent and mirrorable by a
+recursive-CTE oracle that carries the running min through a weight-0
+self-loop on every vertex (the same keep-alive trick as the CC oracle's
+``ep`` relation).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lineage import LineageLog, SuperstepStats
+from ._superstep import commit_and_stats, edge_partition_counts
+
+
+@dataclass
+class SsspResult:
+    distances: DataFrame  # (id BIGINT, dist DOUBLE) — reached vertices only
+    supersteps: int
+    converged: bool
+    stats: list[SuperstepStats] = field(default_factory=list)
+
+
+def _prep(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    # parallel edges: keep the cheapest (min-weight) representative
+    return e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    *,
+    weight_col: str = "w",
+    directed: bool = False,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    steps_per_commit: int = 1,
+) -> SsspResult:
+    """Min-plus fixpoint: dist(v) = min over edges (u,v) of dist(u)+w.
+
+    Non-negative weights assumed (enforced); unreachable vertices are
+    absent from the result rather than carrying +inf rows.
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    adj = _prep(edges, weight_col, directed).repartition(
+        num_partitions, "src"
+    ).persist()
+    if adj.where(F.col("w") < 0).limit(1).count() > 0:
+        adj.unpersist()
+        raise ValueError("sssp requires non-negative weights")
+    edge_parts = edge_partition_counts(adj)
+    log = LineageLog(spark, checkpoint_dir)
+
+    state = spark.createDataFrame(
+        [(int(source), 0.0, True)], "id BIGINT, dist DOUBLE, changed BOOLEAN"
+    ).repartition(num_partitions, "id").localCheckpoint(eager=True)
+
+    converged, step = False, 0
+    while step < max_iter:
+        t0 = time.time()
+        block = min(steps_per_commit, max_iter - step)
+        new_state, intermediates = state, []
+        for b in range(block):
+            frontier = new_state.where("changed").select(
+                F.col("id").alias("src"), F.col("dist").alias("d0")
+            )
+            raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
+                "dst", (F.col("d0") + F.col("w")).alias("cand")
+            )
+            msgs = (
+                raw.repartition(num_partitions, "dst")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cand").alias("cand"))
+            )
+            new_state = new_state.join(msgs, "id", "full").select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
+                ).alias("changed"),
+            )
+            if b < block - 1:
+                new_state = new_state.persist()
+                intermediates.append(new_state)
+        step += block
+        state, delta, _ = commit_and_stats(
+            log, step - 1, new_state,
+            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            num_partitions=num_partitions,
+        )
+        for df in intermediates:
+            df.unpersist()
+        if delta == 0.0:
+            converged = True
+            break
+    adj.unpersist()
+    result = SsspResult(state.select("id", "dist"), step, converged)
+    result.stats = log.stats
+    return result

@@ -1,0 +1,221 @@
+"""Structural-metric and link-analysis queries (HITS, clustering
+coefficient, assortativity, neighborhood aggregates, link prediction,
+weighted SSSP) with exact DuckDB oracles — the second ring of link-graph
+analytics around the SURVEY §2 kernel core."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._common import G_SPARSE_SQL, edges
+from .graphq import _with_g
+
+# weighted sparse co-occurrence graph: w = shared-order multiplicity
+# (integral, so distance sums are exact in DOUBLE on both engines)
+_G_WSPARSE_SQL = """
+SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       CAST(count(*) AS DOUBLE) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.l_orderkey % 20 = 0
+GROUP BY a.l_partkey, b.l_partkey
+"""
+
+# SSSP oracle: Bellman-Ford as a recursive CTE. The weight-0 self-loop on
+# every vertex carries the running min through each round (the CC oracle's
+# keep-alive trick), so the recursive term references sp exactly once.
+SSSP_ORACLE_ITERS = 50
+
+_SSSP_SQL = f"""
+WITH RECURSIVE g AS ({_G_WSPARSE_SQL})
+, sym AS (SELECT src, dst, w FROM g
+          UNION ALL SELECT dst AS src, src AS dst, w FROM g)
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, src0 AS (SELECT min(id) AS s FROM verts)
+, ep AS (SELECT src, dst, w FROM sym
+         UNION ALL SELECT id, id, 0.0 FROM verts)
+, sp(iter, id, dist) AS (
+    SELECT 0, (SELECT s FROM src0), 0.0
+    UNION ALL
+    SELECT t.iter + 1, e.dst, min(t.dist + e.w)
+    FROM sp t JOIN ep e ON e.src = t.id
+    WHERE t.iter < {SSSP_ORACLE_ITERS}
+    GROUP BY t.iter, e.dst
+)
+SELECT id, dist FROM sp WHERE iter = {SSSP_ORACLE_ITERS}
+"""
+
+# HITS oracle: Jacobi hub/auth power iteration over the bipartite message
+# graph bm (hub side of src feeds auth side of dst and vice versa); the
+# weight-0 (id, side) self-messages keep zero-score rows alive. Final L1
+# normalization only — per-step normalization is a pure rescale (see
+# operators/hits.py docstring).
+_HITS_SQL = f"""
+WITH RECURSIVE g AS ({G_SPARSE_SQL})
+, verts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM g UNION ALL SELECT dst FROM g))
+, sides(side) AS (VALUES ('h'), ('a'))
+, bm AS (
+    SELECT src AS fid, 'h' AS fs, dst AS tid, 'a' AS ts,
+           CAST(1.0 AS DOUBLE) AS w FROM g
+    UNION ALL
+    SELECT dst, 'a', src, 'h', CAST(1.0 AS DOUBLE) FROM g
+    UNION ALL
+    SELECT id, side, id, side, CAST(0.0 AS DOUBLE) FROM verts, sides
+)
+, st(iter, id, side, val) AS (
+    SELECT 0, id, side, CAST(1.0 AS DOUBLE) FROM verts, sides
+    UNION ALL
+    SELECT t.iter + 1, b.tid, b.ts, sum(t.val * b.w)
+    FROM st t JOIN bm b ON b.fid = t.id AND b.fs = t.side
+    WHERE t.iter < 8
+    GROUP BY t.iter, b.tid, b.ts
+)
+, fin AS (SELECT id, side, val FROM st WHERE iter = 8)
+, tot AS (SELECT side, sum(val) AS s FROM fin GROUP BY side)
+SELECT f.id,
+       round(max(CASE WHEN f.side = 'h' THEN f.val / t.s END), 7) AS hub7,
+       round(max(CASE WHEN f.side = 'a' THEN f.val / t.s END), 7) AS auth7
+FROM fin f JOIN tot t ON t.side = f.side
+GROUP BY f.id
+"""
+
+
+def _q_hits(spark, sf_dir):
+    from ..operators.hits import hits
+
+    res = hits(spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8)
+    return res.scores.select(
+        "id",
+        F.round("hub", 7).alias("hub7"),
+        F.round("auth", 7).alias("auth7"),
+    )
+
+
+def _q_clustering(spark, sf_dir):
+    from ..operators.metrics import clustering_coefficient
+
+    return clustering_coefficient(
+        edges(spark, sf_dir, G_SPARSE_SQL)
+    ).select("id", F.round("lcc", 6).alias("lcc6"))
+
+
+def _q_assortativity(spark, sf_dir):
+    from ..operators.metrics import degree_pairs
+
+    r = (
+        degree_pairs(edges(spark, sf_dir, G_SPARSE_SQL))
+        .agg(F.round(F.corr("du", "dv"), 6).alias("assort6"))
+    )
+    return r
+
+
+def _q_avg_nbr_deg(spark, sf_dir):
+    from ..operators.metrics import avg_neighbor_degree
+
+    return avg_neighbor_degree(edges(spark, sf_dir, G_SPARSE_SQL)).select(
+        "id", F.round("avg_nbr_deg", 6).alias("and6")
+    )
+
+
+def _q_link_predict(spark, sf_dir):
+    from ..operators.metrics import link_prediction_jaccard
+
+    return link_prediction_jaccard(
+        edges(spark, sf_dir, G_SPARSE_SQL), min_common=2
+    ).select("a", "b", "cn", F.round("jaccard", 6).alias("jaccard6"))
+
+
+def _q_sssp(spark, sf_dir):
+    from ..operators.graph import vertex_ids
+    from ..operators.sssp import sssp
+
+    e = edges(spark, sf_dir, _G_WSPARSE_SQL)
+    source = int(vertex_ids(e).agg(F.min("id")).first()[0])
+    res = sssp(spark, e, source, weight_col="w", directed=False)
+    if not (res.converged and res.supersteps < SSSP_ORACLE_ITERS):
+        raise RuntimeError(
+            f"sssp took {res.supersteps} supersteps (converged="
+            f"{res.converged}); the {SSSP_ORACLE_ITERS}-round oracle would "
+            "silently diverge — raise SSSP_ORACLE_ITERS"
+        )
+    return res.distances.select("id", "dist")
+
+
+QUERIES = {
+    "hits_fixed8": (_q_hits, _HITS_SQL),
+    "clustering_coeff": (
+        _q_clustering,
+        _with_g(
+            """
+            , tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM g e1 JOIN g e2 ON e1.dst = e2.src
+                JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            )
+            , corners AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            , nt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id)
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            SELECT deg.id,
+                   round(CASE WHEN d >= 2
+                         THEN 2.0 * coalesce(n_tri, 0) / (d * (d - 1.0))
+                         ELSE 0.0 END, 6) AS lcc6
+            FROM deg LEFT JOIN nt ON nt.id = deg.id
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "assortativity": (
+        _q_assortativity,
+        _with_g(
+            """
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            SELECT round(corr(du.d, dv.d), 6) AS assort6
+            FROM sym e JOIN deg du ON du.id = e.src
+                       JOIN deg dv ON dv.id = e.dst
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "avg_neighbor_degree": (
+        _q_avg_nbr_deg,
+        _with_g(
+            """
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            SELECT e.src AS id, round(avg(dv.d), 6) AS and6
+            FROM sym e JOIN deg dv ON dv.id = e.dst
+            GROUP BY e.src
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "link_predict_jaccard": (
+        _q_link_predict,
+        _with_g(
+            """
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            , cn AS (
+                SELECT w1.src AS a, w2.src AS b, count(*) AS cn
+                FROM sym w1 JOIN sym w2
+                  ON w1.dst = w2.dst AND w1.src < w2.src
+                GROUP BY w1.src, w2.src
+                HAVING count(*) >= 2
+            )
+            SELECT c.a, c.b, c.cn,
+                   round(c.cn / (da.d + db.d - c.cn * 1.0), 6) AS jaccard6
+            FROM cn c
+            JOIN deg da ON da.id = c.a
+            JOIN deg db ON db.id = c.b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s WHERE s.src = c.a AND s.dst = c.b
+            )
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "sssp_weighted": (_q_sssp, _SSSP_SQL),
+}

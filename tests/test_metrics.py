@@ -1,0 +1,165 @@
+"""NetworkX parity for the structural-metric ring: HITS, clustering
+coefficient, assortativity, avg neighbor degree, Jaccard link prediction,
+weighted SSSP."""
+
+from __future__ import annotations
+
+import math
+
+import networkx as nx
+import pytest
+
+from igpm_pem_spark.operators.hits import hits
+from igpm_pem_spark.operators.metrics import (
+    avg_neighbor_degree,
+    clustering_coefficient,
+    degree_assortativity,
+    link_prediction_jaccard,
+)
+from igpm_pem_spark.operators.sssp import sssp
+from igpm_pem_spark.sources.fixtures import ba_graph
+
+from .conftest import edges_df
+
+# a small graph with hubs, leaves, and a triangle
+PAIRS = [
+    (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (6, 7),
+    (7, 8), (2, 8), (1, 9),
+]
+
+
+def _nx(pairs):
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    return g
+
+
+def _ba(spark):
+    _, edges, _ = ba_graph(spark, 60, 3, seed=1)
+    return edges, [(r.src, r.dst) for r in edges.collect()]
+
+
+def test_clustering_matches_networkx(spark):
+    e = edges_df(spark, PAIRS)
+    got = {r.id: r.lcc for r in clustering_coefficient(e).collect()}
+    want = nx.clustering(_nx(PAIRS))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_clustering_matches_networkx_ba(spark):
+    edges, pairs = _ba(spark)
+    got = {r.id: r.lcc for r in clustering_coefficient(edges).collect()}
+    want = nx.clustering(_nx(pairs))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_assortativity_matches_networkx(spark):
+    edges, pairs = _ba(spark)
+    got = degree_assortativity(edges)
+    want = nx.degree_assortativity_coefficient(_nx(pairs))
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_avg_neighbor_degree_matches_networkx(spark):
+    e = edges_df(spark, PAIRS)
+    got = {r.id: r.avg_nbr_deg for r in avg_neighbor_degree(e).collect()}
+    want = nx.average_neighbor_degree(_nx(PAIRS))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_link_prediction_matches_networkx(spark):
+    e = edges_df(spark, PAIRS)
+    got = {
+        (r.a, r.b): (r.cn, r.jaccard)
+        for r in link_prediction_jaccard(e, min_common=1).collect()
+    }
+    g = _nx(PAIRS)
+    non_edges = [
+        (min(a, b), max(a, b))
+        for a, b in nx.non_edges(g)
+        if len(list(nx.common_neighbors(g, a, b))) >= 1
+    ]
+    want = {
+        (a, b): s for a, b, s in nx.jaccard_coefficient(g, non_edges)
+    }
+    assert got.keys() == want.keys()
+    for k, (cn, j) in got.items():
+        assert j == pytest.approx(want[k], abs=1e-12)
+        assert cn == len(list(nx.common_neighbors(g, *k)))
+
+
+def test_hits_matches_networkx_directed(spark):
+    # directed chain+fan graph: hubs point into shared authorities
+    pairs = [(1, 4), (2, 4), (3, 4), (1, 5), (2, 5), (4, 6), (5, 6), (6, 1)]
+    e = edges_df(spark, pairs)
+    res = hits(spark, e, max_iter=60)
+    got = {r.id: (r.hub, r.auth) for r in res.scores.collect()}
+    # pure-Python HITS power iteration (nx.hits needs scipy, absent in
+    # this container); L1-normalized per round, converged to 1e-14
+    ids = sorted({v for p in pairs for v in p})
+    h = {v: 1.0 for v in ids}
+    a = {v: 1.0 for v in ids}
+    for _ in range(2000):
+        a_new = {v: 0.0 for v in ids}
+        for s, d in pairs:
+            a_new[d] += h[s]
+        h_new = {v: 0.0 for v in ids}
+        for s, d in pairs:
+            h_new[s] += a_new[d]
+        sa, sh = sum(a_new.values()), sum(h_new.values())
+        a_new = {v: x / sa for v, x in a_new.items()}
+        h_new = {v: x / sh for v, x in h_new.items()}
+        if max(abs(h_new[v] - h[v]) + abs(a_new[v] - a[v]) for v in ids) < 1e-14:
+            h, a = h_new, a_new
+            break
+        h, a = h_new, a_new
+    for k in h:
+        assert got[k][0] == pytest.approx(h[k], abs=1e-6)
+        assert got[k][1] == pytest.approx(a[k], abs=1e-6)
+
+
+def test_hits_rows_and_l1(spark):
+    e = edges_df(spark, PAIRS)
+    res = hits(spark, e, max_iter=8)
+    rows = res.scores.collect()
+    ids = {r.id for r in rows}
+    assert ids == {v for p in PAIRS for v in p}
+    assert math.isclose(sum(r.hub for r in rows), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r.auth for r in rows), 1.0, abs_tol=1e-9)
+
+
+def test_sssp_matches_networkx_weighted(spark):
+    pairs_w = [
+        (1, 2, 4.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 2.0), (3, 4, 6.0),
+        (4, 5, 1.0), (6, 7, 1.0),  # 6,7 unreachable from 1
+    ]
+    e = spark.createDataFrame(pairs_w, "src BIGINT, dst BIGINT, w DOUBLE")
+    res = sssp(spark, e, 1, weight_col="w", directed=False)
+    assert res.converged
+    got = {r.id: r.dist for r in res.distances.collect()}
+    g = nx.Graph()
+    g.add_weighted_edges_from(pairs_w)
+    want = nx.single_source_dijkstra_path_length(g, 1, weight="weight")
+    assert got == pytest.approx(want)
+    assert 6 not in got and 7 not in got
+
+
+def test_sssp_directed_and_parallel_edges(spark):
+    # parallel edges keep the min weight; direction respected
+    pairs_w = [(1, 2, 5.0), (1, 2, 2.0), (2, 3, 1.0), (3, 1, 9.0)]
+    e = spark.createDataFrame(pairs_w, "src BIGINT, dst BIGINT, w DOUBLE")
+    res = sssp(spark, e, 1, weight_col="w", directed=True)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 3.0}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    e = spark.createDataFrame(
+        [(1, 2, -1.0)], "src BIGINT, dst BIGINT, w DOUBLE"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(spark, e, 1, weight_col="w")
