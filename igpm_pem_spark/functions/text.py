@@ -173,6 +173,77 @@ def top_tokens(
     return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, token, tf, tfidf6, rnk): the k highest-TF-IDF terms per
+    document — tfidf = tf · ln(N/df) with raw term frequency and natural
+    log, ranked by the 6-dp-ROUNDED score (then token asc) so the ranking
+    key is identical across engines (ranking on the raw double would let a
+    1-ulp libm difference flip near-ties).
+
+    Plan shape: one (doc, token) aggregate for tf, one token aggregate for
+    df (derived from tf — no second scan of the text), a join on token,
+    and a per-doc top-k window. N is the full documents count (including
+    token-less docs)."""
+    n_docs = docs.count()
+    tf = (
+        tokens(docs, id_col, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id", "token", "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf6"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf6"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "tfidf6", "rnk")
+    )
+
+
+# redaction patterns chosen so Java (Spark) and RE2 (DuckDB) regex agree
+# byte-for-byte on match sets
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("num", r"[0-9]+", "<NUM>"),
+)
+
+
+def redact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = REDACT_PATTERNS,
+) -> DataFrame:
+    """(id, n_<name>…, scrub_md5): PII/pattern scrubbing — per-pattern
+    match counts plus the md5 of the text after applying every replacement
+    IN ORDER (emails before numbers, so an address's digits are counted
+    once). Pure JVM ``regexp_extract_all``/``regexp_replace`` — one scan,
+    no Python, stream-safe."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in patterns
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"), *counts, F.md5(scrubbed).alias("scrub_md5")
+    )
+
+
 def vocab(token_df: DataFrame, method: str = "hash") -> DataFrame:
     """(token, tid) for each distinct token.
 

@@ -261,3 +261,46 @@ def ngram_jaccard_consecutive(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    max_bucket: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, canonical, keep): the END-TO-END dedup pipeline — LSH
+    candidate pairs, exact-Jaccard verification at ``threshold``, then
+    connected components over the surviving near-dup pair graph; every
+    document maps to its cluster's min doc id (canonical) and
+    ``keep = (canonical == doc_id)`` marks the one survivor per cluster.
+    Singletons keep themselves.
+
+    This is the production composition a 100 TB corpus dedup actually
+    runs: the pair graph is tiny relative to the corpus (near-dup pairs
+    only), so the hash-min CC over it costs nothing next to the LSH scan,
+    and canonical assignment is one broadcast-size join back to the
+    corpus. Near-dup transitivity is handled by the components step —
+    A≈B≈C collapses to one survivor even when A and C share no band.
+    """
+    from .components import connected_components
+
+    pairs = lsh_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_bucket=max_bucket,
+        id_col=id_col, text_col=text_col,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(spark, pairs).components
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical"),
+            (
+                F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )

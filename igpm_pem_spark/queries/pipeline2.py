@@ -1,0 +1,173 @@
+"""Training-data pipeline queries, second ring: TF-IDF terms, end-to-end
+dedup clustering, PII/pattern redaction, k-means assignment — each with
+an exact DuckDB oracle over the same parquet views."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import REDACT_PATTERNS
+from ._common import docs, emb, register
+from .pipeline import _LSH_JACCARD_SQL, _TOK_CTE, _band_union, _minhash_select
+
+_TFIDF_SQL = f"""
+{_TOK_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln((SELECT n FROM nn) * 1.0 / dfq.df), 6) AS tfidf6
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tf, CAST(rnk AS INTEGER) AS rnk, tfidf6 FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf6 DESC, token ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def _redact_sql(table: str, id_col: str) -> str:
+    counts = []
+    scrubbed = "props"
+    for name, pat, repl in REDACT_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all(props, '{pat}')) AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return (
+        f"SELECT {id_col},\n       {cols},\n"
+        f"       md5({scrubbed}) AS scrub_md5\nFROM {table}"
+    )
+
+
+# dedup clustering oracle: the LSH→Jaccard pair query (threshold 0.1)
+# feeds a hash-min recursive CTE; every doc left-joins its component.
+_DEDUP_CC_ITERS = 20
+
+
+def _dedup_clusters_sql() -> str:
+    pairs = _LSH_JACCARD_SQL.format(
+        minhash=_minhash_select(), bands=_band_union()
+    )
+    return f"""
+WITH RECURSIVE pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pairs}) q
+),
+sympr AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+          UNION ALL SELECT doc_b, doc_a FROM pr),
+verts AS (SELECT DISTINCT src AS id FROM sympr),
+ep AS (SELECT src, dst FROM sympr UNION ALL SELECT id, id FROM verts),
+cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.dst, min(c.comp)
+    FROM cc c JOIN ep e ON e.src = c.id
+    WHERE c.iter < {_DEDUP_CC_ITERS}
+    GROUP BY c.iter, e.dst
+),
+canon AS (SELECT id, comp FROM cc WHERE iter = {_DEDUP_CC_ITERS})
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS canonical,
+       coalesce(c.comp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
+"""
+
+
+# k-means oracle: 2 unrolled Lloyd rounds, seeds = 8 lowest vec_ids,
+# squared-L2 argmin with ties to the lower cluster id, element-wise mean
+# centroids (empty clusters carry the previous centroid), final assign.
+_KM_DIM_BOUND = 4096  # range() upper bound; guarded by r.i <= len(v)
+
+
+def _km_dist(e: str, c: str) -> str:
+    return (
+        f"SELECT {e}.vec_id, {c}.cid,\n"
+        f"       sum(({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])"
+        f" * ({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])) AS d2\n"
+        f"FROM e {e}, {c} {c}, range(1, {_KM_DIM_BOUND + 1}) r(i)\n"
+        f"WHERE r.i <= len({e}.v)\n"
+        f"GROUP BY {e}.vec_id, {c}.cid"
+    )
+
+
+def _km_round(i: int) -> str:
+    p = i - 1
+    return f"""
+, d{i} AS ({_km_dist('e', f'c{p}')})
+, a{i} AS (SELECT vec_id, cid AS cluster FROM d{i}
+           QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cid) = 1)
+, m{i} AS (
+    SELECT a.cluster AS cid, CAST(r.i AS INT) AS pos,
+           avg(e.v[CAST(r.i AS INT)]) AS m
+    FROM a{i} a JOIN e USING (vec_id), range(1, {_KM_DIM_BOUND + 1}) r(i)
+    WHERE r.i <= len(e.v)
+    GROUP BY a.cluster, r.i
+)
+, c{i} AS (
+    SELECT cid, list(m ORDER BY pos) AS v FROM m{i} GROUP BY cid
+    UNION ALL
+    SELECT c.cid, c.v FROM c{p} c
+    WHERE c.cid NOT IN (SELECT DISTINCT cluster FROM a{i})
+)
+"""
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+)
+{_km_round(1)}
+{_km_round(2)}
+, dfin AS ({_km_dist('e', 'c2')})
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cid AS cluster FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+"""
+
+
+def _q_tfidf(spark, sf_dir):
+    from ..functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(docs(spark, sf_dir), k=3).select(
+        "doc_id", "token", "tf", F.col("rnk").cast("int").alias("rnk"), "tfidf6"
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    return dedup_clusters(spark, docs(spark, sf_dir), threshold=0.1)
+
+
+def _q_redact(spark, sf_dir):
+    from ..functions.text import redact
+
+    register(spark, sf_dir)
+    out = redact(spark.table("events"), "event_id", "props")
+    return out.select(
+        F.col("id").alias("event_id"),
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n, _, _ in REDACT_PATTERNS],
+        "scrub_md5",
+    )
+
+
+def _q_kmeans(spark, sf_dir):
+    from ..operators.clustering import kmeans_assign
+
+    res = kmeans_assign(spark, emb(spark, sf_dir), k=8, iters=2)
+    return res.assignments.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+QUERIES = {
+    "doc_tfidf_top": (_q_tfidf, _TFIDF_SQL),
+    "doc_dedup_clusters": (_q_dedup_clusters, _dedup_clusters_sql()),
+    "rel_redact_props": (_q_redact, _redact_sql("events", "event_id")),
+    "emb_kmeans2": (_q_kmeans, _KMEANS_SQL),
+}
