@@ -317,3 +317,86 @@ QUERIES = {
         """,
     ),
 }
+
+
+def _q_asof_purchase(spark, sf_dir):
+    """As-of join (temporal operator Spark lacks natively): each click
+    event matched to the same user's LATEST purchase at or before it —
+    one per-key window shuffle, no inequality nested-loop
+    (operators/timejoin.py::asof_join)."""
+    from ..operators.timejoin import asof_join
+
+    register(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purch, keys=["user_id"], right_cols=["event_id", "value"],
+        prefix="p_",
+    )
+    # sentinel-fill unmatched clicks: null-bearing float columns make
+    # value-hash comparison fragile (NaN != NaN), and -1 is unambiguous here
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("p_event_id", F.lit(-1)).alias("p_event_id"),
+        F.coalesce(F.round("p_value", 4), F.lit(-1.0)).alias("p_value4"),
+    )
+
+
+def _q_range_pairs(spark, sf_dir):
+    """Range join: same-user (click, error) event pairs within ±5 min —
+    bucketed interval join (explode right into bucket±1, equi-join,
+    |Δ| filter), never a cross/theta join
+    (operators/timejoin.py::range_join)."""
+    from ..operators.timejoin import range_join
+
+    register(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    errors = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
+    out = range_join(
+        clicks, errors, keys=["user_id"], tol_us=300_000_000, prefix="e_"
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("e_event_id").alias("error_id"),
+        "delta_us",
+    )
+
+
+QUERIES["rel_asof_purchase"] = (
+    _q_asof_purchase,
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT c.event_id, c.user_id,
+             coalesce(p.event_id, -1) AS p_event_id,
+             coalesce(round(p.value, 4), -1.0) AS p_value4,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM clicks c LEFT JOIN purch p
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id, user_id, p_event_id, p_value4
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+QUERIES["rel_range_pairs"] = (
+    _q_range_pairs,
+    """
+    SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events e
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+    """,
+)
