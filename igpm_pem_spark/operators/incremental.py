@@ -736,3 +736,116 @@ def incremental_components(
         )
     result.state = comp
     return result
+
+
+def incremental_sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    *,
+    weight_col: str = "w",
+    ts_col: str = "ts",
+    base_steps: int = 1,
+    num_partitions: int | None = None,
+) -> IncrementalResult:
+    """Exact incremental weighted SSSP over arrival buckets.
+
+    Append-only edges are MONOTONE for min-plus: a new edge can only
+    create shorter paths, never invalidate the carried distances, so the
+    previous fixpoint is a valid upper bound. Per bucket the frontier is
+    seeded ONLY where a new edge actually improves something — each new
+    edge (u,v,w) is relaxed once against the carried state (one join of
+    the BUCKET, not the graph, against the distance table) — and the
+    Bellman-Ford sweeps then run frontier-restricted on the cumulative
+    adjacency. Work per step ∝ the perturbation's downstream cone, the
+    PEM partial-execution idea exactly (SURVEY.md §4 O2), with no
+    heuristic scope: the result equals batch ``sssp`` on the full graph.
+    """
+    from ..lineage import LineageLog
+    from ._superstep import commit_and_stats, edge_partition_counts
+    from .sssp import _prep, _sssp_step, sssp
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    sizes = _bucket_sizes(edges, ts_col)
+    steps = sorted(sizes)
+    cum_m = 0
+    result = IncrementalResult(state=None)
+    dist: DataFrame | None = None
+    for si, cut in enumerate(steps):
+        cum_m += sizes[cut]
+        if si < base_steps - 1:
+            continue
+        cum = edges.where(F.col(ts_col) <= cut)
+        t0 = time.time()
+        if dist is None:
+            res = sssp(
+                spark, cum, source, weight_col=weight_col,
+                num_partitions=num_partitions, steps_per_commit=4,
+            )
+            dist = res.distances.localCheckpoint(eager=True)
+            supersteps = res.supersteps
+        else:
+            adj = _prep(
+                edges.where(F.col(ts_col) == cut), weight_col, directed=False
+            )
+            # relax ONLY the new edges against the carried fixpoint: a
+            # bucket-sized join, not a graph-sized pass
+            cand = (
+                adj.join(
+                    dist.select(F.col("id").alias("src"), F.col("dist").alias("d0")),
+                    "src",
+                )
+                .select("dst", (F.col("d0") + F.col("w")).alias("cand"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cand").alias("cand"))
+            )
+            state = (
+                dist.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("cand")),
+                        F.coalesce(F.col("cand"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            full_adj = _prep(cum, weight_col, directed=False).repartition(
+                num_partitions, "src"
+            ).persist()
+            edge_parts = edge_partition_counts(full_adj)
+            log = LineageLog(spark, None)
+            supersteps = 0
+            while supersteps < 100:
+                t1 = time.time()
+                new_state = state
+                for _ in range(2):
+                    new_state = _sssp_step(new_state, full_adj, num_partitions)
+                supersteps += 2
+                state, delta, _ = commit_and_stats(
+                    log, supersteps - 1, new_state,
+                    F.col("changed").cast("double"), F.col("changed"),
+                    edge_parts, t1,
+                )
+                if delta == 0.0:
+                    break
+            dist = state.select("id", "dist").localCheckpoint(eager=True)
+            full_adj.unpersist()
+        wall = time.time() - t0
+        result.steps.append(
+            StepMetrics(
+                step=cut,
+                n_new_edges=sizes[cut],
+                n_total_edges=cum_m,
+                supersteps=supersteps,
+                wall_sec=round(wall, 3),
+                edges_per_sec=round(supersteps * 2 * cum_m / max(wall, 1e-9), 1),
+            )
+        )
+    result.state = dist
+    return result

@@ -20,14 +20,18 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(id, lcc): local clustering coefficient 2·tri(v) / (d(v)·(d(v)−1))
     on the undirected simple graph; vertices with degree < 2 score 0.0
     (``nx.clustering`` convention — the reference's NetworkX world)."""
-    e = canonical_undirected(edges)
+    # persist the canonical relation: the degree aggregate and the
+    # triangle enumeration both consume it (and the enumeration reads it
+    # three times as e1/e2/e3) — one materialization instead of re-deriving
+    # the upstream edge plan per reference
+    e = canonical_undirected(edges).persist()
     deg = (
         symmetrize(e)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("d"))
     )
     tri = triangles_per_vertex(e)
-    return deg.join(tri, "id", "left").select(
+    out = deg.join(tri, "id", "left").select(
         "id",
         F.when(
             F.col("d") >= 2,
@@ -37,6 +41,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 def degree_assortativity(edges: DataFrame) -> float:
@@ -115,3 +122,24 @@ def link_prediction_jaccard(
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+def square_count(edges: DataFrame) -> int:
+    """Global 4-cycle count via the diagonal-pair identity: each square
+    u-v-w-x-u is determined by its two diagonals, so
+    squares = Σ_{u<w} C(cn(u,w), 2) / 2 over common-neighbor counts —
+    ONE wedge self-join + one aggregate, the same shuffle shape as
+    triangle counting (bounded by Σ d(v)²), never a 4-way join."""
+    sym = symmetrize(canonical_undirected(edges))
+    w1 = sym.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+    w2 = sym.select(F.col("dst").alias("n"), F.col("src").alias("b"))
+    cn = (
+        w1.join(w2, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    row = cn.agg(
+        (F.sum(F.expr("cn * (cn - 1) DIV 2")) / 2).cast("long").alias("sq")
+    ).first()
+    return int(row["sq"]) if row["sq"] is not None else 0

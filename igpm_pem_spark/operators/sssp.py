@@ -50,6 +50,33 @@ def _prep(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
     return e.groupBy("src", "dst").agg(F.min("w").alias("w"))
 
 
+def _sssp_step(state: DataFrame, adj: DataFrame, num_partitions: int) -> DataFrame:
+    """One Bellman-Ford relaxation: frontier vertices push dist+w to their
+    out-neighbors; full-outer merge keeps newly-reached vertices."""
+    frontier = state.where("changed").select(
+        F.col("id").alias("src"), F.col("dist").alias("d0")
+    )
+    raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
+        "dst", (F.col("d0") + F.col("w")).alias("cand")
+    )
+    msgs = (
+        raw.repartition(num_partitions, "dst")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("cand").alias("cand"))
+    )
+    return state.join(msgs, "id", "full").select(
+        "id",
+        F.least(
+            F.coalesce(F.col("dist"), F.col("cand")),
+            F.coalesce(F.col("cand"), F.col("dist")),
+        ).alias("dist"),
+        (
+            F.col("dist").isNull()
+            | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
+        ).alias("changed"),
+    )
+
+
 def sssp(
     spark: SparkSession,
     edges: DataFrame,
@@ -88,28 +115,7 @@ def sssp(
         block = min(steps_per_commit, max_iter - step)
         new_state, intermediates = state, []
         for b in range(block):
-            frontier = new_state.where("changed").select(
-                F.col("id").alias("src"), F.col("dist").alias("d0")
-            )
-            raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
-                "dst", (F.col("d0") + F.col("w")).alias("cand")
-            )
-            msgs = (
-                raw.repartition(num_partitions, "dst")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("cand").alias("cand"))
-            )
-            new_state = new_state.join(msgs, "id", "full").select(
-                "id",
-                F.least(
-                    F.coalesce(F.col("dist"), F.col("cand")),
-                    F.coalesce(F.col("cand"), F.col("dist")),
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull()
-                    | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
-                ).alias("changed"),
-            )
+            new_state = _sssp_step(new_state, adj, num_partitions)
             if b < block - 1:
                 new_state = new_state.persist()
                 intermediates.append(new_state)

@@ -85,10 +85,11 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     vertex of each (a,b,c) triangle is credited once. Vertices in no
     triangle get 0 via the left join against the vertex set."""
     tris = triangle_list(edges)
+    # explode, not a 3-way self-union: a union would reference (and
+    # re-evaluate) the whole wedge-join enumeration three times in the
+    # physical plan — one Generate keeps the expensive subplan single
     credited = (
-        tris.select(F.col("a").alias("id"))
-        .unionByName(tris.select(F.col("b").alias("id")))
-        .unionByName(tris.select(F.col("c").alias("id")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )

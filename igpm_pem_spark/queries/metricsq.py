@@ -142,8 +142,95 @@ def _q_sssp(spark, sf_dir):
     return res.distances.select("id", "dist")
 
 
+def _q_sssp_incremental(spark, sf_dir):
+    """Incremental weighted SSSP over 3 synthetic arrival buckets
+    (ts = src % 3): min-plus is monotone under edge appends, so each
+    bucket relaxes only its own edges against the carried fixpoint and
+    sweeps frontier-restricted — the batch oracle checks the incremental
+    engine end-to-end (same pattern as incremental_cc_replay)."""
+    from ..operators.graph import vertex_ids
+    from ..operators.incremental import incremental_sssp
+
+    e = edges(spark, sf_dir, _G_WSPARSE_SQL).withColumn(
+        "ts", (F.col("src") % 3).cast("int")
+    )
+    source = int(vertex_ids(e).agg(F.min("id")).first()[0])
+    res = incremental_sssp(spark, e, source, base_steps=1)
+    return res.state.select("id", "dist")
+
+
+def _q_harmonic_seeds(spark, sf_dir):
+    """Harmonic centrality contribution from the 5 lowest-id seeds within
+    3 hops: Σ_seeds 1/hops — the seeded-proximity composition over the
+    J4 bounded closure (one frontier expansion, work ∝ seed
+    neighborhoods)."""
+    from ..operators.graph import vertex_ids
+    from ..operators.paths import path_closure_from
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    seeds = vertex_ids(e).orderBy("id").limit(5)
+    cl = path_closure_from(e, seeds, max_hops=3, directed=False)
+    return (
+        cl.groupBy(F.col("dst").alias("id"))
+        .agg(F.round(F.sum(1.0 / F.col("hops")), 6).alias("harm6"))
+    )
+
+
+def _q_square_count(spark, sf_dir):
+    from ..operators.metrics import square_count
+
+    n = square_count(edges(spark, sf_dir, G_SPARSE_SQL))
+    return spark.createDataFrame([(n,)], "n_squares BIGINT")
+
+
 QUERIES = {
     "hits_fixed8": (_q_hits, _HITS_SQL),
+    # identical oracle to sssp_weighted: the incremental replay must land
+    # on the batch fixpoint
+    "sssp_incremental": (_q_sssp_incremental, _SSSP_SQL),
+    "harmonic_centrality_seeds": (
+        _q_harmonic_seeds,
+        _with_g(
+            """
+            , verts AS (SELECT DISTINCT src AS id FROM sym)
+            , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+            , h1 AS (SELECT s.id AS sid, e.dst, 1 AS hops
+                     FROM seeds s JOIN sym e ON e.src = s.id)
+            , h2 AS (SELECT h.sid, e.dst, 2 AS hops
+                     FROM (SELECT DISTINCT sid, dst FROM h1) h
+                     JOIN sym e ON e.src = h.dst WHERE e.dst <> h.sid)
+            , h3 AS (SELECT h.sid, e.dst, 3 AS hops
+                     FROM (SELECT DISTINCT sid, dst FROM h2) h
+                     JOIN sym e ON e.src = h.dst WHERE e.dst <> h.sid)
+            , hh AS (
+                SELECT sid, dst, min(hops) AS hops FROM (
+                    SELECT * FROM h1 UNION ALL
+                    SELECT * FROM h2 UNION ALL
+                    SELECT * FROM h3
+                ) GROUP BY sid, dst
+            )
+            SELECT dst AS id, round(sum(1.0 / hops), 6) AS harm6
+            FROM hh GROUP BY dst
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
+    "square_count": (
+        _q_square_count,
+        _with_g(
+            """
+            , cn AS (
+                SELECT w1.src AS a, w2.src AS b, count(*) AS cn
+                FROM sym w1 JOIN sym w2
+                  ON w1.dst = w2.dst AND w1.src < w2.src
+                GROUP BY w1.src, w2.src
+            )
+            SELECT CAST(sum(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_squares
+            FROM cn
+            """,
+            G_SPARSE_SQL,
+        ),
+    ),
     "clustering_coeff": (
         _q_clustering,
         _with_g(

@@ -400,3 +400,38 @@ QUERIES["rel_range_pairs"] = (
      AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
     """,
 )
+
+
+def _q_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (A1/A2 over grouping sets) —
+    one pass computes (status, priority), per-status, and grand totals;
+    null grouping keys are coalesced to 'ALL' so the value-hash compare
+    never sees engine-specific null ordering."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+QUERIES["rel_rollup"] = (
+    _q_rollup,
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)

@@ -163,3 +163,77 @@ def test_sssp_rejects_negative_weights(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         sssp(spark, e, 1, weight_col="w")
+
+
+def test_square_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from igpm_pem_spark.operators.metrics import square_count
+
+    edges, pairs = _ba(spark)
+    g = _nx(pairs)
+    nodes = list(g.nodes)
+    want = 0
+    for quad in combinations(nodes, 4):
+        a, b, c, d = quad
+        for order in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            w, x, y, z = order
+            if (g.has_edge(w, x) and g.has_edge(x, y)
+                    and g.has_edge(y, z) and g.has_edge(z, w)):
+                want += 1
+    assert square_count(edges) == want
+    assert want > 0
+
+
+def test_incremental_sssp_equals_batch(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.operators.incremental import incremental_sssp
+    from igpm_pem_spark.operators.sssp import sssp
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(40), rng.randrange(40), float(rng.randrange(1, 9)),
+         rng.randrange(3))
+        for _ in range(150)
+    ]
+    rows = [(s, d, w, t) for s, d, w, t in rows if s != d]
+    e = spark.createDataFrame(rows, "src BIGINT, dst BIGINT, w DOUBLE, ts INT")
+    src = min(r[0] for r in rows)
+    inc = incremental_sssp(spark, e, src, base_steps=1)
+    batch = sssp(spark, e, src, weight_col="w")
+    got = {r.id: r.dist for r in inc.state.collect()}
+    want = {r.id: r.dist for r in batch.distances.collect()}
+    assert got == want
+    assert len(inc.steps) == 3
+    # per-step work decays with the perturbation: later steps converge in
+    # far fewer supersteps than a cold batch run would need
+    assert all(s.supersteps <= 100 for s in inc.steps)
+
+
+def test_harmonic_seeds_matches_networkx(spark):
+    import networkx as nx
+
+    from igpm_pem_spark.operators.graph import vertex_ids
+    from igpm_pem_spark.operators.paths import path_closure_from
+    from pyspark.sql import functions as F
+
+    edges, pairs = _ba(spark)
+    g = _nx(pairs)
+    seeds = sorted(g.nodes)[:5]
+    sdf = vertex_ids(edges).orderBy("id").limit(5)
+    cl = path_closure_from(edges, sdf, max_hops=3, directed=False)
+    got = {
+        r.id: r.h for r in cl.groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(1.0 / F.col("hops")).alias("h")).collect()
+    }
+    want = {}
+    for s in seeds:
+        for v, d in nx.single_source_shortest_path_length(g, s, cutoff=3).items():
+            if v != s:
+                want[v] = want.get(v, 0.0) + 1.0 / d
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
