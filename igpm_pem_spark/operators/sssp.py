@@ -33,6 +33,7 @@ class SsspResult:
     distances: DataFrame  # (id BIGINT, dist DOUBLE) — reached vertices only
     supersteps: int
     converged: bool
+    resumed_from: int | None = None
     stats: list[SuperstepStats] = field(default_factory=list)
 
 
@@ -87,12 +88,16 @@ def sssp(
     max_iter: int = 100,
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    resume: bool = True,
     steps_per_commit: int = 1,
 ) -> SsspResult:
     """Min-plus fixpoint: dist(v) = min over edges (u,v) of dist(u)+w.
 
     Non-negative weights assumed (enforced); unreachable vertices are
-    absent from the result rather than carrying +inf rows.
+    absent from the result rather than carrying +inf rows. With a
+    ``checkpoint_dir``, a killed run resumes from the last committed
+    superstep (monotone state — carried distances stay valid upper
+    bounds, S6 kill/resume parity with the other kernels).
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -105,11 +110,18 @@ def sssp(
     edge_parts = edge_partition_counts(adj)
     log = LineageLog(spark, checkpoint_dir)
 
-    state = spark.createDataFrame(
-        [(int(source), 0.0, True)], "id BIGINT, dist DOUBLE, changed BOOLEAN"
-    ).repartition(num_partitions, "id").localCheckpoint(eager=True)
+    state, resumed_from, start_step = None, None, 0
+    if resume and checkpoint_dir:
+        last = log.last_committed()
+        if last is not None:
+            state = log.load_state(last)
+            start_step, resumed_from = last + 1, last
+    if state is None:
+        state = spark.createDataFrame(
+            [(int(source), 0.0, True)], "id BIGINT, dist DOUBLE, changed BOOLEAN"
+        ).repartition(num_partitions, "id").localCheckpoint(eager=True)
 
-    converged, step = False, 0
+    converged, step = False, start_step
     while step < max_iter:
         t0 = time.time()
         block = min(steps_per_commit, max_iter - step)
@@ -131,6 +143,8 @@ def sssp(
             converged = True
             break
     adj.unpersist()
-    result = SsspResult(state.select("id", "dist"), step, converged)
+    result = SsspResult(
+        state.select("id", "dist"), step, converged, resumed_from
+    )
     result.stats = log.stats
     return result

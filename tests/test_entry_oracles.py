@@ -37,10 +37,22 @@ def duck():
     return con
 
 
+# exactness baselines documented as subset-guarded quadratic plans — the
+# only queries allowed a cartesian/nested-loop join
+_CROSSJOIN_OK = {"emb_cosine_topk", "emb_near_dup_pairs"}
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
     fn = entry_mod.queries()[name]
-    sdf = fn(spark, SF).toPandas()
+    df = fn(spark, SF)
+    # plan-discipline sweep on the DataFrame every driver query returns:
+    # no Python on any data path, no undeclared cartesian product
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, name
+    if name not in _CROSSJOIN_OK:
+        assert "CartesianProduct" not in plan, name
+    sdf = df.toPandas()
     oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:
         assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops

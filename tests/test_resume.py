@@ -110,3 +110,28 @@ def test_torn_superstep_is_ignored(spark, tmp_path):
     resumed = pagerank(spark, edges, tol=1e-8, max_iter=300, checkpoint_dir=ckpt)
     assert resumed.resumed_from == 1  # not 2
     assert resumed.converged
+
+
+def test_sssp_kill_resume_matches_uninterrupted(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.operators.sssp import sssp
+
+    edges = _edges(spark).withColumn(
+        "w", (F.col("src") % 5 + 1).cast("double")
+    )
+    ckpt = str(tmp_path / "sssp")
+
+    full = sssp(spark, edges, 0, weight_col="w")
+    assert full.converged
+
+    partial = sssp(spark, edges, 0, weight_col="w", max_iter=2,
+                   checkpoint_dir=ckpt)
+    assert not partial.converged
+
+    resumed = sssp(spark, edges, 0, weight_col="w", checkpoint_dir=ckpt)
+    assert resumed.resumed_from == 1
+    assert resumed.converged
+    got = {r.id: r.dist for r in resumed.distances.collect()}
+    want = {r.id: r.dist for r in full.distances.collect()}
+    assert got == want
