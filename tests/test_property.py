@@ -1,0 +1,121 @@
+"""Property-based kernel checks (hypothesis): random edge lists, exact
+parity with NetworkX / pure-python oracles. Few examples, no deadline —
+each example spins Spark jobs; the point is adversarial SHAPES (self
+loops, parallel edges, disconnected scraps, singleton-heavy graphs), not
+volume."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from igpm_pem_spark.operators.components import connected_components
+from igpm_pem_spark.operators.metrics import square_count
+from igpm_pem_spark.operators.sssp import sssp
+from igpm_pem_spark.operators.triangles import triangle_count
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    global _spark
+    _spark = spark
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(pairs):
+    return _spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src BIGINT, dst BIGINT"
+    )
+
+
+def _g(pairs):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b in pairs if a != b)
+    return g
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_components_match_networkx(pairs):
+    g = _g(pairs)
+    if g.number_of_edges() == 0:
+        return
+    res = connected_components(_spark, _df(pairs))
+    got = {}
+    for r in res.components.collect():
+        got.setdefault(r.component, set()).add(r.id)
+    want = {min(c): set(c) for c in nx.connected_components(g)}
+    # kernel sees only non-loop endpoints
+    want = {k: v for k, v in want.items() if len(v) > 1 or g.degree(k) > 0}
+    assert set(map(frozenset, got.values())) == set(map(frozenset, want.values()))
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_triangles_match_networkx(pairs):
+    g = _g(pairs)
+    want = sum(nx.triangles(g).values()) // 3
+    assert triangle_count(_df(pairs)) == want
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_squares_match_bruteforce(pairs):
+    from itertools import combinations
+
+    g = _g(pairs)
+    want = 0
+    for quad in combinations(sorted(g.nodes), 4):
+        a, b, c, d = quad
+        for w, x, y, z in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            if (g.has_edge(w, x) and g.has_edge(x, y)
+                    and g.has_edge(y, z) and g.has_edge(z, w)):
+                want += 1
+    assert square_count(_df(pairs)) == want
+
+
+@PROP
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 7)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_prop_sssp_matches_networkx(pairs):
+    pairs = [(a, b, w) for a, b, w in pairs if a != b]
+    if not pairs:
+        return
+    g = nx.Graph()
+    # parallel edges: keep the min weight, as the kernel does
+    for a, b, w in pairs:
+        if g.has_edge(a, b):
+            g[a][b]["weight"] = min(g[a][b]["weight"], w)
+        else:
+            g.add_edge(a, b, weight=w)
+    src = min(a for a, _, _ in pairs)
+    e = _spark.createDataFrame(
+        [(a, b, float(w)) for a, b, w in pairs],
+        "src BIGINT, dst BIGINT, w DOUBLE",
+    )
+    res = sssp(_spark, e, src, weight_col="w")
+    assert res.converged
+    got = {r.id: r.dist for r in res.distances.collect()}
+    want = nx.single_source_dijkstra_path_length(g, src, weight="weight")
+    assert got == pytest.approx(want)
