@@ -38,10 +38,22 @@ ANN_PLANES = 4
 ANN_TABLES = 16
 ANN_W_MOD = 1_000_003
 ANN_KNUTH = 2_654_435_761
+# adaptive signature length (hyperplane_buckets with n_planes=None):
+# bucket count 2^p targets ~ANN_BUCKET_TARGET vectors per bucket, so the
+# candidate volume stays linear-ish as the corpus grows instead of the
+# fixed 16-bucket layout degenerating to near-quadratic (measured: 119.6k
+# vectors / 16 buckets → ~572M candidate pairs, 568 s; 1024 buckets → ~9M)
+ANN_BUCKET_TARGET = 150
+ANN_MAX_PLANES = 16
+# fixed stride for plane-weight derivation — NOT ANN_PLANES: with the
+# stride tied to the default signature length, longer adaptive signatures
+# would reuse k values across tables (table t plane p+s == table t+1
+# plane p), correlating the "independent" tables
+_ANN_PLANE_STRIDE = 64
 
 
 def plane_coeffs_ann(table: int, plane: int) -> tuple[int, int]:
-    k = table * ANN_PLANES + plane
+    k = table * _ANN_PLANE_STRIDE + plane
     return 2 * k + 3, 7919 * (k + 1)
 
 

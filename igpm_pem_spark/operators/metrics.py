@@ -143,3 +143,49 @@ def square_count(edges: DataFrame) -> int:
         (F.sum(F.expr("cn * (cn - 1) DIV 2")) / 2).cast("long").alias("sq")
     ).first()
     return int(row["sq"]) if row["sq"] is not None else 0
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Newman modularity Q = Σ_c [ m_c/m − (D_c/2m)² ] of a community
+    assignment ``labels`` (id, label) over the undirected simple graph —
+    the standard quality score for the LPA partition (A8's output).
+    One intra-edge aggregate + one degree aggregate; the per-community
+    terms are a tiny relation reduced on the driver."""
+    e = canonical_undirected(edges).persist()
+    m = e.count()
+    if m == 0:
+        e.unpersist()
+        return float("nan")
+    lab = labels.select("id", "label")
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    mc = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("mc"))
+    )
+    deg = (
+        symmetrize(e)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dc"))
+    )
+    row = (
+        dc.join(mc, "label", "left")
+        .select(
+            (
+                F.coalesce(F.col("mc"), F.lit(0)) / F.lit(float(m))
+                - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("q"))
+        .first()
+    )
+    e.unpersist()
+    return float(row["q"])

@@ -134,6 +134,19 @@ def _q_label_propagation3(spark, sf_dir):
     return res.labels.select("id", "label")
 
 
+def _q_modularity(spark, sf_dir):
+    """Newman modularity of the 3-round LPA partition on the dense
+    co-occurrence graph — the community-quality scalar over A8's output,
+    oracled by the unrolled-LPA CTE + the same Q arithmetic."""
+    from ..operators.labelprop import label_propagation
+    from ..operators.metrics import modularity
+
+    e = edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3).labels
+    q = modularity(e, labels)
+    return spark.createDataFrame([(round(q, 6),)], "q6 DOUBLE")
+
+
 def _q_incremental_cc(spark, sf_dir):
     """Incremental hash-min replay over 3 synthetic arrival buckets
     (ts = src % 3): per-bucket frontier-seeded recomputation must land on
@@ -353,6 +366,37 @@ QUERIES = {
             + _LPA_ROUND.format(k=2, p=1)
             + _LPA_ROUND.format(k=3, p=2)
             + "SELECT id, label FROM l3"
+        ),
+    ),
+    "community_modularity": (
+        _q_modularity,
+        _with_g(
+            ", l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"
+            + _LPA_ROUND.format(k=1, p=0)
+            + _LPA_ROUND.format(k=2, p=1)
+            + _LPA_ROUND.format(k=3, p=2)
+            + """
+            , m AS (SELECT count(*) AS m FROM g)
+            , mc AS (
+                SELECT la.label, count(*) AS mc
+                FROM g e JOIN l3 la ON la.id = e.src
+                         JOIN l3 lb ON lb.id = e.dst
+                WHERE la.label = lb.label
+                GROUP BY la.label
+            )
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            , dc AS (
+                SELECT l.label, sum(d.d) AS dc
+                FROM deg d JOIN l3 l ON l.id = d.id
+                GROUP BY l.label
+            )
+            SELECT round(sum(
+                coalesce(mc.mc, 0) * 1.0 / (SELECT m FROM m)
+                - (dc.dc * 1.0 / (2.0 * (SELECT m FROM m)))
+                  * (dc.dc * 1.0 / (2.0 * (SELECT m FROM m)))
+            ), 6) AS q6
+            FROM dc LEFT JOIN mc ON mc.label = dc.label
+            """
         ),
     ),
     "incremental_cc_replay": (

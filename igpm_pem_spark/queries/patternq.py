@@ -223,7 +223,49 @@ WITH g AS ({G_SPARSE_SQL}), sym AS ({SYM_SQL})
 """
 
 
+def _q_pattern_config_run(spark, sf_dir):
+    """S8 end-to-end as a DRIVER query: the sparse co-occurrence graph is
+    written out as node-link JSON (S5 sink), an INI file in the
+    reference's format (``gray.ini``) points at it, and
+    ``run_query_config`` executes the triangle pattern through the full
+    config → load → match path — oracled by the same plain-join count as
+    ``pattern_triangle_match``."""
+    import os
+    import tempfile
+
+    from ..sources.config_source import run_query_config
+    from ..sources.node_link import save_node_link
+
+    verts, e = _graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="igpm_cfg_")
+    gpath = os.path.join(d, "g.json")
+    save_node_link(verts, e, gpath, directed=False)
+    ini = os.path.join(d, "q.ini")
+    with open(ini, "w") as f:
+        f.write(
+            "[Log]\nprofile = False\nlevel = warning\n\n"
+            "[G-Ray]\n"
+            f"input_json = {gpath}\n"
+            "base_steps = 1\nsteps = 1\n"
+            "query = --vertex a b c --edge x:a:b y:b:c z:c:a "
+            "--vertexlabel a:cyan b:cyan c:cyan "
+            "--edgelabel x:yes y:yes z:yes\n"
+            "time_limit = 0.0\n"
+        )
+    n = run_query_config(spark, ini).count()
+    return spark.createDataFrame([(n,)], "n_matches BIGINT")
+
+
 QUERIES = {
+    "pattern_config_run": (
+        _q_pattern_config_run,
+        f"""
+        WITH g AS ({G_SPARSE_SQL})
+        SELECT count(*) AS n_matches
+        FROM g e1 JOIN g e2 ON e1.dst = e2.src JOIN g e3
+          ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+    ),
     # distinct triangles found by the pattern engine == plain 3-join count
     "pattern_triangle_match": (
         _q_pattern_triangle,

@@ -132,15 +132,22 @@ def _q_near_dups(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    from ..functions.hashing import ANN_PLANES
     from ..operators.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(emb(spark, sf_dir))
+    # n_planes pinned to the constant the STATIC oracle SQL interpolates —
+    # the adaptive default would match today (500-row table -> 4) but must
+    # not silently diverge if the testdata is ever regenerated larger
+    return ann_lsh_topk(emb(spark, sf_dir), n_planes=ANN_PLANES)
 
 
 def _q_ann_near_dup(spark, sf_dir):
+    from ..functions.hashing import ANN_PLANES
     from ..operators.similarity import near_dup_pairs_ann
 
-    return near_dup_pairs_ann(emb(spark, sf_dir), threshold=0.3)
+    return near_dup_pairs_ann(
+        emb(spark, sf_dir), threshold=0.3, n_planes=ANN_PLANES
+    )
 
 
 # ----------------------------------------------------------------- oracles
