@@ -237,3 +237,22 @@ def test_harmonic_seeds_matches_networkx(spark):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_modularity_matches_networkx(spark):
+    from networkx.algorithms.community import modularity as nx_modularity
+
+    from igpm_pem_spark.operators.metrics import modularity
+
+    edges, pairs = _ba(spark)
+    g = _nx(pairs)
+    # a deterministic 3-way partition by id residue
+    labels = spark.createDataFrame(
+        [(n, n % 3) for n in g.nodes], "id BIGINT, label BIGINT"
+    )
+    comms = [
+        {n for n in g.nodes if n % 3 == r} for r in range(3)
+    ]
+    got = modularity(edges, labels)
+    want = nx_modularity(g, comms)
+    assert got == pytest.approx(want, abs=1e-12)
