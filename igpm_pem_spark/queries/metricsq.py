@@ -21,6 +21,48 @@ WHERE a.l_orderkey % 20 = 0
 GROUP BY a.l_partkey, b.l_partkey
 """
 
+# direction-mixed sparse graph: the canonical a<b co-occurrence edges
+# are a DAG by construction (every SCC trivial), so half the edges are
+# flipped by parity to create real cycles for the SCC kernel
+_G_DIRMIX_SQL = f"""
+SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+       CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst
+FROM ({G_SPARSE_SQL})
+"""
+
+# SCC oracle: transitive closure with UNION-fixpoint semantics (no iter
+# counter needed), mutual-reachability pairs, scc id = min partner
+_SCC_SQL = f"""
+WITH RECURSIVE g AS ({_G_DIRMIX_SQL})
+, verts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM g UNION ALL SELECT dst FROM g))
+, tc(src, dst) AS (
+    SELECT src, dst FROM g
+    UNION
+    SELECT t.src, g.dst FROM tc t JOIN g ON g.src = t.dst
+)
+, mutual AS (
+    SELECT a.src AS u, a.dst AS v
+    FROM tc a JOIN tc b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT vt.id, least(vt.id, coalesce(min(m.v), vt.id)) AS scc
+FROM verts vt LEFT JOIN mutual m ON m.u = vt.id
+GROUP BY vt.id
+"""
+
+
+def _q_scc(spark, sf_dir):
+    """SCC on the direction-mixed sparse graph — min-label coloring
+    phases (operators/scc.py), oracled by a UNION-fixpoint transitive
+    closure + mutual-reachability min."""
+    from ..operators.scc import strongly_connected_components
+
+    res = strongly_connected_components(
+        spark, edges(spark, sf_dir, _G_DIRMIX_SQL)
+    )
+    return res.components.select("id", "scc")
+
+
 # SSSP oracle: Bellman-Ford as a recursive CTE. The weight-0 self-loop on
 # every vertex carries the running min through each round (the CC oracle's
 # keep-alive trick), so the recursive term references sp exactly once.
@@ -305,4 +347,5 @@ QUERIES = {
         ),
     ),
     "sssp_weighted": (_q_sssp, _SSSP_SQL),
+    "strongly_connected": (_q_scc, _SCC_SQL),
 }
