@@ -51,6 +51,51 @@ GROUP BY vt.id
 """
 
 
+# k-truss oracle: unrolled peel chain (support filter per round), like
+# the k-core oracle; the kernel asserts it converged in fewer rounds.
+KTRUSS_ORACLE_ROUNDS = 15
+
+
+def _ktruss_sql(k: int, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
+    parts = [", e0 AS MATERIALIZED (SELECT src, dst FROM g)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", t{r} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e{p} e1 JOIN e{p} e2 ON e1.dst = e2.src
+  JOIN e{p} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), s{r} AS MATERIALIZED (
+  SELECT src, dst, count(*) AS sup FROM (
+    SELECT a AS src, b AS dst FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}
+  ) GROUP BY src, dst
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  LEFT JOIN s{r} s ON s.src = e.src AND s.dst = e.dst
+  WHERE coalesce(s.sup, 0) >= {k - 2}
+)"""
+        )
+    parts.append(f" SELECT src, dst FROM e{rounds}")
+    return "".join(parts)
+
+
+def _q_ktruss4(spark, sf_dir):
+    """4-truss edge set on the sparse graph — every surviving edge sits in
+    ≥ 2 triangles of the surviving subgraph."""
+    from ..operators.ktruss import k_truss
+
+    res = k_truss(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=4)
+    if not (res.converged and res.rounds < KTRUSS_ORACLE_ROUNDS):
+        raise RuntimeError(
+            f"k-truss peeling took {res.rounds} rounds (converged="
+            f"{res.converged}); the {KTRUSS_ORACLE_ROUNDS}-round unrolled "
+            "oracle would silently diverge — raise KTRUSS_ORACLE_ROUNDS"
+        )
+    return res.edges.select("src", "dst")
+
+
 def _q_scc(spark, sf_dir):
     """SCC on the direction-mixed sparse graph — min-label coloring
     phases (operators/scc.py), oracled by a UNION-fixpoint transitive
@@ -348,4 +393,5 @@ QUERIES = {
     ),
     "sssp_weighted": (_q_sssp, _SSSP_SQL),
     "strongly_connected": (_q_scc, _SCC_SQL),
+    "ktruss4_edges": (_q_ktruss4, _with_g(_ktruss_sql(4), G_SPARSE_SQL)),
 }
