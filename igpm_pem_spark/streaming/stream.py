@@ -109,8 +109,13 @@ def components_stream(
         adj.unpersist()
         state.history.append({"batch": batch_id, "supersteps": supersteps})
 
+    # one file per micro-batch: availableNow would otherwise swallow every
+    # waiting bucket into a single batch and the incremental path would
+    # never execute — each parquet file IS an arrival bucket here
     reader = (
-        spark.readStream.schema(schema).parquet(source_dir)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
     )
     writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
     if checkpoint_dir:
@@ -231,3 +236,109 @@ def windowed_event_counts(
             F.col("w.start").alias("day_start"), "n_events", "total_value"
         )
     )
+
+
+def sssp_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_vertex: int,
+    *,
+    schema: str = "src BIGINT, dst BIGINT, w DOUBLE, ts INT",
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple["object", StreamState]:
+    """Streaming single-source shortest paths: a file-source stream of
+    weighted edge buckets maintained exactly via the monotone min-plus
+    delta — each micro-batch relaxes ONLY its arriving edges against the
+    carried distance table (a batch-sized join), then runs
+    frontier-restricted sweeps on the cumulative graph
+    (``incremental.incremental_sssp``'s step, lifted into foreachBatch).
+    ``StreamState.components`` carries the (id, dist) table after each
+    batch; the final table equals batch ``sssp`` on the union of all
+    buckets (pinned by tests).
+    """
+    from ..lineage import LineageLog
+    from ..operators._superstep import commit_and_stats, edge_partition_counts
+    from ..operators.sssp import _prep, _sssp_step, sssp
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    state = StreamState()
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select("src", "dst", "w").localCheckpoint(eager=True)
+        if new_edges.rdd.isEmpty():
+            return
+        state.batches += 1
+        if state.edges is None:
+            state.edges = new_edges
+            res = sssp(
+                spark, state.edges, source_vertex, weight_col="w",
+                num_partitions=num_partitions, steps_per_commit=4,
+            )
+            state.components = res.distances.localCheckpoint(eager=True)
+            state.history.append({"batch": batch_id, "supersteps": res.supersteps})
+            return
+        state.edges = state.edges.unionByName(new_edges).localCheckpoint(eager=True)
+        dist = state.components
+        adj_new = _prep(new_edges, "w", directed=False)
+        cand = (
+            adj_new.join(
+                dist.select(F.col("id").alias("src"), F.col("dist").alias("d0")),
+                "src",
+            )
+            .select("dst", (F.col("d0") + F.col("w")).alias("cand"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cand").alias("cand"))
+        )
+        st = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("cand"), F.col("dist")) < F.col("dist"))
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        full_adj = _prep(state.edges, "w", directed=False).repartition(
+            num_partitions, "src"
+        ).persist()
+        edge_parts = edge_partition_counts(full_adj)
+        log = LineageLog(spark, None)
+        supersteps = 0
+        import time as _t
+
+        while supersteps < 100:
+            t1 = _t.time()
+            ns = st
+            for _ in range(2):
+                ns = _sssp_step(ns, full_adj, num_partitions)
+            supersteps += 2
+            st, delta, _ = commit_and_stats(
+                log, supersteps - 1, ns,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t1,
+            )
+            if delta == 0.0:
+                break
+        state.components = st.select("id", "dist").localCheckpoint(eager=True)
+        full_adj.unpersist()
+        state.history.append({"batch": batch_id, "supersteps": supersteps})
+
+    # one file per micro-batch (see components_stream): each parquet file
+    # is an arrival bucket, so the monotone delta path actually runs
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    return query, state

@@ -130,3 +130,24 @@ def test_feature_extraction_deterministic_across_partitionings(spark):
         for r in extract_features(synthetic_media(spark, 30, 8)).collect()
     }
     assert a == b
+
+
+def test_feature_extraction_feeds_kmeans(spark):
+    """Multimodal → clustering composition: binary assets → deterministic
+    features → Lloyd k-means assignment. Exact-duplicate payloads must
+    land in the same cluster, and the assignment covers every asset."""
+    from igpm_pem_spark.multimodal.binary_ops import extract_features
+    from igpm_pem_spark.operators.clustering import kmeans_assign
+
+    base = synthetic_media(spark, 30)
+    dup = base.where("asset_id = 0").select(
+        (F.col("asset_id") + 1000).alias("asset_id"), "kind", "bytes", "meta"
+    )
+    feats = extract_features(base.unionByName(dup)).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    res = kmeans_assign(spark, feats, k=4, iters=2)
+    got = {r.vec_id: r.cluster for r in res.assignments.collect()}
+    assert len(got) == 31
+    assert got[1000] == got[0]  # identical bytes -> identical embedding -> same cluster
+    assert set(got.values()) <= set(range(4))

@@ -128,3 +128,38 @@ def test_pattern_match_stream_equals_batch(spark, tmp_path):
     batch = match_pattern(spark, verts, edges, q)
     assert sigs(state.matches) == sigs(batch)
     assert len(sigs(state.matches)) == 2
+
+
+def test_sssp_stream_matches_batch(spark, tmp_path):
+    import random
+
+    from igpm_pem_spark.operators.sssp import sssp
+    from igpm_pem_spark.streaming.stream import sssp_stream
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(30), rng.randrange(30), float(rng.randrange(1, 9)),
+         rng.randrange(3))
+        for _ in range(100)
+    ]
+    rows = [(s, d, w, t) for s, d, w, t in rows if s != d]
+    edges = spark.createDataFrame(
+        rows, "src BIGINT, dst BIGINT, w DOUBLE, ts INT"
+    )
+    src_vertex = min(r[0] for r in rows)
+    src_dir = str(tmp_path / "sssp_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for ts in (0, 1, 2):
+        edges.where(f"ts = {ts}").coalesce(1).write.mode("append").parquet(src_dir)
+
+    query, state = sssp_stream(
+        spark, src_dir, src_vertex, checkpoint_dir=str(tmp_path / "sssp_ckpt")
+    )
+    query.awaitTermination(180)
+    query.stop()
+
+    assert state.batches >= 1
+    got = {r.id: r.dist for r in state.components.collect()}
+    batch = sssp(spark, edges, src_vertex, weight_col="w")
+    want = {r.id: r.dist for r in batch.distances.collect()}
+    assert got == want
