@@ -1,0 +1,124 @@
+"""Deterministic random walks — embedding-training corpus generation.
+
+DeepWalk/node2vec-style pipelines start from a corpus of random walks
+whose co-occurring vertices become skip-gram training pairs. This
+operator generates that corpus DataFrame-first and fully deterministic:
+the "random" next-step choice is a portable linear-congruential hash of
+(seed, walk, step, current vertex) mod the vertex's degree — pure 64-bit
+integer arithmetic, identical in any SQL engine, reproducible across
+partitionings and runs (the property a training pipeline actually needs:
+re-running the job yields byte-identical corpora).
+
+Plan shape: the neighbor table gets a per-vertex 0-based index once (one
+window over the src-partitioned adjacency — at extreme scale you'd bucket
+this, but it is a one-time cost reused by every step); each walk step is
+then ONE equi-join on (vertex, chosen index). ``walk_len`` unrolled
+joins, no Python, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .graph import simple_edges
+
+# LCG-style mixing constants; intermediates bounded by
+# A3 * max_id ≈ 2.7e9 * 1e12 — keep ids < ~3e9 or re-mod first. For the
+# driver tables (part keys ≤ 2e5) max intermediate ≈ 5e14 << 2^63.
+WALK_A1 = 1_103_515_245
+WALK_A2 = 12_345_679
+WALK_A3 = 2_654_435_761
+WALK_M = 2_147_483_647  # 2^31 - 1
+
+
+def _choice_expr(walk_id, step: int, cur, deg, seed: int):
+    h = (
+        F.lit(WALK_A1) * walk_id
+        + F.lit(WALK_A2) * F.lit(step)
+        + F.lit(WALK_A3) * cur
+        + F.lit(seed)
+    ) % F.lit(WALK_M)
+    return h % deg
+
+
+def choice_sql(walk_id: str, step: str, cur: str, deg: str, seed: int) -> str:
+    """DuckDB SQL text of the same next-step choice."""
+    return (
+        f"(({WALK_A1} * {walk_id} + {WALK_A2} * {step} + {WALK_A3} * {cur}"
+        f" + {seed}) % {WALK_M}) % {deg}"
+    )
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 1,
+) -> DataFrame:
+    """(walk_id, step, vertex): ``walks_per_vertex`` walks of
+    ``walk_len`` steps from every vertex of the undirected simple graph
+    (walk_id = vertex * walks_per_vertex + w). Walks stop early only at
+    isolated vertices (none, by construction)."""
+    sym = simple_edges(edges, directed=False)
+    w = Window.partitionBy("src").orderBy("dst")
+    nbr = sym.withColumn("idx", F.row_number().over(w) - 1).persist()
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+
+    verts = deg.select(F.col("src").alias("v"), "deg")
+    starts = verts.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(walks_per_vertex)])
+        ).alias("w"),
+        "v",
+        "deg",
+    ).select(
+        (F.col("v") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        F.col("v").alias("vertex"),
+        "deg",
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"), "vertex")
+    cur = starts
+    for s in range(1, walk_len + 1):
+        idx = _choice_expr(F.col("walk_id"), s, F.col("vertex"), F.col("deg"), seed)
+        nxt = (
+            cur.withColumn("idx", idx)
+            .join(
+                nbr.select(
+                    F.col("src").alias("vertex"), "idx", F.col("dst").alias("nv")
+                ),
+                ["vertex", "idx"],
+            )
+            .select("walk_id", F.col("nv").alias("vertex"))
+        )
+        cur = nxt.join(
+            deg.select(F.col("src").alias("vertex"), "deg"), "vertex"
+        ).select("walk_id", "vertex", "deg")
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(s).alias("step"), "vertex")
+        )
+    out = out.localCheckpoint(eager=True)
+    nbr.unpersist()
+    return out
+
+
+def walk_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(a, b, cnt): skip-gram co-occurrence counts — vertex pairs within
+    ``window`` steps of each other on the same walk (a < b, both
+    directions folded). The training-pair corpus for an embedding model."""
+    x = walks.select("walk_id", F.col("step").alias("sa"), F.col("vertex").alias("va"))
+    y = walks.select("walk_id", F.col("step").alias("sb"), F.col("vertex").alias("vb"))
+    pairs = (
+        x.join(y, "walk_id")
+        .where(
+            (F.col("sb") > F.col("sa"))
+            & (F.col("sb") - F.col("sa") <= window)
+            & (F.col("va") != F.col("vb"))
+        )
+        .select(
+            F.least("va", "vb").alias("a"), F.greatest("va", "vb").alias("b")
+        )
+    )
+    return pairs.groupBy("a", "b").agg(F.count("*").alias("cnt"))

@@ -51,6 +51,65 @@ GROUP BY vt.id
 """
 
 
+# random-walk oracle: unrolled steps with the SAME portable LCG choice
+# arithmetic (operators/walks.choice_sql) and per-vertex neighbor index
+def _walks_sql(walk_len: int, walks_per_vertex: int, window: int, seed: int) -> str:
+    from ..operators.walks import choice_sql
+
+    wvals = ", ".join(f"({i})" for i in range(walks_per_vertex))
+    parts = [
+        f"""
+, nbr AS (SELECT src, dst,
+          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM sym)
+, deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+, s0 AS (SELECT d.src * {walks_per_vertex} + w.w AS walk_id,
+                d.src AS vertex, d.deg
+         FROM deg d, (VALUES {wvals}) w(w))
+"""
+    ]
+    for s in range(1, walk_len + 1):
+        p = s - 1
+        choice = choice_sql("c.walk_id", str(s), "c.vertex", "c.deg", seed)
+        parts.append(
+            f""", s{s}_raw AS (
+  SELECT c.walk_id, n.dst AS vertex FROM s{p} c
+  JOIN nbr n ON n.src = c.vertex AND n.idx = {choice}
+), s{s} AS (
+  SELECT r.walk_id, r.vertex, deg.deg FROM s{s}_raw r
+  JOIN deg ON deg.src = r.vertex
+)"""
+        )
+    steps_union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, vertex FROM s{s}" for s in range(walk_len + 1)
+    )
+    parts.append(
+        f""", walks AS ({steps_union})
+, pr AS (
+  SELECT least(x.vertex, y.vertex) AS a, greatest(x.vertex, y.vertex) AS b
+  FROM walks x JOIN walks y
+    ON x.walk_id = y.walk_id AND y.step > x.step
+   AND y.step - x.step <= {window} AND x.vertex <> y.vertex
+)
+SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b
+"""
+    )
+    return "".join(parts)
+
+
+def _q_walk_pairs(spark, sf_dir):
+    """Skip-gram training pairs from deterministic random walks (2 walks
+    of length 4 per vertex, window 2) — the embedding-corpus generator a
+    DeepWalk-style pipeline feeds to its trainer."""
+    from ..operators.walks import random_walks, walk_pairs
+
+    w = random_walks(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        walk_len=4, walks_per_vertex=2, seed=1,
+    )
+    return walk_pairs(w, window=2)
+
+
 # k-truss oracle: unrolled peel chain (support filter per round), like
 # the k-core oracle; the kernel asserts it converged in fewer rounds.
 KTRUSS_ORACLE_ROUNDS = 15
@@ -394,4 +453,8 @@ QUERIES = {
     "sssp_weighted": (_q_sssp, _SSSP_SQL),
     "strongly_connected": (_q_scc, _SCC_SQL),
     "ktruss4_edges": (_q_ktruss4, _with_g(_ktruss_sql(4), G_SPARSE_SQL)),
+    "graph_walk_pairs": (
+        _q_walk_pairs,
+        _with_g(_walks_sql(4, 2, 2, 1), G_SPARSE_SQL),
+    ),
 }

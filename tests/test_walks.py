@@ -1,0 +1,78 @@
+"""Deterministic random walks: validity (every hop is an edge),
+determinism across partitionings, pure-python parity, pair counts."""
+
+from __future__ import annotations
+
+from igpm_pem_spark.operators.walks import (
+    WALK_A1, WALK_A2, WALK_A3, WALK_M, random_walks, walk_pairs,
+)
+
+from .conftest import edges_df
+
+PAIRS = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (1, 5), (5, 6)]
+
+
+def _python_walks(pairs, walk_len, wpv, seed):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    out = {}
+    for v in adj:
+        for w in range(wpv):
+            wid = v * wpv + w
+            cur = v
+            seq = [cur]
+            for s in range(1, walk_len + 1):
+                deg = len(adj[cur])
+                h = (WALK_A1 * wid + WALK_A2 * s + WALK_A3 * cur + seed) % WALK_M
+                cur = adj[cur][h % deg]
+                seq.append(cur)
+            out[wid] = seq
+    return out
+
+
+def test_walks_match_python_oracle(spark):
+    res = random_walks(spark, edges_df(spark, PAIRS), walk_len=5,
+                       walks_per_vertex=3, seed=7)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.walk_id, {})[r.step] = r.vertex
+    got = {k: [v[i] for i in range(len(v))] for k, v in got.items()}
+    want = _python_walks(PAIRS, 5, 3, 7)
+    assert got == want
+
+
+def test_walks_every_hop_is_an_edge(spark):
+    res = random_walks(spark, edges_df(spark, PAIRS), walk_len=4)
+    es = {tuple(sorted(p)) for p in PAIRS}
+    seqs = {}
+    for r in res.collect():
+        seqs.setdefault(r.walk_id, {})[r.step] = r.vertex
+    for seq in seqs.values():
+        for s in range(1, len(seq)):
+            assert tuple(sorted((seq[s - 1], seq[s]))) in es
+
+
+def test_walks_deterministic_across_partitionings(spark):
+    e1 = edges_df(spark, PAIRS).repartition(7)
+    e2 = edges_df(spark, PAIRS).repartition(2)
+    a = sorted(map(tuple, random_walks(spark, e1, walk_len=3).collect()))
+    b = sorted(map(tuple, random_walks(spark, e2, walk_len=3).collect()))
+    assert a == b
+
+
+def test_walk_pairs_counts(spark):
+    w = random_walks(spark, edges_df(spark, PAIRS), walk_len=3,
+                     walks_per_vertex=1, seed=1)
+    got = {(r.a, r.b): r.cnt for r in walk_pairs(w, window=2).collect()}
+    seqs = _python_walks(PAIRS, 3, 1, 1)
+    want = {}
+    for seq in seqs.values():
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + 3, len(seq))):
+                if seq[i] != seq[j]:
+                    k = (min(seq[i], seq[j]), max(seq[i], seq[j]))
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
