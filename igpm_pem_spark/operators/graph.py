@@ -133,3 +133,37 @@ def partitioned_adjacency(
     that must not repeat.
     """
     return simple_edges(edges, directed=directed).repartition(num_partitions, "src")
+
+
+def bipartite_projection(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    weighted: bool = False,
+    min_weight: int = 1,
+) -> DataFrame:
+    """(src, dst[, w]): co-membership projection of a bipartite relation —
+    items sharing a group become an edge (src < dst canonical), optionally
+    weighted by the number of shared groups. This is THE edge-table
+    derivation of the engine's driver graphs (parts sharing an order,
+    files sharing an import) packaged as an operator.
+
+    Plan: self-join on the group key then aggregate. The join fan-out is
+    Σ |group|² — at scale, cap pathological groups upstream (a group with
+    10⁶ members contributes 10¹² pairs; filter or sample such hubs before
+    projecting, same hub-cap discipline as the LSH band join).
+    """
+    a = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("src")
+    )
+    b = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("dst")
+    )
+    pairs = a.join(b, "g").where(F.col("src") < F.col("dst"))
+    if not weighted:
+        return pairs.select("src", "dst").distinct()
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .where(F.col("w") >= min_weight)
+    )

@@ -288,6 +288,20 @@ def _q_sssp(spark, sf_dir):
     return res.distances.select("id", "dist")
 
 
+def _q_bipartite_weighted(spark, sf_dir):
+    """The engine's edge-table derivation as a first-class operator:
+    weighted co-membership projection of (order, part) — exactly the
+    graph every weighted kernel query consumes."""
+    from ..operators.graph import bipartite_projection
+    from ._common import register
+
+    register(spark, sf_dir)
+    li = spark.table("lineitem").where("l_orderkey % 20 = 0")
+    return bipartite_projection(
+        li, "l_orderkey", "l_partkey", weighted=True
+    ).select("src", "dst", "w")
+
+
 def _q_sssp_incremental(spark, sf_dir):
     """Incremental weighted SSSP over 3 synthetic arrival buckets
     (ts = src % 3): min-plus is monotone under edge appends, so each
@@ -457,4 +471,5 @@ QUERIES = {
         _q_walk_pairs,
         _with_g(_walks_sql(4, 2, 2, 1), G_SPARSE_SQL),
     ),
+    "graph_bipartite_weighted": (_q_bipartite_weighted, _G_WSPARSE_SQL),
 }

@@ -68,3 +68,25 @@ def test_bin_pack_components(spark):
     packed = {r.component: r.worker for r in bin_pack_components(sizes, 2).collect()}
     # round-robin over size-desc: 100→w0, 90→w1, 50→w0, 40→w1, 10→w0, 5→w1
     assert packed == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
+
+
+def test_bipartite_projection(spark):
+    from igpm_pem_spark.operators.graph import bipartite_projection
+
+    rows = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 10), (3, 11),
+        (4, 20),
+    ]
+    df = spark.createDataFrame(rows, "g BIGINT, item BIGINT")
+    un = {(r.src, r.dst) for r in
+          bipartite_projection(df, "g", "item").collect()}
+    assert un == {(10, 11), (10, 12), (11, 12)}
+    wt = {(r.src, r.dst): r.w for r in
+          bipartite_projection(df, "g", "item", weighted=True).collect()}
+    assert wt == {(10, 11): 3.0, (10, 12): 1.0, (11, 12): 1.0}
+    wt2 = {(r.src, r.dst): r.w for r in
+           bipartite_projection(df, "g", "item", weighted=True,
+                                min_weight=2).collect()}
+    assert wt2 == {(10, 11): 3.0}
