@@ -148,3 +148,49 @@ def test_import_parser_arrow_variant_is_vectorized(spark):
     # mapInPandas shows as MapInPandas (Arrow), never row-wise BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+def test_new_kernel_message_layouts_pinned(spark):
+    """SSSP and HITS message aggregates must inherit the adjacency's
+    partition count, like PR/CC/LPA (built with 3 != session's 4 so the
+    pin is observable)."""
+    import re
+
+    from igpm_pem_spark.operators.hits import _message_graph
+    from igpm_pem_spark.operators.sssp import _prep, _sssp_step
+
+    edges = synthetic_edges(spark, 500, 3000).withColumn(
+        "w", F.lit(1.0)
+    )
+    adj = _prep(edges, "w", directed=False).repartition(3, "src").persist()
+    adj.count()
+    state = spark.createDataFrame(
+        [(0, 0.0, True)], "id BIGINT, dist DOUBLE, changed BOOLEAN"
+    ).localCheckpoint(eager=True)
+    plan = _explain(_sssp_step(state, adj, 3))
+    assert re.search(r"hashpartitioning\(dst#\d+L?, 3\)", plan), plan[:2000]
+    adj.unpersist()
+
+    # HITS: one join+agg per superstep over the bipartite message graph,
+    # aggregate exchange on (tid, ts) with the pinned count
+    bm = _message_graph(
+        synthetic_edges(spark, 300, 1500)
+    ).repartition(3, "fid").persist()
+    bm.count()
+    st = (
+        bm.select(F.col("fid").alias("id"), F.col("fs").alias("side"))
+        .distinct()
+        .withColumn("val", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    msgs = bm.join(
+        st.hint("shuffle_hash"),
+        (bm["fid"] == st["id"]) & (bm["fs"] == st["side"]),
+    ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
+    agg = (
+        msgs.repartition(3, "tid", "ts")
+        .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
+        .agg(F.sum("m").alias("val"))
+    )
+    plan = _explain(agg)
+    assert re.search(r"hashpartitioning\(tid#\d+L?, ts#\d+, 3\)", plan), plan[:2000]
+    bm.unpersist()
