@@ -343,6 +343,18 @@ def _scaling(n_low: int, n_high: int) -> None:
         "codegen compilation and AQE re-planning are driver-serial",
         "(→ off for the loop); localCheckpoint each commit truncates",
         "iterative lineage.",
+        "",
+        "Round-3 headline fixes (sf0.1 workload, local[32]; per-query",
+        "seconds live in the driver-recorded BENCH_r{N}.json):",
+        "triangles recovered 7.4 s → 0.9 s via the adaptive plan probe",
+        "(id-ordered join when the degree probe rules out hubs, the",
+        "O(E^1.5) oriented plan otherwise); ann_topk went 568 s → 127 s",
+        "in-bench (39 s standalone) by sizing the LSH signature length to",
+        "the corpus (~150 vectors/bucket instead of a fixed 16-bucket",
+        "layout that degenerated to ~572M candidate pairs) and by late",
+        "materialization — the bucket self-join and collision dedup run",
+        "over 16-byte signature rows and embedding arrays are fetched",
+        "once per deduped pair.",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

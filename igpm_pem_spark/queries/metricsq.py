@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._common import G_SPARSE_SQL, edges
-from .graphq import _with_g
+from .graphq import _CC_CTE, CC_ORACLE_ITERS, _with_g
 
 # weighted sparse co-occurrence graph: w = shared-order multiplicity
 # (integral, so distance sums are exact in DOUBLE on both engines)
@@ -288,6 +288,65 @@ def _q_sssp(spark, sf_dir):
     return res.distances.select("id", "dist")
 
 
+_EIGEN_SQL = f"""
+WITH RECURSIVE g AS ({G_SPARSE_SQL})
+, sym AS (SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, me AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM sym
+         UNION ALL SELECT id, id, CAST(0.0 AS DOUBLE) FROM verts)
+, st(iter, id, val) AS (
+    SELECT 0, id, CAST(1.0 AS DOUBLE) FROM verts
+    UNION ALL
+    SELECT t.iter + 1, e.dst, sum(t.val * e.w)
+    FROM st t JOIN me e ON e.src = t.id
+    WHERE t.iter < 8
+    GROUP BY t.iter, e.dst
+)
+, fin AS (SELECT id, val FROM st WHERE iter = 8)
+, tot AS (SELECT sum(val) AS s FROM fin)
+SELECT id, round(val / (SELECT s FROM tot), 7) AS score7 FROM fin
+"""
+
+
+def _q_eigen(spark, sf_dir):
+    from ..operators.eigencentrality import eigenvector_centrality
+
+    res = eigenvector_centrality(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8
+    )
+    return res.scores.select("id", F.round("score", 7).alias("score7"))
+
+
+def _q_graph_summary(spark, sf_dir):
+    """One-row dashboard of the sparse graph: sizes, degrees, triangles,
+    component count — the composition a monitoring job materializes."""
+    from ..operators.components import connected_components
+    from ..operators.graph import canonical_undirected, degrees
+    from ..operators.triangles import triangle_count
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    canon = canonical_undirected(e).persist()
+    deg = degrees(canon).persist()
+    row = deg.agg(
+        F.count("*").alias("nv"),
+        F.max("degree").alias("mx"),
+        F.round(F.avg("degree"), 6).alias("avgd"),
+    ).first()
+    ne = canon.count()
+    nt = triangle_count(canon)
+    nc = (
+        connected_components(spark, canon)
+        .components.select("component").distinct().count()
+    )
+    deg.unpersist()
+    canon.unpersist()
+    return spark.createDataFrame(
+        [(row["nv"], ne, row["mx"], float(row["avgd"]), nt, nc)],
+        "n_vertices BIGINT, n_edges BIGINT, max_degree BIGINT, "
+        "avg_degree6 DOUBLE, n_triangles BIGINT, n_components BIGINT",
+    )
+
+
 def _q_bipartite_weighted(spark, sf_dir):
     """The engine's edge-table derivation as a first-class operator:
     weighted co-membership projection of (order, part) — exactly the
@@ -472,4 +531,29 @@ QUERIES = {
         _with_g(_walks_sql(4, 2, 2, 1), G_SPARSE_SQL),
     ),
     "graph_bipartite_weighted": (_q_bipartite_weighted, _G_WSPARSE_SQL),
+    "eigencentrality_fixed8": (_q_eigen, _EIGEN_SQL),
+    "graph_summary": (
+        _q_graph_summary,
+        _with_g(
+            _CC_CTE
+            + f"""
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            , tri AS (
+                SELECT count(*) AS t
+                FROM g e1 JOIN g e2 ON e1.dst = e2.src
+                JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            )
+            , comp AS (SELECT count(DISTINCT comp) AS c FROM cc
+                       WHERE iter = {CC_ORACLE_ITERS})
+            SELECT (SELECT count(*) FROM deg) AS n_vertices,
+                   (SELECT count(*) FROM g) AS n_edges,
+                   (SELECT max(d) FROM deg) AS max_degree,
+                   round((SELECT avg(d * 1.0) FROM deg), 6) AS avg_degree6,
+                   (SELECT t FROM tri) AS n_triangles,
+                   (SELECT c FROM comp) AS n_components
+            """,
+            G_SPARSE_SQL,
+            recursive=True,
+        ),
+    ),
 }

@@ -256,3 +256,34 @@ def test_modularity_matches_networkx(spark):
     got = modularity(edges, labels)
     want = nx_modularity(g, comms)
     assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_eigencentrality_matches_power_iteration(spark):
+    from igpm_pem_spark.operators.eigencentrality import eigenvector_centrality
+
+    res = eigenvector_centrality(spark, edges_df(spark, PAIRS), max_iter=60)
+    got = {r.id: r.score for r in res.scores.collect()}
+    # pure-python power iteration with final L1 normalization
+    adj = {}
+    for a, b in PAIRS:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    x = {v: 1.0 for v in adj}
+    for _ in range(60):
+        x2 = {v: sum(x[u] for u in adj[v]) for v in adj}
+        s = sum(x2.values())
+        x = {v: val / s for v, val in x2.items()}
+    for k in x:
+        assert got[k] == pytest.approx(x[k], abs=1e-9)
+
+
+def test_eigencentrality_keeps_zero_indegree_rows(spark):
+    from igpm_pem_spark.operators.eigencentrality import eigenvector_centrality
+
+    # directed chain: vertex 1 has no in-edges — must appear with score 0
+    res = eigenvector_centrality(
+        spark, edges_df(spark, [(1, 2), (2, 3)]), max_iter=4, directed=True
+    )
+    got = {r.id: r.score for r in res.scores.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == 0.0
