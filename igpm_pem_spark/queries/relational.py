@@ -435,3 +435,35 @@ QUERIES["rel_rollup"] = (
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
+
+
+def _q_pivot(spark, sf_dir):
+    """PIVOT: order counts and revenue by priority, statuses spread to
+    columns — Spark's groupBy().pivot() with the value list PINNED (an
+    unpinned pivot runs an extra distinct-scan job and its column order
+    depends on data; never do that at scale)."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+QUERIES["rel_pivot"] = (
+    _q_pivot,
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
