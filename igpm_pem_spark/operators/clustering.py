@@ -64,6 +64,13 @@ def kmeans_assign(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist()
     seed_rows = e.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        e.unpersist()
+        raise ValueError("kmeans_assign: input is empty — no rows to seed centroids from")
+    if len(seed_rows) < k:
+        # fewer rows than clusters: run with effective k = |rows| (each
+        # row its own seed) rather than fabricating centroids
+        k = len(seed_rows)
     centroids = [list(r.v) for r in seed_rows]
     dim = len(centroids[0])
 

@@ -20,7 +20,7 @@ skew-safe except for degenerate buckets, which `max_bucket` caps
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import NUM_BANDS, NUM_PERM, P, ROWS_PER_BAND, perm_coeffs
 from ..functions.text import token_id, tokens
@@ -88,19 +88,30 @@ def lsh_candidate_pairs(
         .persist()
     )
     # cap degenerate buckets (hub protection — the dedup analogue of the
-    # kernels' skew salting)
-    sized = buckets.join(
-        buckets.groupBy("band", "key").agg(F.count("*").alias("sz")),
-        ["band", "key"],
-    ).where(F.col("sz") <= max_bucket)
+    # kernels' skew salting). Window count over the persisted band
+    # relation: ONE shuffle on (band, key) — the same shuffle the
+    # self-join below needs anyway — instead of a groupBy + join that
+    # re-shuffles the whole relation twice (the round-3 3× bench
+    # regression).
+    w_bucket = Window.partitionBy("band", "key")
+    sized = buckets.withColumn("sz", F.count("*").over(w_bucket)).where(
+        F.col("sz") <= max_bucket
+    )
     a = sized.select("band", "key", F.col("doc_id").alias("doc_a"))
     b = sized.select("band", "key", F.col("doc_id").alias("doc_b"))
-    return (
+    # eager pair materialization + cache release (same hygiene as the ANN
+    # path): the deduped pair set is tiny next to the corpus, and
+    # releasing the band cache here keeps long sessions / the bench from
+    # accumulating signature-sized caches across sections
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
+    return pairs
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
@@ -197,11 +208,12 @@ def lsh_jaccard_pairs(
     verifies them, keeping pairs with jaccard ≥ threshold. No quadratic
     stage: candidates come only from the (bucket-capped) band self-join,
     and the verify step is two joins keyed on doc id + ngram."""
-    # persist the shared subplans: pairs feeds 3 joins, the n-gram relation
-    # feeds ga/gb/sizes — without the cache each reference re-runs the full
-    # tokenize→ngram (and tokenize→minhash→band) chain, tripling the most
-    # expensive scans at corpus scale
-    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket).persist()
+    # lsh_candidate_pairs already materializes the pair set (eager
+    # localCheckpoint inside); persist only the shared n-gram relation —
+    # it feeds ga/gb/sizes and would otherwise re-run the tokenize→ngram
+    # chain three times at corpus scale. Released after the verified-pair
+    # result is materialized below.
+    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket)
     g = word_ngrams(docs, n, id_col, text_col).persist()
     ga = g.select(F.col("doc_id").alias("doc_a"), "ngram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "ngram")
@@ -212,7 +224,7 @@ def lsh_jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (
+    out = (
         pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
@@ -227,7 +239,10 @@ def lsh_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    g.unpersist()
+    return out
 
 
 def ngram_jaccard_consecutive(

@@ -161,6 +161,14 @@ def bipartite_projection(
     )
     pairs = a.join(b, "g").where(F.col("src") < F.col("dst"))
     if not weighted:
+        if min_weight > 1:
+            # honor the threshold even without emitting the weight column
+            return (
+                pairs.groupBy("src", "dst")
+                .agg(F.count("*").alias("_w"))
+                .where(F.col("_w") >= min_weight)
+                .select("src", "dst")
+            )
         return pairs.select("src", "dst").distinct()
     return (
         pairs.groupBy("src", "dst")

@@ -92,9 +92,6 @@ def strongly_connected_components(
         .dropDuplicates(["src", "dst"])
     )
     fwd = e.repartition(num_partitions, "src").persist()
-    bwd = e.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).repartition(num_partitions, "src").persist()
     alive = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -163,7 +160,6 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
     fwd.unpersist()
-    bwd.unpersist()
     if not converged and alive.limit(1).count() > 0:
         raise RuntimeError(
             f"SCC did not finish in {max_phases} phases — pathological "

@@ -80,6 +80,7 @@ def hyperplane_buckets(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(id, emb, tbl, sig): one row per (vector, hash table) — sig packs
     ``n_planes`` hyperplane sign bits. Multiple independent tables are the
@@ -95,10 +96,11 @@ def hyperplane_buckets(
         # scale the signature length with the corpus so buckets hold
         # ~ANN_BUCKET_TARGET vectors: one count job (table stats at real
         # scale) instead of letting a fixed 2^4-bucket layout degenerate
-        # to a near-quadratic candidate join on large corpora
+        # to a near-quadratic candidate join on large corpora. Callers
+        # composing pipelines can pass corpus_count to avoid the scan.
         import math
 
-        n = emb.count()
+        n = emb.count() if corpus_count is None else corpus_count
         n_planes = min(
             ANN_MAX_PLANES,
             max(ANN_PLANES, math.ceil(math.log2(max(n, 1) / ANN_BUCKET_TARGET + 1))),
@@ -142,6 +144,7 @@ def ann_lsh_topk(
     query_mod: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos4): approximate top-k — candidates are
     corpus vectors sharing ANY table's bucket with the query, ranked by
@@ -155,7 +158,9 @@ def ann_lsh_topk(
     # 119.6k vectors / local[32]: 568 s with the fixed 16-bucket planes,
     # 74 s adaptive planes + score-before-dedup, 39 s this plan.
     signed = (
-        hyperplane_buckets(emb, n_tables, n_planes, id_col, vec_col)
+        hyperplane_buckets(
+            emb, n_tables, n_planes, id_col, vec_col, corpus_count=corpus_count
+        )
         .select("id", "tbl", "sig")
         .persist()
     )
@@ -163,12 +168,20 @@ def ann_lsh_topk(
         F.col("id").alias("query_id"), "tbl", "sig"
     )
     c = signed.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
+    # localCheckpoint materializes the deduped pair set (id pairs only —
+    # bucket-capped, far smaller than the corpus) and truncates lineage,
+    # so the signature cache can be RELEASED here instead of living until
+    # session end (the round-3 in-bench memory-pressure gap). One eager
+    # job inside the builder, documented trade: cache hygiene beats plan
+    # purity for a relation this hot.
     pairs = (
         q.join(c, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    signed.unpersist()
     ea = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_a")
     )
@@ -195,6 +208,7 @@ def near_dup_pairs_ann(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos4): the PRODUCTION near-dup path — candidate pairs
     come from shared LSH buckets (any table), then exact cosine filters at
@@ -203,18 +217,23 @@ def near_dup_pairs_ann(
     # late materialization, as in ann_lsh_topk: bucket join + dedup over
     # signature-only rows, arrays fetched once per deduped pair
     signed = (
-        hyperplane_buckets(emb, n_tables, n_planes, id_col, vec_col)
+        hyperplane_buckets(
+            emb, n_tables, n_planes, id_col, vec_col, corpus_count=corpus_count
+        )
         .select("id", "tbl", "sig")
         .persist()
     )
     a = signed.select(F.col("id").alias("id_a"), "tbl", "sig")
     b = signed.select(F.col("id").alias("id_b"), "tbl", "sig")
+    # eager pair materialization + cache release — see ann_lsh_topk
     pairs = (
         a.join(b, ["tbl", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    signed.unpersist()
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     return (

@@ -7,10 +7,14 @@ event-log scale:
 * ``asof_join``: per key, match each left row to the LATEST right row with
   ``right_ts <= left_ts``. Plan: tag + union both inputs, one window per
   key ordered by (ts, side, right-id) carrying the last-seen right row
-  forward (``last(..., ignorenulls)``), then keep left rows. ONE shuffle
-  on the key — the same cost as any per-key window; no per-row probing.
-  Right rows sort before left rows at equal ts (ties are inclusive), and
-  among equal-ts right rows the largest right id wins (deterministic).
+  forward as ONE struct (``last(struct(...), ignorenulls)``), then keep
+  left rows. ONE shuffle on the key — the same cost as any per-key
+  window; no per-row probing. The struct carry is atomic: all right
+  columns come from the SAME matched right row even when some of its
+  fields are NULL (a per-column carry would backfill NULL fields from
+  older rows — a torn result). Right rows sort before left rows at equal
+  ts (ties are inclusive), and among equal-ts right rows the largest
+  right id wins (deterministic).
 
 * ``range_join``: all (left, right) pairs with the same key whose
   timestamps differ by at most ``tol``. Plan: quantize time into
@@ -44,32 +48,52 @@ def asof_join(
     if right_cols is None:
         skip = set(keys) | {right_ts}
         right_cols = [c for c in right.columns if c not in skip]
-    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_side", F.lit(1)
+    if not right_cols:
+        raise ValueError(
+            "asof_join: right_cols is empty — the right side has no non-key, "
+            "non-ts columns to carry (and no tie-break column)"
+        )
+    reserved = {"_ts", "_side", "_r_row"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internals: {sorted(clash)}")
+    out_clash = {f"{prefix}{c}" for c in right_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join: prefixed output columns collide with left columns: "
+            f"{sorted(out_clash)} — pass a different prefix"
+        )
+    l_tag = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn(
+            "_r_row",
+            F.lit(None).cast(
+                "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+            ),
+        )
     )
-    for c in right_cols:
-        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r_row"),
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # equal-ts right rows: order by the whole struct — its first field is
+    # the caller-designated tie-break id, so max struct == max id
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side", f"_r_{right_cols[0]}")
+        .orderBy("_ts", "_side", "_r_row")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        F.last("_r_row", ignorenulls=True).over(w).alias("_r_match"),
     )
     return carried.where(F.col("_side") == 1).select(
-        *left.columns, *[f"{prefix}{c}" for c in right_cols]
+        *left.columns,
+        *[F.col(f"_r_match.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
 
 
@@ -85,6 +109,18 @@ def range_join(
     """All same-key (left, right) pairs with |left_ts − right_ts| ≤ tol_us
     (microseconds). Output = left columns + prefixed right columns +
     ``delta_us`` (right − left, exact integer micros)."""
+    reserved = {"_lus", "_rus", "_bucket"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"range_join: input columns collide with internals: {sorted(clash)}")
+    if "delta_us" in left.columns:
+        raise ValueError("range_join: left already has a 'delta_us' column")
+    out_clash = {f"{prefix}{c}" for c in right.columns if c not in set(keys)} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"range_join: prefixed output columns collide with left columns: "
+            f"{sorted(out_clash)} — pass a different prefix"
+        )
     # cast handles TIMESTAMP_NTZ parquet columns; the engine pins the
     # session timezone to UTC (session.py), so the epoch is deterministic
     l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
