@@ -45,19 +45,46 @@ def _doc_tids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return t.select("doc_id", token_id().alias("tid")).distinct()
 
 
+def _tid_array(text_col: str):
+    """array<long> of DISTINCT token ids, entirely row-local: split →
+    hash → array_distinct as Catalyst array expressions. Zero shuffles —
+    the explode + distinct + groupBy plan this replaces shuffled every
+    token occurrence twice. array_distinct AFTER hashing yields exactly
+    the distinct-tid set the DuckDB oracle aggregates over, so values
+    are unchanged (two tokens colliding to one tid dedupe identically)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    return F.array_distinct(F.transform(toks, lambda t: token_id(t)))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, mh0..mh{NUM_PERM-1}): minimum of each permutation over the
-    document's token-id set."""
-    dt = _doc_tids(docs, id_col, text_col)
-    aggs = []
+    document's token-id set. Computed row-locally over the tid array, then
+    a min-of-min groupBy keyed on doc_id — min is distributive, so rows
+    sharing a doc_id merge to the exact min-over-union the relational
+    formulation (and the SQL oracle's GROUP BY) produces. The shuffle
+    carries NUM_PERM ints per input row instead of every token
+    occurrence — the expensive tokenize/hash work never shuffles."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tid_array(text_col).alias("_tids")
+    ).where(F.size("_tids") > 0)
+
+    def _perm(a, b):
+        return lambda t: (F.lit(a) * t + F.lit(b)) % F.lit(P)
+
+    cols = []
     for i in range(NUM_PERM):
         a, b = perm_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
+        cols.append(
+            F.array_min(F.transform(F.col("_tids"), _perm(a, b))).alias(f"mh{i}")
         )
-    return dt.groupBy("doc_id").agg(*aggs)
+    row_sigs = base.select("doc_id", *cols)
+    return row_sigs.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -116,9 +143,17 @@ def lsh_candidate_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash bits. Uses permutation
-    0's hash h(tid); bit k contributes +1/-1 by (h div 2^k) % 2."""
-    dt = _doc_tids(docs, id_col, text_col)
+    0's hash h(tid); bit k contributes +1/-1 by (h div 2^k) % 2. The sign
+    sum is NOT distributive over duplicate doc_id rows (distinct-tid union
+    ≠ concat), so the plan explodes the per-row DEDUPED tid array and runs
+    a cross-row distinct + groupBy — shuffle volume is the per-row
+    distinct tid count, not every token occurrence (the row-local
+    array_distinct acts as a map-side combine for the dedup)."""
     a, b = perm_coeffs(0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tid_array(text_col).alias("_tids")
+    ).where(F.size("_tids") > 0)
+    dt = base.select("doc_id", F.explode("_tids").alias("tid")).distinct()
     h = (F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(P)
     aggs = [
         F.sum(
