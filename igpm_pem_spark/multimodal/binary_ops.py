@@ -1,15 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-The Spark-side engineering here is real and tested — schemas, partitioning,
-UDF signatures, batch shapes, header parsing on raw bytes. The actual
-codec work (JPEG decode, resampling, frame extraction) is STUBBED: the
-image/audio libraries are not in this container, so ``decode_image``
-parses a deterministic fake header (magic 'IMG1' + big-endian u16
-width/height + u8 channels) and ``resize_images`` / ``sample_frames``
-compute on the parsed metadata; branches that would need a real codec
-raise NotImplementedError behind an import-try, exactly where Pillow /
-torchaudio / pyav would slot in.
+The Spark-side engineering — schemas, partitioning, UDF signatures, batch
+shapes, header parsing on raw bytes — is real and tested. The PIXEL path
+is real too for the uncompressed formats a pure-numpy decoder covers:
+
+* PPM (P6) and BMP (24-bit BI_RGB) decode to (h, w, 3) uint8 arrays
+  (``_decode_array``), golden-pixel tested;
+* ``resize_pixels`` runs an actual nearest-neighbor resample over those
+  arrays and re-encodes PPM bytes, deterministically;
+* compressed formats (JPEG/PNG/...) need a real codec — Pillow is used
+  when importable, otherwise that branch raises NotImplementedError
+  (this container ships no PIL), exactly where the codec slots in.
+
+The synthetic 'IMG1' container (magic + u16 w/h + u8 c) remains the
+metadata-only fixture for the header-parsing plumbing tests.
 
 Media table schema:
     media(asset_id BIGINT, kind STRING, bytes BINARY,
@@ -66,6 +71,42 @@ def synthetic_media(spark: SparkSession, n: int = 100, num_partitions: int | Non
     return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthetic_media_ppm(
+    spark: SparkSession, n: int = 50, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic REAL-image media table: asset i is a binary PPM (P6)
+    gradient image, pixel(y, x, c) = (3x + 5y + 11i + 7c) mod 256, with
+    dimensions derived from i. Pure function of (i) — identical bytes at
+    any partitioning — and decodable by any PPM reader, so the decode /
+    resize pixel path is exercised on actual image data."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            rows = {"asset_id": [], "kind": [], "bytes": [], "meta": []}
+            for i in ids:
+                i = int(i)
+                w, h = 8 + i % 13, 6 + (i * 3) % 17
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                px = (
+                    (3 * x[None, :, None] + 5 * y[:, None, None] + 11 * i + 7 * c[None, None, :])
+                    % 256
+                ).astype(np.uint8)
+                rows["asset_id"].append(i)
+                rows["kind"].append("image")
+                rows["bytes"].append(pack_ppm(px))
+                rows["meta"].append({"source": f"synthetic-ppm/{i}"})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "asset_id BIGINT, width INT, height INT, channels INT, n_bytes BIGINT, valid BOOLEAN"
 )
@@ -83,11 +124,24 @@ def decode_image_metadata(media: DataFrame) -> DataFrame:
             }
             for b in pdf["bytes"]:
                 raw = bytes(b)
-                ok = raw[:4] == MAGIC and len(raw) >= 9
-                if ok:
+                w = h = c = 0
+                ok = False
+                if raw[:4] == MAGIC and len(raw) >= 9:
                     w, h, c = struct.unpack(">HHB", raw[4:9])
-                else:
-                    w = h = c = 0
+                    ok = True
+                elif raw[:2] == b"P6":
+                    try:
+                        px = _decode_array(raw)
+                        if px is not None:
+                            h, w, c = px.shape
+                            ok = True
+                    except NotImplementedError:
+                        pass
+                elif raw[:2] == b"BM" and len(raw) >= 54:
+                    w = int.from_bytes(raw[18:22], "little", signed=True)
+                    h = abs(int.from_bytes(raw[22:26], "little", signed=True))
+                    c = int.from_bytes(raw[28:30], "little") // 8
+                    ok = True
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
@@ -118,16 +172,127 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+def pack_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _decode_array(raw: bytes):
+    """Decode raw image bytes to an (h, w, 3) uint8 numpy array.
+
+    Pure-numpy real decoders for the uncompressed formats:
+    * PPM P6 (magic ``P6``, ASCII header incl. ``#`` comments, maxval 255)
+    * BMP 24-bit uncompressed BI_RGB (bottom-up or top-down, 4-byte row
+      padding, BGR→RGB)
+
+    Compressed formats fall through to Pillow when available; otherwise
+    NotImplementedError marks the codec boundary. Returns None for bytes
+    that are not an image at all (caller records valid=false)."""
+    import io
+    import numpy as np
+
+    if raw[:2] == b"P6":
+        # header: 'P6' <ws> width <ws> height <ws> maxval <single ws>
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(raw) and raw[pos : pos + 1].isspace():
+                pos += 1
+            if raw[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 needs 16-bit handling")
+        n = w * h * 3
+        if len(raw) - pos < n:
+            return None
+        return np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+    if raw[:2] == b"BM" and len(raw) >= 54:
+        off = int.from_bytes(raw[10:14], "little")
+        w = int.from_bytes(raw[18:22], "little", signed=True)
+        h = int.from_bytes(raw[22:26], "little", signed=True)
+        bpp = int.from_bytes(raw[28:30], "little")
+        comp = int.from_bytes(raw[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB is "
+                "decoded without a codec library"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(raw) - off < stride * h:
+            return None
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    if raw[:4] == MAGIC:
+        return None  # metadata-only synthetic container: no pixel payload
+    if HAVE_CODECS:
+        img = _pil.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    raise NotImplementedError(
+        "compressed image formats need a codec library (Pillow); this "
+        "environment decodes PPM P6 and 24-bit BMP natively"
+    )
+
+
+def _resize_nn(px, max_side: int):
+    """Deterministic nearest-neighbor fit into max_side² (floor index
+    mapping, the classic integer NN resample); never upscales."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    scale = min(1.0, float(max_side) / float(max(w, h)))
+    nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+    if (nw, nh) == (w, h):
+        return px
+    yi = (np.arange(nh) * h) // nh
+    xi = (np.arange(nw) * w) // nw
+    return px[yi][:, xi]
+
+
+RESIZED_SCHEMA = (
+    "asset_id BIGINT, new_width INT, new_height INT, fmt STRING, bytes BINARY"
+)
+
+
 def resize_pixels(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Pixel-level resample — requires a real image codec (Pillow), which
-    this container doesn't ship. The Spark plumbing (batch shape, schema)
-    is `resize_images`; this entry point guards the codec boundary."""
-    if not HAVE_CODECS:
-        raise NotImplementedError(
-            "pixel resample needs an image codec (PIL); only the metadata "
-            "plan (resize_images) is available in this environment"
-        )
-    raise NotImplementedError("codec path reserved for environments with PIL")
+    """(asset_id, new_width, new_height, fmt, bytes): REAL pixel-level
+    nearest-neighbor resample, Arrow-batched — decode (PPM/BMP natively,
+    PIL when present), resample, re-encode PPM. Assets whose bytes don't
+    decode to pixels (the metadata-only IMG1 fixture, truncated files)
+    are dropped; unsupported compressed formats raise at the codec
+    boundary. Bytes never leave the executors."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "new_width": [], "new_height": [], "fmt": [], "bytes": []}
+            for aid, b in zip(pdf["asset_id"], pdf["bytes"]):
+                px = _decode_array(bytes(b))
+                if px is None:
+                    continue
+                small = _resize_nn(px, max_side)
+                out["asset_id"].append(int(aid))
+                out["new_width"].append(int(small.shape[1]))
+                out["new_height"].append(int(small.shape[0]))
+                out["fmt"].append("ppm")
+                out["bytes"].append(pack_ppm(small))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").select("asset_id", "bytes").mapInPandas(
+        rz, RESIZED_SCHEMA
+    )
 
 
 FEATURE_SCHEMA = "asset_id BIGINT, embedding ARRAY<FLOAT>"

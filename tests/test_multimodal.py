@@ -62,9 +62,104 @@ def test_resize_plan_bounds(spark):
         assert 0 < r.scale <= 1.0
 
 
-def test_resize_pixels_gated(spark):
-    with pytest.raises(NotImplementedError):
-        resize_pixels(synthetic_media(spark, 5))
+def test_resize_pixels_metadata_only_fixture_drops(spark):
+    """The IMG1 synthetic container carries no pixel payload: the real
+    pixel path skips it (decode returns None) instead of fabricating."""
+    assert resize_pixels(synthetic_media(spark, 5)).count() == 0
+
+
+def test_decode_array_ppm_golden():
+    """Golden-pixel PPM P6 decode: hand-written 2×2 image."""
+    import numpy as np
+
+    from igpm_pem_spark.multimodal.binary_ops import _decode_array
+
+    raw = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7]
+    )
+    px = _decode_array(raw)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    assert px[1, 1].tolist() == [9, 8, 7]
+    assert px.dtype == np.uint8
+
+
+def test_decode_array_bmp_golden():
+    """Golden-pixel 24-bit BMP decode: 2×2 bottom-up, BGR order, 4-byte
+    row padding (2*3=6 bytes → stride 8)."""
+    import struct as _s
+
+    from igpm_pem_spark.multimodal.binary_ops import _decode_array
+
+    # rows stored bottom-up: file row 0 = image bottom row
+    bottom = bytes([7, 8, 9, 255, 0, 0]) + b"\x00\x00"  # (9,8,7) (0,0,255) in RGB
+    top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # (255,0,0) (0,255,0)
+    pixel_data = bottom + top
+    header = (
+        b"BM"
+        + _s.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    px = _decode_array(header + pixel_data)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [9, 8, 7]
+    assert px[1, 1].tolist() == [0, 0, 255]
+
+
+def test_decode_array_compressed_needs_codec():
+    from igpm_pem_spark.multimodal.binary_ops import HAVE_CODECS, _decode_array
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    if not HAVE_CODECS:
+        with pytest.raises(NotImplementedError):
+            _decode_array(jpeg_ish)
+
+
+def test_resize_pixels_real_resample_golden(spark):
+    """End-to-end REAL pixel path on Spark: PPM media → decode → NN
+    resample → PPM re-encode. Golden check: 4×4 gradient fit into 2×2
+    with floor-index NN keeps pixels (0,0) (0,2) (2,0) (2,2)."""
+    import numpy as np
+
+    from igpm_pem_spark.multimodal.binary_ops import (
+        _decode_array,
+        pack_ppm,
+        resize_pixels,
+    )
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(pack_ppm(src)), {"src": "golden"})],
+        "asset_id BIGINT, kind STRING, bytes BINARY, meta MAP<STRING,STRING>",
+    )
+    rows = resize_pixels(media, max_side=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.new_width, r.new_height, r.fmt) == (2, 2, "ppm")
+    got = _decode_array(bytes(r.bytes))
+    want = src[[0, 2]][:, [0, 2]]
+    assert np.array_equal(got, want)
+
+
+def test_resize_pixels_ppm_media_table(spark):
+    """The deterministic PPM media table decodes and resizes end-to-end;
+    dims match the metadata plan and never exceed max_side."""
+    from igpm_pem_spark.multimodal.binary_ops import (
+        resize_images,
+        resize_pixels,
+        synthetic_media_ppm,
+    )
+
+    media = synthetic_media_ppm(spark, 20)
+    plan = {r.asset_id: (r.new_width, r.new_height) for r in resize_images(media, max_side=10).collect()}
+    real = {r.asset_id: (r.new_width, r.new_height) for r in resize_pixels(media, max_side=10).collect()}
+    assert len(real) == 20
+    assert real == plan
+    assert all(max(wh) <= 10 for wh in real.values())
 
 
 def test_frame_sampling(spark):
