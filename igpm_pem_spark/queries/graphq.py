@@ -147,6 +147,33 @@ def _q_modularity(spark, sf_dir):
     return spark.createDataFrame([(round(q, 6),)], "q6 DOUBLE")
 
 
+def _q_louvain_move(spark, sf_dir):
+    """A8 Louvain parity: one synchronous modularity-gain local-move round
+    on the 3-round LPA partition (the reference's community.best_partition
+    scoping, pinned deterministic — labelprop.modularity_local_move)."""
+    from ..operators.labelprop import label_propagation, modularity_local_move
+
+    e = edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3).labels
+    return modularity_local_move(spark, e, labels, rounds=1).select("id", "label")
+
+
+def _q_q_improvement(spark, sf_dir):
+    """One row (q_lpa6, q_move6, improved): Newman modularity before and
+    after the local-move round — the driver-checked evidence that the
+    move pass does not degrade the LPA partition."""
+    from ..operators.labelprop import label_propagation, modularity_local_move
+    from ..operators.metrics import modularity
+
+    e = edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3).labels
+    moved = modularity_local_move(spark, e, labels, rounds=1)
+    q3, q4 = round(modularity(e, labels), 6), round(modularity(e, moved), 6)
+    return spark.createDataFrame(
+        [(q3, q4, q4 >= q3)], "q_lpa6 DOUBLE, q_move6 DOUBLE, improved BOOLEAN"
+    )
+
+
 def _q_incremental_cc(spark, sf_dir):
     """Incremental hash-min replay over 3 synthetic arrival buckets
     (ts = src % 3): per-bucket frontier-seeded recomputation must land on
@@ -220,7 +247,7 @@ _CC_CTE = f"""
 """
 
 _LPA_ROUND = """
-, l{k} AS (
+, l{k} AS MATERIALIZED (
     SELECT e.dst AS id, l.label
     FROM sym e JOIN l{p} l ON l.id = e.src
     GROUP BY e.dst, l.label
@@ -228,6 +255,113 @@ _LPA_ROUND = """
         PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) = 1
 )
 """
+
+# one synchronous Louvain local-move round over the partition in table
+# l{p} → l{k}: every vertex takes the best strictly-positive modularity
+# gain among its NEIGHBOR communities (ties → smallest label), applied
+# simultaneously — then the round is hill-climb GUARDED exactly as
+# labelprop.modularity_local_move is: the integer modularity score
+# S = Σ_c (4·m·m_c − D_c²) of the moved partition must not drop below
+# the input's, else the round is rejected wholesale. Integer arithmetic
+# throughout the guard, so both engines take the same branch.
+_MOVE_ROUND = """
+, mm AS MATERIALIZED (SELECT count(*) AS m FROM g)
+, deg{k} AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, tot{k} AS MATERIALIZED (
+    SELECT l.label, sum(d.d) AS dtot
+    FROM deg{k} d JOIN l{p} l ON l.id = d.id GROUP BY l.label
+)
+, kvc{k} AS MATERIALIZED (
+    SELECT e.src AS id, l.label AS c, count(*) AS kvc
+    FROM sym e JOIN l{p} l ON l.id = e.dst GROUP BY e.src, l.label
+)
+, base{k} AS MATERIALIZED (
+    SELECT k.id, k.c, k.kvc, l.label AS a, d.d, tc.dtot AS dc, ta.dtot AS da
+    FROM kvc{k} k JOIN l{p} l ON l.id = k.id
+                  JOIN deg{k} d ON d.id = k.id
+                  JOIN tot{k} tc ON tc.label = k.c
+                  JOIN tot{k} ta ON ta.label = l.label
+)
+, kva{k} AS (SELECT id, kvc AS kva FROM base{k} WHERE c = a)
+, cand{k} AS (
+    SELECT b.id, b.c,
+           (b.kvc - coalesce(v.kva, 0)) / (1.0 * (SELECT m FROM mm))
+           - b.d * (b.dc - b.da + b.d)
+             / (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS gain
+    FROM base{k} b LEFT JOIN kva{k} v ON v.id = b.id
+    WHERE b.c <> b.a
+)
+, mv{k} AS (
+    SELECT id, c AS new_label FROM cand{k} WHERE gain > 0.0
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) = 1
+)
+, lm{k} AS MATERIALIZED (
+    SELECT l.id, coalesce(mv{k}.new_label, l.label) AS label
+    FROM l{p} l LEFT JOIN mv{k} ON mv{k}.id = l.id
+)
+, smold{k} AS MATERIALIZED (
+    SELECT la.label, count(*) AS mc
+    FROM g e JOIN l{p} la ON la.id = e.src
+             JOIN l{p} lb ON lb.id = e.dst
+    WHERE la.label = lb.label GROUP BY la.label
+)
+, sold{k} AS MATERIALIZED (
+    SELECT sum(4 * (SELECT m FROM mm) * coalesce(mc.mc, 0)
+               - dc.dtot * dc.dtot) AS s
+    FROM tot{k} dc LEFT JOIN smold{k} mc ON mc.label = dc.label
+)
+, smnew{k} AS MATERIALIZED (
+    SELECT la.label, count(*) AS mc
+    FROM g e JOIN lm{k} la ON la.id = e.src
+             JOIN lm{k} lb ON lb.id = e.dst
+    WHERE la.label = lb.label GROUP BY la.label
+)
+, sdnew{k} AS MATERIALIZED (
+    SELECT l.label, sum(d.d) AS dc
+    FROM deg{k} d JOIN lm{k} l ON l.id = d.id GROUP BY l.label
+)
+, snew{k} AS MATERIALIZED (
+    SELECT sum(4 * (SELECT m FROM mm) * coalesce(mc.mc, 0)
+               - dc.dc * dc.dc) AS s
+    FROM sdnew{k} dc LEFT JOIN smnew{k} mc ON mc.label = dc.label
+)
+, l{k} AS (
+    SELECT lm.id,
+           CASE WHEN (SELECT s FROM snew{k}) >= (SELECT s FROM sold{k})
+                THEN lm.label ELSE lp.label END AS label
+    FROM lm{k} lm JOIN l{p} lp ON lp.id = lm.id
+)
+"""
+
+# Newman modularity of the partition in table l{t}, as a scalar named {q}
+_Q_OF = """
+, qm{t} AS (SELECT count(*) AS m FROM g)
+, qmc{t} AS (
+    SELECT la.label, count(*) AS mc
+    FROM g e JOIN l{t} la ON la.id = e.src
+             JOIN l{t} lb ON lb.id = e.dst
+    WHERE la.label = lb.label
+    GROUP BY la.label
+)
+, qdeg{t} AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, qdc{t} AS (
+    SELECT l.label, sum(d.d) AS dc
+    FROM qdeg{t} d JOIN l{t} l ON l.id = d.id GROUP BY l.label
+)
+, {q} AS (
+    SELECT round(sum(
+        coalesce(mc.mc, 0) * 1.0 / (SELECT m FROM qm{t})
+        - (dc.dc * 1.0 / (2.0 * (SELECT m FROM qm{t})))
+          * (dc.dc * 1.0 / (2.0 * (SELECT m FROM qm{t})))
+    ), 6) AS q
+    FROM qdc{t} dc LEFT JOIN qmc{t} mc ON mc.label = dc.label
+)
+"""
+
+_LPA3 = (
+    ", l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"
+    + "".join(_LPA_ROUND.format(k=k, p=k - 1) for k in (1, 2, 3))
+)
 
 QUERIES = {
     "degree": (
@@ -396,6 +530,26 @@ QUERIES = {
                   * (dc.dc * 1.0 / (2.0 * (SELECT m FROM m)))
             ), 6) AS q6
             FROM dc LEFT JOIN mc ON mc.label = dc.label
+            """
+        ),
+    ),
+    "community_louvain_move": (
+        _q_louvain_move,
+        _with_g(
+            _LPA3 + _MOVE_ROUND.format(k=4, p=3) + "SELECT id, label FROM l4"
+        ),
+    ),
+    "community_q_improvement": (
+        _q_q_improvement,
+        _with_g(
+            _LPA3
+            + _MOVE_ROUND.format(k=4, p=3)
+            + _Q_OF.format(t=3, q="q_lpa")
+            + _Q_OF.format(t=4, q="q_move")
+            + """
+            SELECT (SELECT q FROM q_lpa) AS q_lpa6,
+                   (SELECT q FROM q_move) AS q_move6,
+                   (SELECT q FROM q_move) >= (SELECT q FROM q_lpa) AS improved
             """
         ),
     ),

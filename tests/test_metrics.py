@@ -287,3 +287,61 @@ def test_eigencentrality_keeps_zero_indegree_rows(spark):
     got = {r.id: r.score for r in res.scores.collect()}
     assert set(got) == {1, 2, 3}
     assert got[1] == 0.0
+
+
+def test_local_move_improves_modularity_two_cliques(spark):
+    """Two 4-cliques bridged by one edge, seeded with a deliberately bad
+    partition (one vertex swapped across the bridge): the local-move
+    round must pull the strays home and strictly raise Q."""
+    from igpm_pem_spark.operators.labelprop import modularity_local_move
+    from igpm_pem_spark.operators.metrics import modularity
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = edges_df(spark, c1 + c2 + [(3, 10)])
+    bad = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(4)]
+        + [(i, 1) for i in range(10, 14)], "id BIGINT, label BIGINT"
+    )
+    # vertex 0 mislabeled into community... swap one: relabel vertex 0 to 1
+    bad = spark.createDataFrame(
+        [(0, 1)] + [(i, 0) for i in (1, 2, 3)] + [(i, 1) for i in range(10, 14)],
+        "id BIGINT, label BIGINT",
+    )
+    q0 = modularity(e, bad)
+    moved = modularity_local_move(spark, e, bad, rounds=1)
+    q1 = modularity(e, moved)
+    assert q1 > q0
+    got = {r.id: r.label for r in moved.collect()}
+    assert got[0] == 0  # the stray returns to its clique
+
+
+def test_local_move_deterministic_across_partitionings(spark):
+    from igpm_pem_spark.operators.labelprop import (
+        label_propagation,
+        modularity_local_move,
+    )
+    import networkx as nx
+
+    e = edges_df(spark, list(nx.barabasi_albert_graph(60, 3, seed=7).edges()))
+    lab = label_propagation(spark, e, max_iter=3).labels
+    a = {r.id: r.label for r in modularity_local_move(spark, e.repartition(3), lab, rounds=1).collect()}
+    b = {r.id: r.label for r in modularity_local_move(spark, e.repartition(17), lab, rounds=1).collect()}
+    assert a == b
+
+
+def test_local_move_never_decreases_q_on_random_graphs(spark):
+    from igpm_pem_spark.operators.labelprop import (
+        label_propagation,
+        modularity_local_move,
+    )
+    import networkx as nx
+
+    from igpm_pem_spark.operators.metrics import modularity
+
+    for seed in (1, 5):
+        e = edges_df(spark, list(nx.barabasi_albert_graph(50, 2, seed=seed).edges()))
+        lab = label_propagation(spark, e, max_iter=3).labels
+        q0 = modularity(e, lab)
+        q1 = modularity(e, modularity_local_move(spark, e, lab, rounds=1))
+        assert q1 >= q0 - 1e-12
