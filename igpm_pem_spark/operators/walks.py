@@ -102,6 +102,109 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_vertex: int = 1,
+    p: int = 1,
+    q: int = 1,
+    seed: int = 1,
+) -> DataFrame:
+    """(walk_id, step, vertex): node2vec-biased second-order walks
+    (Grover & Leskovec 2016) with the same portable determinism as
+    :func:`random_walks`.
+
+    The node2vec bias α over candidates x from current vertex v with
+    previous vertex t is 1/p (x = t, return), 1 (x adjacent to t), 1/q
+    (otherwise). ``p`` and ``q`` are integers ≥ 1 here so the weights can
+    be scaled by p·q into exact integers (q, p·q, p) — the weighted draw
+    is then a pure-integer cumulative-sum inversion: candidates ordered
+    by dst, pick the first whose running weight exceeds
+    LCG(walk_id, step, v, seed) mod total-weight. Bit-identical in any
+    SQL engine, reproducible across partitionings.
+
+    Step 1 has no previous vertex and is the uniform index draw of
+    :func:`random_walks`. Each biased step is one equi-join expanding a
+    walk to its deg(v) candidates, one left join against the edge set for
+    the adjacent-to-t test, and one per-walk window (partitions bounded
+    by max degree — at 100 TB scale the classic alternative is a
+    precomputed per-edge alias table, which costs Σ_e deg(e.dst) rows of
+    state; this recomputes the same quantity per step and keeps zero
+    state). No Python on the data path, no RNG state.
+    """
+    if int(p) != p or int(q) != q or p < 1 or q < 1:
+        raise ValueError(f"node2vec p/q must be integers >= 1, got p={p} q={q}")
+    w_ret, w_nbr, w_far = int(q), int(p) * int(q), int(p)
+    sym = simple_edges(edges, directed=False)
+    w = Window.partitionBy("src").orderBy("dst")
+    nbr = sym.withColumn("idx", F.row_number().over(w) - 1).persist()
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+
+    verts = deg.select(F.col("src").alias("v"), "deg")
+    starts = verts.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(walks_per_vertex)])
+        ).alias("w"),
+        "v",
+        "deg",
+    ).select(
+        (F.col("v") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        F.col("v").alias("vertex"),
+        "deg",
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"), "vertex")
+    if walk_len < 1:
+        return out.localCheckpoint(eager=True)
+    idx = _choice_expr(F.col("walk_id"), 1, F.col("vertex"), F.col("deg"), seed)
+    cur = (
+        starts.withColumn("idx", idx)
+        .join(
+            nbr.select(
+                F.col("src").alias("vertex"), "idx", F.col("dst").alias("nv")
+            ),
+            ["vertex", "idx"],
+        )
+        .select("walk_id", F.col("vertex").alias("prev"), F.col("nv").alias("vertex"))
+    )
+    out = out.unionByName(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
+    is_nbr = sym.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("adj")
+    )
+    ww = (
+        Window.partitionBy("walk_id")
+        .orderBy("cand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_tot = Window.partitionBy("walk_id")
+    for s in range(2, walk_len + 1):
+        cand = (
+            cur.join(
+                nbr.select(F.col("src").alias("vertex"), F.col("dst").alias("cand")),
+                "vertex",
+            )
+            .join(is_nbr.hint("shuffle_hash"), ["prev", "cand"], "left")
+            .withColumn(
+                "wt",
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("adj") == 1, F.lit(w_nbr))
+                .otherwise(F.lit(w_far)),
+            )
+            .withColumn("cum", F.sum("wt").over(ww))
+            .withColumn("tot", F.sum("wt").over(wt_tot))
+        )
+        r = _choice_expr(F.col("walk_id"), s, F.col("vertex"), F.col("tot"), seed)
+        cur = cand.where(
+            (F.col("cum") - F.col("wt") <= r) & (r < F.col("cum"))
+        ).select("walk_id", F.col("vertex").alias("prev"), F.col("cand").alias("vertex"))
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(s).alias("step"), "vertex")
+        )
+    out = out.localCheckpoint(eager=True)
+    nbr.unpersist()
+    return out
+
+
 def walk_pairs(
     walks: DataFrame, window: int = 2
 ) -> DataFrame:

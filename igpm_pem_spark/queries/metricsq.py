@@ -97,6 +97,84 @@ SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b
     return "".join(parts)
 
 
+def _n2v_sql(
+    walk_len: int, walks_per_vertex: int, p: int, q: int, window: int, seed: int
+) -> str:
+    """Unrolled DuckDB mirror of walks.node2vec_walks + walk_pairs: step 1
+    is the uniform index draw, every later step the integer-weight
+    (q, p·q, p) cumulative-sum inversion over dst-ordered candidates."""
+    from ..operators.walks import choice_sql
+
+    w_ret, w_nbr, w_far = q, p * q, p
+    wvals = ", ".join(f"({i})" for i in range(walks_per_vertex))
+    c1 = choice_sql("c.walk_id", "1", "c.vertex", "c.deg", seed)
+    parts = [
+        f"""
+, nbr AS MATERIALIZED (SELECT src, dst,
+          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM sym)
+, deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+, s0 AS MATERIALIZED (SELECT d.src * {walks_per_vertex} + w.w AS walk_id,
+                d.src AS vertex, d.deg
+         FROM deg d, (VALUES {wvals}) w(w))
+, s1 AS MATERIALIZED (
+  SELECT c.walk_id, c.vertex AS prev, n.dst AS vertex FROM s0 c
+  JOIN nbr n ON n.src = c.vertex AND n.idx = {c1}
+)"""
+    ]
+    for s in range(2, walk_len + 1):
+        r = choice_sql("walk_id", str(s), "vertex", "tot", seed)
+        parts.append(
+            f""", c{s} AS MATERIALIZED (
+  SELECT c.walk_id, c.prev, c.vertex, n.dst AS cand,
+         CASE WHEN n.dst = c.prev THEN {w_ret}
+              WHEN ex.src IS NOT NULL THEN {w_nbr}
+              ELSE {w_far} END AS wt
+  FROM s{s - 1} c JOIN nbr n ON n.src = c.vertex
+  LEFT JOIN sym ex ON ex.src = c.prev AND ex.dst = n.dst
+), w{s} AS MATERIALIZED (
+  SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY cand
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(wt) OVER (PARTITION BY walk_id) AS tot
+  FROM c{s}
+), s{s} AS MATERIALIZED (
+  SELECT walk_id, vertex AS prev, cand AS vertex
+  FROM w{s}
+  WHERE cum - wt <= {r} AND {r} < cum
+)"""
+        )
+    steps = [f"SELECT walk_id, 0 AS step, vertex FROM s0"] + [
+        f"SELECT walk_id, {s} AS step, vertex FROM s{s}"
+        for s in range(1, walk_len + 1)
+    ]
+    steps_union = "\nUNION ALL ".join(steps)
+    parts.append(
+        f""", walks AS MATERIALIZED ({steps_union})
+, pr AS (
+  SELECT least(x.vertex, y.vertex) AS a, greatest(x.vertex, y.vertex) AS b
+  FROM walks x JOIN walks y
+    ON x.walk_id = y.walk_id AND y.step > x.step
+   AND y.step - x.step <= {window} AND x.vertex <> y.vertex
+)
+SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b
+"""
+    )
+    return "".join(parts)
+
+
+def _q_node2vec_pairs(spark, sf_dir):
+    """Skip-gram pairs from node2vec-biased walks (p=1, q=4: BFS-flavored
+    local exploration; 1 walk of length 3 per vertex, window 2) — the
+    second-order biased variant of graph_walk_pairs."""
+    from ..operators.walks import node2vec_walks, walk_pairs
+
+    w = node2vec_walks(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        walk_len=3, walks_per_vertex=1, p=1, q=4, seed=1,
+    )
+    return walk_pairs(w, window=2)
+
+
 def _q_walk_pairs(spark, sf_dir):
     """Skip-gram training pairs from deterministic random walks (2 walks
     of length 4 per vertex, window 2) — the embedding-corpus generator a
@@ -529,6 +607,10 @@ QUERIES = {
     "graph_walk_pairs": (
         _q_walk_pairs,
         _with_g(_walks_sql(4, 2, 2, 1), G_SPARSE_SQL),
+    ),
+    "graph_node2vec_pairs": (
+        _q_node2vec_pairs,
+        _with_g(_n2v_sql(3, 1, 1, 4, 2, 1), G_SPARSE_SQL),
     ),
     "graph_bipartite_weighted": (_q_bipartite_weighted, _G_WSPARSE_SQL),
     "eigencentrality_fixed8": (_q_eigen, _EIGEN_SQL),

@@ -76,3 +76,82 @@ def test_walk_pairs_counts(spark):
                     k = (min(seq[i], seq[j]), max(seq[i], seq[j]))
                     want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def _python_n2v(pairs, walk_len, wpv, p, q, seed):
+    """Independent pure-python re-implementation of node2vec_walks'
+    integer-weight draw (weights q / p·q / p, cumulative-sum inversion
+    over dst-ordered candidates, LCG mod total-weight)."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sadj = {v: sorted(ns) for v, ns in adj.items()}
+    out = {}
+    for v in sadj:
+        for w in range(wpv):
+            wid = v * wpv + w
+            seq = [v]
+            deg = len(sadj[v])
+            h = (WALK_A1 * wid + WALK_A2 * 1 + WALK_A3 * v + seed) % WALK_M
+            cur, prev = sadj[v][h % deg], v
+            seq.append(cur)
+            for s in range(2, walk_len + 1):
+                cands = sadj[cur]
+                wts = [
+                    q if x == prev else (p * q if x in adj[prev] else p)
+                    for x in cands
+                ]
+                tot = sum(wts)
+                r = (WALK_A1 * wid + WALK_A2 * s + WALK_A3 * cur + seed) % WALK_M % tot
+                cum = 0
+                for x, wt in zip(cands, wts):
+                    cum += wt
+                    if r < cum:
+                        prev, cur = cur, x
+                        break
+                seq.append(cur)
+            out[wid] = seq
+    return out
+
+
+def test_node2vec_matches_python_oracle(spark):
+    from igpm_pem_spark.operators.walks import node2vec_walks
+
+    res = node2vec_walks(spark, edges_df(spark, PAIRS), walk_len=5,
+                         walks_per_vertex=2, p=2, q=3, seed=11)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.walk_id, {})[r.step] = r.vertex
+    got = {k: [v[i] for i in range(len(v))] for k, v in got.items()}
+    assert got == _python_n2v(PAIRS, 5, 2, 2, 3, 11)
+
+
+def test_node2vec_every_hop_is_an_edge_and_deterministic(spark):
+    from igpm_pem_spark.operators.walks import node2vec_walks
+
+    es = {tuple(sorted(pr)) for pr in PAIRS}
+    a = sorted(map(tuple, node2vec_walks(
+        spark, edges_df(spark, PAIRS).repartition(7), walk_len=4, p=1, q=4
+    ).collect()))
+    b = sorted(map(tuple, node2vec_walks(
+        spark, edges_df(spark, PAIRS).repartition(2), walk_len=4, p=1, q=4
+    ).collect()))
+    assert a == b
+    seqs = {}
+    for wid, step, v in a:
+        seqs.setdefault(wid, {})[step] = v
+    for seq in seqs.values():
+        for s in range(1, len(seq)):
+            assert tuple(sorted((seq[s - 1], seq[s]))) in es
+
+
+def test_node2vec_rejects_fractional_pq(spark):
+    import pytest as _pytest
+
+    from igpm_pem_spark.operators.walks import node2vec_walks
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(spark, edges_df(spark, PAIRS), p=0, q=1)
+    with _pytest.raises(ValueError):
+        node2vec_walks(spark, edges_df(spark, PAIRS), p=1, q=0.5)
