@@ -319,3 +319,74 @@ def near_dup_pairs(
         .select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
         .where(F.col("cos4") >= threshold)
     )
+
+
+def ann_ivf_topk(
+    spark,
+    emb: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos4): IVF-style approximate top-k — the
+    second standard ANN shape next to hyperplane LSH (``ann_lsh_topk``).
+
+    A deterministic Lloyd k-means pass (``clustering.kmeans_assign``)
+    coarse-quantizes the corpus into ``n_clusters`` inverted lists; each
+    query probes its ``nprobe`` nearest centroids (squared-L2, ties to
+    the lower cluster id — the same argmin tie rule as assignment) and
+    ranks only those lists' vectors by exact cosine. Probe selection is a
+    pure Catalyst projection (centroids are k·dim driver-resident
+    literals — bytes, not rows), the candidate join is cluster-bucketed
+    (each query touches ~nprobe/k of the corpus, never all of it), and
+    the cosine reuses the pre-cast/pre-normed single-fetch layout of the
+    LSH path. At 1e12 vectors the same plan holds with a larger k and a
+    broadcast centroid table instead of literals.
+    """
+    from .clustering import kmeans_assign
+
+    km = kmeans_assign(
+        spark, emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    structs = []
+    for j, c in enumerate(km.centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(_as_double(F.col("v")), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(j).alias("j")))
+    probes = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    qp = (
+        emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .where(F.col("query_id") % query_mod == 0)
+        .select("query_id", F.explode(probes).alias("p"))
+        .select("query_id", F.col("p.j").alias("cluster"))
+    )
+    cand = km.assignments.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    pairs = (
+        qp.join(cand, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ea = _vec_side(emb, id_col, vec_col, "query_id", "a")
+    eb = _vec_side(emb, id_col, vec_col, "neighbor_id", "b")
+    scored = (
+        pairs.join(ea, "query_id")
+        .join(eb, "neighbor_id")
+        .select("query_id", "neighbor_id", _pair_cos4().alias("cos4"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos4")
+    )

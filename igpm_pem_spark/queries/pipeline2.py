@@ -132,6 +132,47 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
 """
 
 
+# IVF ANN oracle: the same 2-round Lloyd chain as _KMEANS_SQL, then each
+# query (vec_id % 25 = 0) probes its 2 nearest final centroids and ranks
+# those inverted lists by exact cosine — mirrors similarity.ann_ivf_topk.
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+)
+{_km_round(1)}
+{_km_round(2)}
+, dfin AS MATERIALIZED ({_km_dist('e', 'c2')})
+, afin AS (SELECT vec_id, cid AS cluster FROM dfin
+           QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cid) = 1)
+, qp AS (SELECT vec_id AS query_id, cid AS cluster FROM dfin
+         WHERE vec_id % 25 = 0
+         QUALIFY row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2, cid) <= 2)
+, cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+           FROM qp q JOIN afin a USING (cluster)
+           WHERE a.vec_id <> q.query_id)
+, scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cos4
+    FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+                JOIN e eb ON eb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos4 FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) <= 3
+"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from ..operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(spark, emb(spark, sf_dir), k=3, n_clusters=8,
+                        iters=2, nprobe=2, query_mod=25)
+
+
 def _q_tfidf(spark, sf_dir):
     from ..functions.text import tfidf_top_terms
 
@@ -170,4 +211,5 @@ QUERIES = {
     "doc_dedup_clusters": (_q_dedup_clusters, _dedup_clusters_sql()),
     "rel_redact_props": (_q_redact, _redact_sql("events", "event_id")),
     "emb_kmeans2": (_q_kmeans, _KMEANS_SQL),
+    "emb_ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_SQL),
 }

@@ -92,3 +92,37 @@ def test_bpe_ish_tokens_shape(spark):
     )
     toks = [r.token for r in tokens_bpe_ish(docs).orderBy("pos").collect()]
     assert toks == ["hello", ",", "world", "!", "it", "'", "s", "x9", "."]
+
+
+def test_ann_ivf_recall_vs_exact_and_subset_sanity(spark):
+    """IVF (kmeans coarse quantizer, nprobe=2 of 8) must hold useful
+    recall@3 vs the exact baseline on the near-random embeddings, return
+    only true cosines (spot-checked via the exact pair scores), and never
+    rank a neighbor outside the probed lists above k."""
+    from igpm_pem_spark.operators.similarity import ann_ivf_topk
+
+    e = _emb(spark)
+    exact = cosine_topk(e).toPandas()
+    approx = ann_ivf_topk(spark, e, k=3, n_clusters=8, nprobe=2).toPandas()
+    assert (approx.groupby("query_id").size() <= 3).all()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    assert set(ap) <= set(ex)  # same deterministic query subset
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    # nprobe=2/8 scans ~a quarter of a near-random corpus; recall is
+    # structurally bounded by that coverage — gate well above chance
+    assert hits / total >= 0.35, f"ivf recall@3 = {hits}/{total}"
+    # scores must agree with the exact computation for shared pairs
+    key = ["query_id", "neighbor_id"]
+    merged = approx.merge(exact, on=key, suffixes=("_ivf", "_ex"))
+    assert (merged.cos4_ivf == merged.cos4_ex).all()
+
+
+def test_ann_ivf_deterministic_across_partitionings(spark):
+    from igpm_pem_spark.operators.similarity import ann_ivf_topk
+
+    e = _emb(spark)
+    a = ann_ivf_topk(spark, e.repartition(3)).orderBy("query_id", "neighbor_id")
+    b = ann_ivf_topk(spark, e.repartition(11)).orderBy("query_id", "neighbor_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
