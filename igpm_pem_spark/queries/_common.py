@@ -41,6 +41,37 @@ def edges(spark: SparkSession, sf_dir: str, sql: str = G_PARTS_SQL) -> DataFrame
     return spark.sql(sql)
 
 
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
+def graph_nparts(spark: SparkSession, sf_dir: str, floor: int = 4) -> int:
+    """Input-proportional shuffle width for the iterative graph kernels.
+
+    Sizing a superstep's shuffle to the input is the same rule in both
+    directions: at 100 TB the source-table stats push the width into the
+    thousands; at sf0.01 they pull it down to a handful, because a
+    32-task shuffle over a ~100k-edge graph is pure per-task scheduling
+    overhead repeated every superstep (measured: the convergence-depth
+    kernels spend >2/3 of sf0.01 wall on task dispatch at the session
+    default of 32). The proxy is the lineitem parquet footprint — the
+    co-occurrence graphs all derive from it, it is known without running
+    a job (file metadata, exactly what a catalog provides at scale), and
+    ~1 MiB of source parquet ≈ 120k derived edges ≈ one healthy
+    iterative-shuffle partition at this record width. Clamped to
+    [floor, defaultParallelism]: never below a sane parallel floor,
+    never above the core count a local session can use."""
+    size = _path_bytes(os.path.join(sf_dir, "lineitem.parquet"))
+    cap = max(floor, spark.sparkContext.defaultParallelism)
+    return max(floor, min(cap, size >> 20))
+
+
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark, sf_dir)
     return spark.table("documents")

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._common import G_PARTS_SQL, G_SPARSE_SQL, SYM_SQL, edges
+from ._common import G_PARTS_SQL, G_SPARSE_SQL, SYM_SQL, edges, graph_nparts
 
 
 def _with_g(body: str, g_sql: str = G_PARTS_SQL, recursive: bool = False) -> str:
@@ -51,21 +51,30 @@ def _q_star_count(spark, sf_dir):
 def _q_connected_components(spark, sf_dir):
     from ..operators.components import connected_components
 
-    res = connected_components(spark, edges(spark, sf_dir, G_SPARSE_SQL))
+    res = connected_components(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return res.components.select("id", "component")
 
 
 def _q_component_sizes(spark, sf_dir):
     from ..operators.components import component_sizes, connected_components
 
-    res = connected_components(spark, edges(spark, sf_dir, G_SPARSE_SQL))
+    res = connected_components(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return component_sizes(res.components).select("component", "size")
 
 
 def _q_pagerank_fixed8(spark, sf_dir):
     from ..operators.pagerank import pagerank
 
-    res = pagerank(spark, edges(spark, sf_dir), tol=0.0, max_iter=8, mode="exact")
+    res = pagerank(
+        spark, edges(spark, sf_dir), tol=0.0, max_iter=8, mode="exact",
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
 
@@ -88,7 +97,8 @@ def _q_pagerank_weighted_fixed8(spark, sf_dir):
 
     e = edges(spark, sf_dir, _G_WPARTS_SQL)
     res = pagerank(
-        spark, e, tol=0.0, max_iter=8, mode="exact", weight_col="w"
+        spark, e, tol=0.0, max_iter=8, mode="exact", weight_col="w",
+        num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
@@ -98,7 +108,10 @@ def _q_kcore3(spark, sf_dir):
     match the unrolled filter-chain oracle exactly."""
     from ..operators.kcore import k_core
 
-    res = k_core(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=3)
+    res = k_core(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), k=3,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     if not (res.converged and res.rounds < KCORE_ORACLE_ROUNDS):
         # RuntimeError, not assert: the guard protects ORACLE validity (the
         # unrolled peel chain is exact only past the peeling depth) and must
@@ -123,6 +136,7 @@ def _q_rwr_seeded_fixed8(spark, sf_dir):
     res = pagerank(
         spark, e, alpha=0.3, tol=0.0, max_iter=8, mode="exact",
         personalization={s: 1.0 for s in seeds},
+        num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.ranks.select("id", F.round("rank", 7).alias("rank7"))
 
@@ -130,7 +144,10 @@ def _q_rwr_seeded_fixed8(spark, sf_dir):
 def _q_label_propagation3(spark, sf_dir):
     from ..operators.labelprop import label_propagation
 
-    res = label_propagation(spark, edges(spark, sf_dir), max_iter=3)
+    res = label_propagation(
+        spark, edges(spark, sf_dir), max_iter=3,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return res.labels.select("id", "label")
 
 
@@ -142,7 +159,9 @@ def _q_modularity(spark, sf_dir):
     from ..operators.metrics import modularity
 
     e = edges(spark, sf_dir)
-    labels = label_propagation(spark, e, max_iter=3).labels
+    labels = label_propagation(
+        spark, e, max_iter=3, num_partitions=graph_nparts(spark, sf_dir)
+    ).labels
     q = modularity(e, labels)
     return spark.createDataFrame([(round(q, 6),)], "q6 DOUBLE")
 
@@ -154,8 +173,11 @@ def _q_louvain_move(spark, sf_dir):
     from ..operators.labelprop import label_propagation, modularity_local_move
 
     e = edges(spark, sf_dir)
-    labels = label_propagation(spark, e, max_iter=3).labels
-    return modularity_local_move(spark, e, labels, rounds=1).select("id", "label")
+    np_ = graph_nparts(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3, num_partitions=np_).labels
+    return modularity_local_move(
+        spark, e, labels, rounds=1, num_partitions=np_
+    ).select("id", "label")
 
 
 def _q_q_improvement(spark, sf_dir):
@@ -166,8 +188,9 @@ def _q_q_improvement(spark, sf_dir):
     from ..operators.metrics import modularity
 
     e = edges(spark, sf_dir)
-    labels = label_propagation(spark, e, max_iter=3).labels
-    moved = modularity_local_move(spark, e, labels, rounds=1)
+    np_ = graph_nparts(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3, num_partitions=np_).labels
+    moved = modularity_local_move(spark, e, labels, rounds=1, num_partitions=np_)
     q3, q4 = round(modularity(e, labels), 6), round(modularity(e, moved), 6)
     return spark.createDataFrame(
         [(q3, q4, q4 >= q3)], "q_lpa6 DOUBLE, q_move6 DOUBLE, improved BOOLEAN"
@@ -184,7 +207,9 @@ def _q_incremental_cc(spark, sf_dir):
     e = edges(spark, sf_dir, G_SPARSE_SQL).withColumn(
         "ts", (F.col("src") % 3).cast("int")
     )
-    res = incremental_components(spark, e, base_steps=1)
+    res = incremental_components(
+        spark, e, base_steps=1, num_partitions=graph_nparts(spark, sf_dir)
+    )
     return res.state.select("id", "component")
 
 
@@ -198,7 +223,7 @@ def _q_pagerank_converged(spark, sf_dir):
 
     res = pagerank(
         spark, edges(spark, sf_dir), tol=1e-9, max_iter=300, mode="delta",
-        steps_per_commit=5,
+        steps_per_commit=5, num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.ranks.select("id", F.round("rank", 6).alias("rank6"))
 

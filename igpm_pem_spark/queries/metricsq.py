@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._common import G_SPARSE_SQL, edges
+from ._common import G_SPARSE_SQL, edges, graph_nparts
 from .graphq import _CC_CTE, CC_ORACLE_ITERS, _with_g
 
 # weighted sparse co-occurrence graph: w = shared-order multiplicity
@@ -223,7 +223,10 @@ def _q_ktruss4(spark, sf_dir):
     ≥ 2 triangles of the surviving subgraph."""
     from ..operators.ktruss import k_truss
 
-    res = k_truss(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=4)
+    res = k_truss(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), k=4,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     if not (res.converged and res.rounds < KTRUSS_ORACLE_ROUNDS):
         raise RuntimeError(
             f"k-truss peeling took {res.rounds} rounds (converged="
@@ -240,7 +243,8 @@ def _q_scc(spark, sf_dir):
     from ..operators.scc import strongly_connected_components
 
     res = strongly_connected_components(
-        spark, edges(spark, sf_dir, _G_DIRMIX_SQL)
+        spark, edges(spark, sf_dir, _G_DIRMIX_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.components.select("id", "scc")
 
@@ -308,7 +312,10 @@ GROUP BY f.id
 def _q_hits(spark, sf_dir):
     from ..operators.hits import hits
 
-    res = hits(spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8)
+    res = hits(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return res.scores.select(
         "id",
         F.round("hub", 7).alias("hub7"),
@@ -356,7 +363,10 @@ def _q_sssp(spark, sf_dir):
 
     e = edges(spark, sf_dir, _G_WSPARSE_SQL)
     source = int(vertex_ids(e).agg(F.min("id")).first()[0])
-    res = sssp(spark, e, source, weight_col="w", directed=False)
+    res = sssp(
+        spark, e, source, weight_col="w", directed=False,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     if not (res.converged and res.supersteps < SSSP_ORACLE_ITERS):
         raise RuntimeError(
             f"sssp took {res.supersteps} supersteps (converged="
@@ -390,7 +400,8 @@ def _q_eigen(spark, sf_dir):
     from ..operators.eigencentrality import eigenvector_centrality
 
     res = eigenvector_centrality(
-        spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8,
+        num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.scores.select("id", F.round("score", 7).alias("score7"))
 
@@ -413,7 +424,9 @@ def _q_graph_summary(spark, sf_dir):
     ne = canon.count()
     nt = triangle_count(canon)
     nc = (
-        connected_components(spark, canon)
+        connected_components(
+            spark, canon, num_partitions=graph_nparts(spark, sf_dir)
+        )
         .components.select("component").distinct().count()
     )
     deg.unpersist()
@@ -452,7 +465,10 @@ def _q_sssp_incremental(spark, sf_dir):
         "ts", (F.col("src") % 3).cast("int")
     )
     source = int(vertex_ids(e).agg(F.min("id")).first()[0])
-    res = incremental_sssp(spark, e, source, base_steps=1)
+    res = incremental_sssp(
+        spark, e, source, base_steps=1,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
     return res.state.select("id", "dist")
 
 

@@ -109,9 +109,12 @@ def _q_pattern_best_match_rwr(spark, sf_dir):
 
     verts, e = _graph(spark, sf_dir)
     seeds = [int(r.id) for r in vertex_ids(e).orderBy("id").limit(5).collect()]
+    from ._common import graph_nparts
+
     res = pagerank(
         spark, e, alpha=0.3, tol=0.0, max_iter=8, mode="exact",
         personalization={s: 1.0 for s in seeds},
+        num_partitions=graph_nparts(spark, sf_dir),
     )
     scores = res.ranks.select("id", F.round("rank", 7).alias("score"))
     q = parse_query_args("--vertex a b c --edge x:a:b y:b:c")
