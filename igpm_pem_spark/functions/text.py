@@ -272,3 +272,46 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     t = tokens(docs, id_col, text_col)
     term = (F.lit(FP_A) * token_id() + F.lit(FP_B) * F.col("pos")) % F.lit(P)
     return t.groupBy("doc_id").agg((F.sum(term) % F.lit(P)).alias("fp"))
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_lp): add-one-smoothed corpus bigram
+    language-model score per document — avg over the doc's bigrams of
+    ln((c(w1,w2)+1) / (c(w1·)+V)), where c counts bigrams corpus-wide,
+    c(w1·) is the prefix total and V the unigram vocabulary size. The
+    cheap LM-fluency signal a training-data pipeline uses next to the
+    heuristic ``quality_score`` (a doc of common-in-corpus transitions
+    scores high; rare-transition noise scores low). Docs with < 2 tokens
+    have no bigram and drop out (inner semantics, mirrored in SQL).
+
+    Shape: one ``lead()`` window over the token relation builds bigrams
+    (no self-join), two groupBys build the corpus counts, the vocab
+    total rides a broadcast crossJoin. All counts are exact integers;
+    the only float is the final ln/avg, emitted round-6."""
+    t = tokens(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = t.agg(F.countDistinct("token").alias("v"))
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+            ).alias("avg_lp"),
+        )
+    )

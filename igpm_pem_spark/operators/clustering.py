@@ -48,6 +48,31 @@ def _assign_expr(centroids: list[list[float]]):
     return F.array_min(F.array(*structs))["j"]
 
 
+def _assign_bcast(e: DataFrame, cent: DataFrame):
+    """(vec_id, v, cluster) via a broadcast nested-loop join against the
+    centroid relation — the large-k path. Map-side only (no shuffle of
+    the corpus): each partition streams its rows against the broadcast
+    k×dim table, then one groupBy(vec_id) takes min(d2, cluster), which
+    is the same lexicographic tie rule as the literal argmin."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.col("cluster").alias("j"),
+        ).alias("dj"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.first("v").alias("v"), F.min("dj").alias("dj"))
+        .select("vec_id", "v", F.col("dj.j").alias("cluster"))
+    )
+
+
 def kmeans_assign(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -55,10 +80,22 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "literal",
 ) -> KMeansResult:
     """Run ``iters`` Lloyd rounds from the k lowest-id seed vectors and
     return final assignments. An empty cluster keeps its previous
-    centroid (standard Lloyd convention)."""
+    centroid (standard Lloyd convention).
+
+    ``strategy``: ``"literal"`` (default) inlines the k×dim centroids as
+    Catalyst literals — one scan, zero joins, ideal for the small-k IVF
+    coarse-quantizer case. ``"broadcast"`` carries the centroids as a
+    broadcast relation and assigns via a map-side nested-loop join —
+    the same distances and the same lower-cluster tie rule, but the plan
+    size stays constant as k grows, so it is the path for k in the
+    thousands (the literal expression tree grows O(k·dim) and would
+    stall Catalyst analysis long before the executors feel it)."""
+    if strategy not in ("literal", "broadcast"):
+        raise ValueError(f"kmeans_assign: unknown strategy {strategy!r}")
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -74,11 +111,20 @@ def kmeans_assign(
     centroids = [list(r.v) for r in seed_rows]
     dim = len(centroids[0])
 
+    def _cent_df(c: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(j, list(map(float, v))) for j, v in enumerate(c)],
+            "cluster INT, cv ARRAY<DOUBLE>",
+        )
+
+    def _assigned(c: list[list[float]]) -> DataFrame:
+        if strategy == "broadcast":
+            return _assign_bcast(e, _cent_df(c))
+        return e.select("vec_id", "v", _assign_expr(c).alias("cluster"))
+
     assigned = None
     for _ in range(iters):
-        assigned = e.select(
-            "vec_id", "v", _assign_expr(centroids).alias("cluster")
-        )
+        assigned = _assigned(centroids)
         means = (
             assigned.select(
                 "cluster", F.posexplode("v").alias("pos", "val")
@@ -97,7 +143,7 @@ def kmeans_assign(
             new_c[j] = vec
         centroids = new_c
 
-    final = e.select("vec_id", _assign_expr(centroids).alias("cluster"))
+    final = _assigned(centroids).select("vec_id", "cluster")
     final = final.localCheckpoint(eager=True)
     e.unpersist()
     return KMeansResult(final, centroids, iters)

@@ -321,6 +321,7 @@ def dedup_clusters(
     max_bucket: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, canonical, keep): the END-TO-END dedup pipeline — LSH
     candidate pairs, exact-Jaccard verification at ``threshold``, then
@@ -342,7 +343,13 @@ def dedup_clusters(
         docs, n=n, threshold=threshold, max_bucket=max_bucket,
         id_col=id_col, text_col=text_col,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(spark, pairs).components
+    # the pair graph is orders of magnitude smaller than the corpus —
+    # size its superstep shuffle separately (callers pass the same
+    # input-proportional width the registry uses; default stays the
+    # session's parallelism for standalone use)
+    comp = connected_components(
+        spark, pairs, num_partitions=num_partitions
+    ).components
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

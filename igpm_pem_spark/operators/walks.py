@@ -225,3 +225,44 @@ def walk_pairs(
         )
     )
     return pairs.groupBy("a", "b").agg(F.count("*").alias("cnt"))
+
+
+def ppmi_pairs(pairs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(a, b, cnt, ppmi): positive pointwise mutual information over a
+    skip-gram pair-count corpus (the ``walk_pairs`` output) — the
+    classic count-based association score an embedding pipeline
+    factorizes (word2vec ≈ shifted-PPMI factorization).
+
+    With N = Σ cnt and m(v) = Σ cnt over pairs containing v,
+    ppmi(a,b) = max(0, ln(cnt·N / (m(a)·m(b)))). The total is a 1-row
+    aggregate carried by broadcast crossJoin (the dangling-mass pattern
+    from the PageRank kernel — bytes, not a collect); the marginals are
+    one union+groupBy over the pair relation. Everything downstream of
+    the counts is a plain Catalyst projection, so the plan scales with
+    the pair corpus, which is itself linear in walks × window."""
+    tot = pairs.agg(F.sum("cnt").alias("n_total"))
+    marg = (
+        pairs.select(F.col("a").alias("v"), "cnt")
+        .unionByName(pairs.select(F.col("b").alias("v"), "cnt"))
+        .groupBy("v")
+        .agg(F.sum("cnt").alias("m"))
+    )
+    return (
+        pairs.where(F.col("cnt") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .join(marg.select(F.col("v").alias("a"), F.col("m").alias("ma")), "a")
+        .join(marg.select(F.col("v").alias("b"), F.col("m").alias("mb")), "b")
+        .select(
+            "a",
+            "b",
+            "cnt",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("cnt")
+                    * F.col("n_total")
+                    / (F.col("ma") * F.col("mb"))
+                ),
+            ).alias("ppmi"),
+        )
+    )

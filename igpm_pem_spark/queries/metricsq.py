@@ -53,7 +53,10 @@ GROUP BY vt.id
 
 # random-walk oracle: unrolled steps with the SAME portable LCG choice
 # arithmetic (operators/walks.choice_sql) and per-vertex neighbor index
-def _walks_sql(walk_len: int, walks_per_vertex: int, window: int, seed: int) -> str:
+def _walks_sql(
+    walk_len: int, walks_per_vertex: int, window: int, seed: int,
+    tail: str | None = None,
+) -> str:
     from ..operators.walks import choice_sql
 
     wvals = ", ".join(f"({i})" for i in range(walks_per_vertex))
@@ -91,10 +94,31 @@ def _walks_sql(walk_len: int, walks_per_vertex: int, window: int, seed: int) -> 
     ON x.walk_id = y.walk_id AND y.step > x.step
    AND y.step - x.step <= {window} AND x.vertex <> y.vertex
 )
-SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b
+{tail or "SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b"}
 """
     )
     return "".join(parts)
+
+
+# PPMI tail over the walk-pair counts: integer counts throughout, one ln
+# at the end — mirrors operators/walks.ppmi_pairs exactly
+_PPMI_TAIL = """
+, pcnt AS MATERIALIZED (SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b)
+, tot AS (SELECT sum(cnt) AS n_total FROM pcnt)
+, marg AS (
+  SELECT v, sum(cnt) AS m FROM (
+    SELECT a AS v, cnt FROM pcnt
+    UNION ALL SELECT b AS v, cnt FROM pcnt
+  ) GROUP BY v
+)
+SELECT p.a, p.b, p.cnt,
+       round(greatest(0.0, ln(p.cnt * t.n_total * 1.0 / (ma.m * mb.m))), 6)
+         AS ppmi6
+FROM pcnt p
+CROSS JOIN tot t
+JOIN marg ma ON ma.v = p.a
+JOIN marg mb ON mb.v = p.b
+"""
 
 
 def _n2v_sql(
@@ -173,6 +197,35 @@ def _q_node2vec_pairs(spark, sf_dir):
         walk_len=3, walks_per_vertex=1, p=1, q=4, seed=1,
     )
     return walk_pairs(w, window=2)
+
+
+def _q_walk_ppmi(spark, sf_dir):
+    """PPMI association scores over the deterministic walk-pair corpus —
+    the count-based matrix an embedding pipeline factorizes (same walks
+    as graph_walk_pairs, so the oracle reuses that unrolled chain with a
+    PPMI tail)."""
+    from ..operators.walks import ppmi_pairs, random_walks, walk_pairs
+
+    w = random_walks(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        walk_len=4, walks_per_vertex=2, seed=1,
+    )
+    return ppmi_pairs(walk_pairs(w, window=2)).select(
+        "a", "b", "cnt", F.round("ppmi", 6).alias("ppmi6")
+    )
+
+
+def _q_link_predict_aa(spark, sf_dir):
+    """Adamic-Adar + resource-allocation link prediction — the
+    degree-weighted siblings of link_predict_jaccard."""
+    from ..operators.metrics import link_prediction_adamic_adar
+
+    return link_prediction_adamic_adar(
+        edges(spark, sf_dir, G_SPARSE_SQL), min_common=2
+    ).select(
+        "a", "b", "cn",
+        F.round("aa", 6).alias("aa6"), F.round("ra", 6).alias("ra6"),
+    )
 
 
 def _q_walk_pairs(spark, sf_dir):
@@ -623,6 +676,34 @@ QUERIES = {
     "graph_walk_pairs": (
         _q_walk_pairs,
         _with_g(_walks_sql(4, 2, 2, 1), G_SPARSE_SQL),
+    ),
+    "graph_walk_ppmi": (
+        _q_walk_ppmi,
+        _with_g(_walks_sql(4, 2, 2, 1, tail=_PPMI_TAIL), G_SPARSE_SQL),
+    ),
+    "link_predict_adamic": (
+        _q_link_predict_aa,
+        _with_g(
+            """
+            , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+            , cn AS (
+                SELECT w1.src AS a, w2.src AS b, count(*) AS cn,
+                       sum(1.0 / ln(dn.d)) AS aa, sum(1.0 / dn.d) AS ra
+                FROM sym w1 JOIN sym w2
+                  ON w1.dst = w2.dst AND w1.src < w2.src
+                JOIN deg dn ON dn.id = w1.dst
+                GROUP BY w1.src, w2.src
+                HAVING count(*) >= 2
+            )
+            SELECT c.a, c.b, c.cn,
+                   round(c.aa, 6) AS aa6, round(c.ra, 6) AS ra6
+            FROM cn c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s WHERE s.src = c.a AND s.dst = c.b
+            )
+            """,
+            G_SPARSE_SQL,
+        ),
     ),
     "graph_node2vec_pairs": (
         _q_node2vec_pairs,

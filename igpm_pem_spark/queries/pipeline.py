@@ -409,7 +409,42 @@ FROM s a JOIN s b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
 """
 
+def _q_bigram_lm(spark, sf_dir):
+    """Corpus bigram-LM fluency score per document (add-one smoothing) —
+    the count-based language-model signal next to doc_quality's
+    heuristics. Integer counts throughout; one ln at the end."""
+    from ..functions.text import bigram_logprob
+
+    return bigram_logprob(docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", F.round("avg_lp", 6).alias("avg_lp6")
+    )
+
+
+_BIGRAM_LM_SQL = (
+    _TOK_CTE
+    + """
+, big AS (
+  SELECT doc_id, token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+)
+, big2 AS MATERIALIZED (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL)
+, c12 AS (SELECT w1, w2, count(*) AS c12 FROM big2 GROUP BY w1, w2)
+, c1 AS (SELECT w1, count(*) AS c1 FROM big2 GROUP BY w1)
+, voc AS (SELECT count(DISTINCT token) AS v FROM tok)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c12.c12 + 1) * 1.0 / (c1.c1 + voc.v))), 6) AS avg_lp6
+FROM big2 b
+JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+JOIN c1 ON c1.w1 = b.w1
+CROSS JOIN voc
+GROUP BY b.doc_id
+"""
+)
+
+
 QUERIES = {
+    "doc_bigram_lm": (_q_bigram_lm, _BIGRAM_LM_SQL),
     "doc_exact_dedup": (
         _q_exact_dedup,
         "SELECT md5(text) AS sha, count(*) AS n_docs, min(doc_id) AS first_doc "

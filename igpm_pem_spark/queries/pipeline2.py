@@ -183,8 +183,12 @@ def _q_tfidf(spark, sf_dir):
 
 def _q_dedup_clusters(spark, sf_dir):
     from ..operators.dedup import dedup_clusters
+    from ._common import graph_nparts
 
-    return dedup_clusters(spark, docs(spark, sf_dir), threshold=0.1)
+    return dedup_clusters(
+        spark, docs(spark, sf_dir), threshold=0.1,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
 
 
 def _q_redact(spark, sf_dir):
@@ -199,10 +203,57 @@ def _q_redact(spark, sf_dir):
     )
 
 
+_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         (SELECT max(abs(t.x)) FROM unnest(v) AS t(x)) AS am
+  FROM e
+)
+SELECT vec_id,
+       round(CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END, 6) AS scale,
+       array_to_string(list_transform(
+         v,
+         x -> CAST(CAST(floor(x * (CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END)
+                         + 0.5) AS INT) AS VARCHAR)
+       ), ',') AS qv_csv
+FROM s
+"""
+
+
+def _q_quantize(spark, sf_dir):
+    """The driver-facing projection flattens the int8 array to a CSV
+    string so the comparator (pandas sort + value hash) sees scalar
+    columns only — every element still checked exactly, same discipline
+    as doc_minhash_sig's flat mh0..mhN columns."""
+    from ..operators.similarity import quantize_int8
+
+    return quantize_int8(emb(spark, sf_dir)).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias(
+            "qv_csv"
+        ),
+    )
+
+
 def _q_kmeans(spark, sf_dir):
     from ..operators.clustering import kmeans_assign
 
     res = kmeans_assign(spark, emb(spark, sf_dir), k=8, iters=2)
+    return res.assignments.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+def _q_kmeans_bcast(spark, sf_dir):
+    """The large-k assignment path (broadcast nested-loop join instead of
+    k inline literal expressions) — same distances, same tie rule, so it
+    shares emb_kmeans2's oracle verbatim; the driver check proves the
+    two physical strategies agree value-exactly."""
+    from ..operators.clustering import kmeans_assign
+
+    res = kmeans_assign(
+        spark, emb(spark, sf_dir), k=8, iters=2, strategy="broadcast"
+    )
     return res.assignments.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
@@ -211,5 +262,7 @@ QUERIES = {
     "doc_dedup_clusters": (_q_dedup_clusters, _dedup_clusters_sql()),
     "rel_redact_props": (_q_redact, _redact_sql("events", "event_id")),
     "emb_kmeans2": (_q_kmeans, _KMEANS_SQL),
+    "emb_kmeans_bcast": (_q_kmeans_bcast, _KMEANS_SQL),
+    "emb_quantize_int8": (_q_quantize, _QUANT_SQL),
     "emb_ann_ivf_topk": (_q_ann_ivf, _ANN_IVF_SQL),
 }

@@ -345,3 +345,41 @@ def test_local_move_never_decreases_q_on_random_graphs(spark):
         q0 = modularity(e, lab)
         q1 = modularity(e, modularity_local_move(spark, e, lab, rounds=1))
         assert q1 >= q0 - 1e-12
+
+
+def test_adamic_adar_matches_networkx(spark):
+    from igpm_pem_spark.operators.metrics import link_prediction_adamic_adar
+
+    e = edges_df(spark, PAIRS)
+    got = {
+        (r.a, r.b): (r.cn, r.aa, r.ra)
+        for r in link_prediction_adamic_adar(e, min_common=1).collect()
+    }
+    g = _nx(PAIRS)
+    want_aa = {
+        tuple(sorted((u, v))): s
+        for u, v, s in nx.adamic_adar_index(g)
+        if s > 0
+    }
+    want_ra = {
+        tuple(sorted((u, v))): s
+        for u, v, s in nx.resource_allocation_index(g)
+        if s > 0
+    }
+    assert got.keys() == want_aa.keys()
+    for k in want_aa:
+        cn, aa, ra = got[k]
+        assert cn == len(list(nx.common_neighbors(g, *k)))
+        assert aa == pytest.approx(want_aa[k], abs=1e-9)
+        assert ra == pytest.approx(want_ra[k], abs=1e-9)
+
+
+def test_adamic_adar_excludes_adjacent_and_min_common(spark):
+    from igpm_pem_spark.operators.metrics import link_prediction_adamic_adar
+
+    e = edges_df(spark, PAIRS)
+    rows = link_prediction_adamic_adar(e, min_common=2).collect()
+    adjacent = {tuple(sorted(p)) for p in PAIRS}
+    for r in rows:
+        assert (r.a, r.b) not in adjacent
+        assert r.cn >= 2

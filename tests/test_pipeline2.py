@@ -100,3 +100,59 @@ def test_kmeans_deterministic_ties(spark):
     res = kmeans_assign(spark, df, k=2, iters=1)
     got = {r.vec_id: r.cluster for r in res.assignments.collect()}
     assert got[2] == 0
+
+
+def test_bigram_logprob_matches_python(spark):
+    """Add-one bigram LM score vs a direct Python recomputation over a
+    tiny corpus with repeated transitions."""
+    from igpm_pem_spark.functions.text import bigram_logprob
+
+    texts = ["the cat sat", "the cat ran", "a dog sat", "single"]
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_lp)
+        for r in bigram_logprob(_docs(spark, texts)).collect()
+    }
+
+    toks = [t.lower().split() for t in texts]
+    bigs = [list(zip(ws, ws[1:])) for ws in toks]
+    allb = [b for doc in bigs for b in doc]
+    c12: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    for w1, w2 in allb:
+        c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+        c1[w1] = c1.get(w1, 0) + 1
+    vocab = len({w for ws in toks for w in ws})
+    for i, doc in enumerate(bigs):
+        if not doc:
+            assert i not in got  # <2 tokens: no bigram row
+            continue
+        want = sum(
+            math.log((c12[b] + 1) / (c1[b[0]] + vocab)) for b in doc
+        ) / len(doc)
+        assert got[i][0] == len(doc)
+        assert got[i][1] == pytest.approx(want, abs=1e-12)
+
+
+def test_kmeans_broadcast_matches_literal(spark):
+    """The broadcast nested-loop assignment path must produce the exact
+    same clusters as the literal-expression path (same distances, same
+    lower-cluster tie rule)."""
+    rows = [
+        (i, [float(i % 5) + 10.0 * (i % 3), float(i % 7)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    lit = kmeans_assign(spark, emb, k=4, iters=2, strategy="literal")
+    bc = kmeans_assign(spark, emb, k=4, iters=2, strategy="broadcast")
+    a = {r.vec_id: r.cluster for r in lit.assignments.collect()}
+    b = {r.vec_id: r.cluster for r in bc.assignments.collect()}
+    assert a == b
+    for ca, cb in zip(lit.centroids, bc.centroids):
+        assert ca == pytest.approx(cb, abs=1e-12)
+
+
+def test_kmeans_rejects_unknown_strategy(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        kmeans_assign(spark, emb, k=2, strategy="nope")

@@ -126,3 +126,26 @@ def test_ann_ivf_deterministic_across_partitionings(spark):
     a = ann_ivf_topk(spark, e.repartition(3)).orderBy("query_id", "neighbor_id")
     b = ann_ivf_topk(spark, e.repartition(11)).orderBy("query_id", "neighbor_id")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_quantize_int8_roundtrip_and_zeros(spark):
+    """Quantized values reconstruct within one quantization step; the
+    all-zero vector keeps scale 0 / zero qv instead of dividing by 0."""
+    from igpm_pem_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (0, [0.5, -1.0, 0.25]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [3.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: (r.scale, list(r.qv)) for r in quantize_int8(emb).collect()}
+    assert got[1] == (0.0, [0, 0, 0])
+    assert got[2][1] == [127]
+    sc0 = 127.0 / 1.0
+    assert got[0][1] == [
+        int((x * sc0 + 0.5) // 1) for x in [0.5, -1.0, 0.25]
+    ]
+    # reconstruction error bounded by half a step
+    for x, q in zip([0.5, -1.0, 0.25], got[0][1]):
+        assert abs(q / sc0 - x) <= 0.5 / sc0 + 1e-12

@@ -3,6 +3,8 @@ determinism across partitionings, pure-python parity, pair counts."""
 
 from __future__ import annotations
 
+import pytest
+
 from igpm_pem_spark.operators.walks import (
     WALK_A1, WALK_A2, WALK_A3, WALK_M, random_walks, walk_pairs,
 )
@@ -155,3 +157,36 @@ def test_node2vec_rejects_fractional_pq(spark):
         node2vec_walks(spark, edges_df(spark, PAIRS), p=0, q=1)
     with _pytest.raises(ValueError):
         node2vec_walks(spark, edges_df(spark, PAIRS), p=1, q=0.5)
+
+
+def test_ppmi_pairs_matches_python(spark):
+    """PPMI over a hand-built pair-count corpus vs a direct Python
+    recomputation (marginals, total, max(0, ln ratio))."""
+    import math
+
+    from igpm_pem_spark.operators.walks import ppmi_pairs
+
+    counts = [(1, 2, 4), (1, 3, 1), (2, 3, 2), (3, 4, 1)]
+    pairs = spark.createDataFrame(counts, "a BIGINT, b BIGINT, cnt BIGINT")
+    got = {(r.a, r.b): (r.cnt, r.ppmi) for r in ppmi_pairs(pairs).collect()}
+
+    n = sum(c for _, _, c in counts)
+    marg: dict[int, int] = {}
+    for a, b, c in counts:
+        marg[a] = marg.get(a, 0) + c
+        marg[b] = marg.get(b, 0) + c
+    assert set(got) == {(a, b) for a, b, _ in counts}
+    for a, b, c in counts:
+        want = max(0.0, math.log(c * n / (marg[a] * marg[b])))
+        assert got[(a, b)][0] == c
+        assert got[(a, b)][1] == pytest.approx(want, abs=1e-12)
+
+
+def test_ppmi_min_count_filters(spark):
+    from igpm_pem_spark.operators.walks import ppmi_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 1)], "a BIGINT, b BIGINT, cnt BIGINT"
+    )
+    rows = ppmi_pairs(pairs, min_count=2).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 2)]
