@@ -315,3 +315,43 @@ def bigram_logprob(
             ).alias("avg_lp"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_bigrams, top_bigram_n, n_distinct_bigrams):
+    Gopher-style within-document repetition signals — the filters that
+    catch boilerplate and degenerate generation loops in a training
+    corpus. Downstream ratios (top-bigram fraction = top_bigram_n /
+    n_bigrams, duplicate-bigram fraction = 1 - distinct/total) are left
+    to the caller as exact-integer divisions; the operator emits only
+    integers so the oracle comparison is exact.
+
+    Shape: one lead() window builds bigrams (no self-join), one groupBy
+    counts per-(doc, bigram), one groupBy folds to per-doc — all counts
+    shuffle at bigram-type granularity, not token occurrences. Docs with
+    < 2 tokens have no bigram and drop out (inner semantics, mirrored in
+    the SQL oracle)."""
+    t = tokens(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    per_bigram = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("c")
+    )
+    reps = per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    ntok = t.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return ntok.join(reps, "doc_id").select(
+        "doc_id", "n_tokens", "n_bigrams", "top_bigram_n", "n_distinct_bigrams"
+    )

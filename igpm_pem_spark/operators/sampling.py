@@ -76,3 +76,55 @@ def split_case_sql(key: str, splits: dict[str, float] | None = None, salt: str =
         parts.append(f"WHEN {b} < {cut} THEN '{name}'")
     parts.append(f"ELSE '{items[-1][0]}' END")
     return " ".join(parts)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    bucket falls under its stratum's rate — the mixture-weighting step of
+    a training-data pipeline (e.g. keep 100% of high-quality sources,
+    10% of crawl). Same guarantees as split_by_hash: reproducible across
+    engines and partitionings, append-stable, shuffle-free (a pure
+    filter, so it composes under whatever partitioning the input has and
+    pushes down to the scan). Strata not named in ``rates`` keep
+    ``default_rate``."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"sample_stratified: rate for {name!r} not in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("sample_stratified: default_rate not in [0, 1]")
+    bucket = split_bucket(F.col(key_col), salt)
+    cut = None
+    for name, r in rates.items():
+        c = F.when(F.col(strata_col) == name, F.lit(int(r * SPLIT_BUCKETS)))
+        cut = c if cut is None else cut.when(
+            F.col(strata_col) == name, F.lit(int(r * SPLIT_BUCKETS))
+        )
+    cut = (
+        F.lit(int(default_rate * SPLIT_BUCKETS))
+        if cut is None
+        else cut.otherwise(F.lit(int(default_rate * SPLIT_BUCKETS)))
+    )
+    return df.where(bucket < cut)
+
+
+def sample_case_sql(
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """DuckDB WHERE-clause text mirroring sample_stratified's filter."""
+    b = split_bucket_sql(key, salt)
+    parts = ["CASE"]
+    for name, r in rates.items():
+        parts.append(f"WHEN {strata} = '{name}' THEN {int(r * SPLIT_BUCKETS)}")
+    parts.append(f"ELSE {int(default_rate * SPLIT_BUCKETS)} END")
+    return f"{b} < ({' '.join(parts)})"

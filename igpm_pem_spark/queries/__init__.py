@@ -8,12 +8,12 @@ over the same parquet views, or None for non-SQL-expressible operators
 
 from __future__ import annotations
 
-from . import graphq, metricsq, patternq, pipeline, pipeline2, relational
+from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relational
 
 
 def all_queries():
     out = {}
-    for mod in (graphq, metricsq, patternq, pipeline, pipeline2, relational):
+    for mod in (graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relational):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
