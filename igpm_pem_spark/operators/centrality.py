@@ -1,0 +1,185 @@
+"""Path-based centrality kernels beyond the spectral family:
+truncated Katz centrality and seeded bounded-distance (truncated-Brandes)
+betweenness.
+
+Both are defined with an explicit horizon so the semantics are exactly
+reproducible in any engine (the untruncated variants are limits the user
+can approach by raising k/max_hops):
+
+* ``katz_truncated``: x(v) = Σ_{k=1..K} α^k · walks_k(v), where
+  walks_k(v) counts length-k walks ending at v from anywhere. Walk
+  counts are exact integers (one adjacency join + groupBy-sum per
+  level); the only float op is the final Σ α^k·w_k, so the DuckDB
+  oracle matches to the last round-8 digit.
+
+* ``betweenness_seeded``: Brandes' dependency accumulation from a seed
+  set, truncated to shortest paths of length ≤ max_hops (Borgatti's
+  bounded-distance betweenness). Forward pass: level-synchronous BFS
+  carrying (seed, vertex, sigma) with sigma the exact integer
+  shortest-path count; backward pass: delta(v) = Σ_{w ∈ succ(v)}
+  sigma(v)/sigma(w) · (1 + delta(w)), accumulated level by level from
+  the horizon inward. Output is Σ over seeds of delta — directed-pair
+  convention (no halving), endpoints excluded, exactly as Brandes
+  defines per-source dependencies.
+
+Scale shape: every step is an equi-join keyed on (seed, vertex) plus a
+groupBy-sum — the J4 bounded-closure pattern (operators/paths.py). Work
+is proportional to the seeds' ≤max_hops neighborhoods, never the full
+graph; levels are persisted once and reused by the backward pass.
+Reference tie-in: generalizes the seeded-proximity ranking the
+reference's G-Ray uses for match scoring (patternmatching/gray/rwr.py)
+from random-walk proximity to exact shortest-path dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import symmetrize, vertex_ids
+
+
+def _sym(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst")
+    return e if directed else symmetrize(e)
+
+
+def katz_truncated(
+    edges: DataFrame,
+    k: int = 4,
+    alpha: float = 0.05,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, katz): truncated Katz centrality Σ_{j=1..k} α^j · walks_j(id).
+
+    Each level is one join against the (symmetrized) edge relation and
+    one sum — walk counts stay exact integers until the final weighted
+    sum. Vertices no walk reaches within k steps still appear (walks_0
+    = 1 for everyone, but the j=0 term is excluded per Katz convention,
+    so their score is the sum of levels that do reach them, possibly 0)."""
+    if k < 1:
+        raise ValueError("katz_truncated: k must be >= 1")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("katz_truncated: alpha must be in (0, 1)")
+    sym = _sym(edges, directed)
+    verts = vertex_ids(sym)
+    # w_j(v) = number of length-j walks ending at v = Σ_{(u,v)∈E} w_{j-1}(u)
+    # — exact integers; kept as one flat column per level so the final
+    # weighted sum is a single left-associative float expression (bit-
+    # identical in any engine, unlike a union+sum whose addition order
+    # is partitioning-dependent)
+    w = verts.select("id", F.lit(1).cast("long").alias("w"))
+    out = verts
+    for j in range(1, k + 1):
+        w = (
+            sym.join(w.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("w"))
+        )
+        out = out.join(w.withColumnRenamed("w", f"w{j}"), "id", "left")
+    expr = None
+    for j in range(1, k + 1):
+        term = F.lit(alpha ** j) * F.coalesce(
+            F.col(f"w{j}"), F.lit(0)
+        ).cast("double")
+        expr = term if expr is None else expr + term
+    return out.select("id", expr.alias("katz"))
+
+
+def betweenness_seeded(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_seeds: int = 5,
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, bc): bounded-distance Brandes betweenness from the
+    ``n_seeds`` lowest-id vertices — Σ over seeds s of the dependency
+    δ_s(id) over shortest paths of length ≤ ``max_hops``.
+
+    Forward: levels[ℓ] = (sid, v, sigma) for vertices at distance
+    exactly ℓ from sid, sigma = exact shortest-path count (integer).
+    Backward: δ at the horizon is 0; each inner level accumulates
+    σ(v)/σ(w)·(1+δ(w)) over its successors. Endpoint exclusion is
+    per-source (δ_s(s) never accumulates — BFS levels ≥ 1 exclude their
+    own seed by construction); a seed vertex still scores dependency
+    from OTHER seeds' paths, exactly as Brandes defines it."""
+    if max_hops < 1:
+        raise ValueError("betweenness_seeded: max_hops must be >= 1")
+    sym = _sym(edges, directed).persist()
+    seeds = vertex_ids(sym).orderBy("id").limit(n_seeds)
+    lev0 = seeds.select(
+        F.col("id").alias("sid"), F.col("id").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+
+    levels = [lev0]
+    visited = lev0.select("sid", "v")
+    for _ in range(max_hops):
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(sym.withColumnRenamed("src", "v"), "v")
+            .select("sid", F.col("dst").alias("v"), "sigma")
+            .join(visited, ["sid", "v"], "left_anti")
+            .groupBy("sid", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("sid", "v"))
+
+    # backward dependency accumulation, horizon inward
+    delta_terms = []
+    succ_delta = None  # (sid, v, delta) of the level just outside
+    for ell in range(len(levels) - 1, 0, -1):
+        lev = levels[ell]
+        if succ_delta is None:
+            cur = lev.select("sid", "v", F.lit(0.0).alias("delta"))
+        else:
+            outer = succ_delta.withColumnRenamed("v", "w")
+            contrib = (
+                lev.join(
+                    sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                    "v",
+                )
+                .join(outer, ["sid", "w"])
+                .select(
+                    "sid", "v",
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("w_sigma").cast("double")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("d"),
+                )
+                .groupBy("sid", "v")
+                .agg(F.sum("d").alias("delta"))
+            )
+            cur = (
+                lev.select("sid", "v")
+                .join(contrib, ["sid", "v"], "left")
+                .select("sid", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            )
+        delta_terms.append(cur.select("v", "delta"))
+        succ_delta = (
+            lev.select("sid", "v", F.col("sigma").alias("w_sigma"))
+            .join(cur.select("sid", "v", "delta"), ["sid", "v"])
+            .localCheckpoint(eager=True)
+        )
+
+    if not delta_terms:
+        out = spark.createDataFrame([], "id BIGINT, bc DOUBLE")
+    else:
+        alld = delta_terms[0]
+        for t in delta_terms[1:]:
+            alld = alld.unionByName(t)
+        out = (
+            alld.groupBy(F.col("v").alias("id"))
+            .agg(F.sum("delta").alias("bc"))
+            .localCheckpoint(eager=True)
+        )
+    for lv in levels[1:]:
+        lv.unpersist()
+    sym.unpersist()
+    return out

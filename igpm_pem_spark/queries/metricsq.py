@@ -736,3 +736,98 @@ QUERIES = {
         ),
     ),
 }
+
+
+# ---- truncated Katz centrality --------------------------------------
+# integer walk counts per level; ONE left-associative float expression at
+# the end, with the α^j constants embedded as repr() round-trip literals
+# so both engines parse the identical doubles → bit-identical result
+_KATZ_K, _KATZ_ALPHA = 4, 0.05
+
+
+def _q_katz(spark, sf_dir):
+    from ..operators.centrality import katz_truncated
+
+    return katz_truncated(
+        edges(spark, sf_dir, G_SPARSE_SQL), k=_KATZ_K, alpha=_KATZ_ALPHA
+    ).select("id", F.round("katz", 8).alias("katz8"))
+
+
+def _katz_sql(k: int, alpha: float) -> str:
+    parts = [
+        ", verts AS (SELECT DISTINCT src AS id FROM sym)",
+        ", w1 AS (SELECT dst AS id, count(*) AS w FROM sym GROUP BY dst)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f", w{j} AS (SELECT e.dst AS id, CAST(sum(p.w) AS BIGINT) AS w"
+            f" FROM sym e JOIN w{j-1} p ON p.id = e.src GROUP BY e.dst)"
+        )
+    expr = " + ".join(
+        f"{alpha ** j!r} * CAST(coalesce(w{j}.w, 0) AS DOUBLE)"
+        for j in range(1, k + 1)
+    )
+    joins = " ".join(f"LEFT JOIN w{j} ON w{j}.id = v.id" for j in range(1, k + 1))
+    parts.append(f"SELECT v.id, round({expr}, 8) AS katz8 FROM verts v {joins}")
+    return "".join(parts)
+
+
+# ---- seeded bounded-distance betweenness (truncated Brandes) --------
+def _q_betweenness(spark, sf_dir):
+    from ..operators.centrality import betweenness_seeded
+
+    return betweenness_seeded(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), n_seeds=5, max_hops=3
+    ).select("id", F.round("bc", 6).alias("bc6"))
+
+
+_BETWEENNESS_SQL = """
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+, l0 AS (SELECT id AS sid, id AS v, CAST(1 AS BIGINT) AS sigma FROM seeds)
+, l1 AS (
+  SELECT l0.sid, e.dst AS v, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+  FROM l0 JOIN sym e ON e.src = l0.v
+  WHERE e.dst <> l0.sid
+  GROUP BY l0.sid, e.dst)
+, l2 AS (
+  SELECT l1.sid, e.dst AS v, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+  FROM l1 JOIN sym e ON e.src = l1.v
+  WHERE e.dst <> l1.sid
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.sid = l1.sid AND x.v = e.dst)
+  GROUP BY l1.sid, e.dst)
+, l3 AS (
+  SELECT l2.sid, e.dst AS v, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+  FROM l2 JOIN sym e ON e.src = l2.v
+  WHERE e.dst <> l2.sid
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.sid = l2.sid AND x.v = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l2 y WHERE y.sid = l2.sid AND y.v = e.dst)
+  GROUP BY l2.sid, e.dst)
+, d2 AS (
+  SELECT l2.sid, l2.v,
+         sum((CAST(l2.sigma AS DOUBLE) / CAST(l3.sigma AS DOUBLE)) * 1.0) AS delta
+  FROM l2 JOIN sym e ON e.src = l2.v
+  JOIN l3 ON l3.sid = l2.sid AND l3.v = e.dst
+  GROUP BY l2.sid, l2.v)
+, d1 AS (
+  SELECT l1.sid, l1.v,
+         sum((CAST(l1.sigma AS DOUBLE) / CAST(l2s.sigma AS DOUBLE))
+             * (1.0 + coalesce(d2.delta, 0.0))) AS delta
+  FROM l1 JOIN sym e ON e.src = l1.v
+  JOIN l2 l2s ON l2s.sid = l1.sid AND l2s.v = e.dst
+  LEFT JOIN d2 ON d2.sid = l2s.sid AND d2.v = l2s.v
+  GROUP BY l1.sid, l1.v)
+, allv AS (
+  SELECT sid, v FROM l1 UNION SELECT sid, v FROM l2 UNION SELECT sid, v FROM l3)
+, dd AS (
+  SELECT sid, v, delta FROM d1 UNION ALL SELECT sid, v, delta FROM d2)
+SELECT a.v AS id, round(sum(coalesce(dd.delta, 0.0)), 6) AS bc6
+FROM allv a LEFT JOIN dd ON dd.sid = a.sid AND dd.v = a.v
+GROUP BY a.v
+"""
+
+QUERIES["graph_katz4"] = (_q_katz, _with_g(_katz_sql(_KATZ_K, _KATZ_ALPHA), G_SPARSE_SQL))
+QUERIES["graph_betweenness_seeds"] = (
+    _q_betweenness,
+    _with_g(_BETWEENNESS_SQL, G_SPARSE_SQL),
+)
