@@ -24,7 +24,16 @@ Edge inputs are parquet with (src, dst[, weight, ts]) columns.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+if __package__ in (None, ""):
+    # spark-submit runs this file as a top-level script, so relative
+    # imports have no parent package. The package itself arrives on
+    # sys.path via --py-files (zip) on a cluster; for a bare
+    # `python igpm_pem_spark/__main__.py` run, the repo checkout next to
+    # this file provides it. All in-module imports are absolute.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spark(app: str):
@@ -97,13 +106,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark(f"igpm-pem-{args.cmd}")
 
     if args.cmd == "config":
-        from .sources.config_source import run_query_config
+        from igpm_pem_spark.sources.config_source import run_query_config
 
         _emit(run_query_config(spark, args.path), args.output)
         return 0
 
     if args.cmd == "ingest":
-        from .sources.code_imports import import_edges
+        from igpm_pem_spark.sources.code_imports import import_edges
 
         rf = spark.read.parquet(args.repo_files)
         _emit(import_edges(rf), args.output)
@@ -111,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
 
     edges = spark.read.parquet(args.edges)
     if args.cmd == "pagerank":
-        from .operators.pagerank import pagerank
+        from igpm_pem_spark.operators.pagerank import pagerank
 
         res = pagerank(
             spark, edges, directed=args.directed, alpha=args.alpha,
@@ -126,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"supersteps={res.supersteps} converged={res.converged}",
               file=sys.stderr)
     elif args.cmd == "components":
-        from .operators.components import connected_components
+        from igpm_pem_spark.operators.components import connected_components
 
         res = connected_components(
             spark, edges, num_partitions=args.num_partitions,
@@ -134,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         _emit(res.components, args.output)
     elif args.cmd == "labelprop":
-        from .operators.labelprop import label_propagation
+        from igpm_pem_spark.operators.labelprop import label_propagation
 
         res = label_propagation(
             spark, edges, max_iter=args.max_iter,
@@ -142,12 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         _emit(res.labels, args.output)
     elif args.cmd == "kcore":
-        from .operators.kcore import k_core
+        from igpm_pem_spark.operators.kcore import k_core
 
         res = k_core(spark, edges, args.k, num_partitions=args.num_partitions)
         _emit(res.vertices, args.output)
     elif args.cmd == "triangles":
-        from .operators.triangles import triangle_count
+        from igpm_pem_spark.operators.triangles import triangle_count
 
         print(triangle_count(edges))
     return 0
