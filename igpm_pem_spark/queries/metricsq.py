@@ -831,3 +831,73 @@ QUERIES["graph_betweenness_seeds"] = (
     _q_betweenness,
     _with_g(_BETWEENNESS_SQL, G_SPARSE_SQL),
 )
+
+
+# ---- bow-tie decomposition (Broder web-graph structure) -------------
+def _q_bowtie(spark, sf_dir):
+    """Per-vertex bow-tie class over the mixed-direction co-occurrence
+    digraph — the canonical link-graph structure report."""
+    from ..operators.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(
+        spark, edges(spark, sf_dir, _G_DIRMIX_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    ).classes
+
+
+# same recursive closure as _SCC_SQL, then classify against the largest
+# SCC with the identical CASE order the Spark when-chain uses
+_BOWTIE_SQL = f"""
+WITH RECURSIVE g AS ({_G_DIRMIX_SQL})
+, verts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM g UNION ALL SELECT dst FROM g))
+, tc(src, dst) AS (
+    SELECT src, dst FROM g
+    UNION
+    SELECT t.src, g.dst FROM tc t JOIN g ON g.src = t.dst
+)
+, mutual AS (
+    SELECT a.src AS u, a.dst AS v
+    FROM tc a JOIN tc b ON b.src = a.dst AND b.dst = a.src
+)
+, scc AS (
+    SELECT vt.id, least(vt.id, coalesce(min(m.v), vt.id)) AS scc
+    FROM verts vt LEFT JOIN mutual m ON m.u = vt.id
+    GROUP BY vt.id
+)
+, core_id AS (
+    SELECT scc FROM (SELECT scc, count(*) AS n FROM scc GROUP BY scc)
+    ORDER BY n DESC, scc ASC LIMIT 1
+)
+, core AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core_id))
+, outs AS (
+    SELECT DISTINCT t.dst AS id FROM tc t JOIN core c ON c.id = t.src
+    WHERE t.dst NOT IN (SELECT id FROM core)
+)
+, ins AS (
+    SELECT DISTINCT t.src AS id FROM tc t JOIN core c ON c.id = t.dst
+    WHERE t.src NOT IN (SELECT id FROM core)
+)
+, fin AS (
+    SELECT id FROM ins
+    UNION
+    SELECT DISTINCT t.dst AS id FROM tc t JOIN ins i ON i.id = t.src
+)
+, bout AS (
+    SELECT id FROM outs
+    UNION
+    SELECT DISTINCT t.src AS id FROM tc t JOIN outs o ON o.id = t.dst
+)
+SELECT vt.id,
+       CASE WHEN vt.id IN (SELECT id FROM core) THEN 'core'
+            WHEN vt.id IN (SELECT id FROM ins) THEN 'in'
+            WHEN vt.id IN (SELECT id FROM outs) THEN 'out'
+            WHEN vt.id IN (SELECT id FROM fin)
+                 AND vt.id IN (SELECT id FROM bout) THEN 'tube'
+            WHEN vt.id IN (SELECT id FROM fin)
+                 OR vt.id IN (SELECT id FROM bout) THEN 'tendril'
+            ELSE 'disconnected' END AS cls
+FROM verts vt
+"""
+
+QUERIES["graph_bowtie"] = (_q_bowtie, _BOWTIE_SQL)
