@@ -109,6 +109,10 @@ def test_lsh_jaccard_shares_subplans_via_cache(spark):
     with zero residual parquet re-derivation and zero leaked caches."""
     from igpm_pem_spark.operators.dedup import lsh_jaccard_pairs
 
+    # this test audits the BUILDER's cache hygiene — start from a clean
+    # cache manager so a stray entry from an unrelated earlier test (the
+    # suite shares one session) can't fail the isEmpty() check below
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = lsh_jaccard_pairs(docs, threshold=0.5)
     plan = _explain(out)
