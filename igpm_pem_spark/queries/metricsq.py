@@ -901,3 +901,66 @@ FROM verts vt
 """
 
 QUERIES["graph_bowtie"] = (_q_bowtie, _BOWTIE_SQL)
+
+
+# ---- RWR link recommendation (who-to-link) --------------------------
+def _q_link_recommend(spark, sf_dir):
+    """Top-20 link recommendations for the lowest-id vertex: rank
+    NON-neighbors by seeded-RWR proximity (8 fixed rounds, restart 0.7 —
+    the reference's G-Ray proximity primitive turned into the classic
+    who-to-link application). Deterministic: ranked on the round-7 score
+    with id tie-break, so the top-20 set is engine-exact."""
+    from ..operators.graph import symmetrize, vertex_ids
+    from ..operators.pagerank import pagerank
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    seed = int(vertex_ids(e).agg(F.min("id")).first()[0])
+    res = pagerank(
+        spark, e, alpha=0.3, tol=0.0, max_iter=8, mode="exact",
+        personalization={seed: 1.0},
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    nbrs = (
+        symmetrize(e).where(F.col("src") == seed)
+        .select(F.col("dst").alias("id"))
+    )
+    return (
+        res.ranks.where(F.col("id") != seed)
+        .join(nbrs, "id", "left_anti")
+        .select("id", F.round("rank", 7).alias("rwr7"))
+        .orderBy(F.desc("rwr7"), F.asc("id"))
+        .limit(20)
+    )
+
+
+_LINK_RECOMMEND_SQL = """
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+, nn AS (SELECT count(*) AS c FROM verts)
+, seed AS (SELECT min(id) AS id FROM verts)
+, pv AS (SELECT v.id,
+                CASE WHEN v.id = (SELECT id FROM seed) THEN 1.0 ELSE 0.0 END AS p
+         FROM verts v)
+, pr(iter, id, r) AS (
+    SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+    UNION ALL
+    SELECT p.iter + 1, e.dst,
+           0.7 * min(pv.p) + 0.3 * sum(p.r / d.d)
+    FROM pr p JOIN sym e ON e.src = p.id
+              JOIN deg d ON d.src = p.id
+              JOIN pv ON pv.id = e.dst
+    WHERE p.iter < 8
+    GROUP BY p.iter, e.dst
+)
+SELECT id, round(r, 7) AS rwr7 FROM pr
+WHERE iter = 8
+  AND id <> (SELECT id FROM seed)
+  AND id NOT IN (SELECT dst FROM sym WHERE src = (SELECT id FROM seed))
+ORDER BY rwr7 DESC, id ASC
+LIMIT 20
+"""
+
+QUERIES["link_recommend_rwr"] = (
+    _q_link_recommend,
+    _with_g(_LINK_RECOMMEND_SQL, G_SPARSE_SQL, recursive=True),
+)
