@@ -32,7 +32,13 @@ def neighbor_mean_embedding(
     its (undirected) neighbors' embedding vectors. Vertices whose
     neighbors have no embedding row drop out (inner semantics); the
     neighbor count reflects only embedded neighbors, matching the mean's
-    denominator."""
+    denominator.
+
+    Assumes a fixed embedding dimension across rows (the embeddings-table
+    contract): with ragged vectors the per-position mean would average
+    only the vectors long enough to have that position, and n_neighbors
+    (the max per-position count) would overstate the shorter positions'
+    denominators."""
     sym = symmetrize(edges)
     vecs = emb.select(
         F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("v")
