@@ -163,3 +163,34 @@ def test_sssp_stream_matches_batch(spark, tmp_path):
     batch = sssp(spark, edges, src_vertex, weight_col="w")
     want = {r.id: r.dist for r in batch.distances.collect()}
     assert got == want
+
+
+def test_pagerank_stream_matches_batch(spark, tmp_path):
+    """Streaming warm-started PageRank lands on the batch answer for the
+    union of all buckets (within convergence tolerance), and later
+    batches seed only perturbation-proportional work."""
+    from igpm_pem_spark.operators.pagerank import pagerank
+    from igpm_pem_spark.streaming.stream import pagerank_stream
+
+    _, edges, _ = fixture_graph(spark, "dynamic_test1")
+    src_dir = str(tmp_path / "pr_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for ts in (0, 1, 2):
+        edges.where(f"ts = {ts}").coalesce(1).write.mode("append").parquet(src_dir)
+
+    query, state = pagerank_stream(
+        spark, src_dir, checkpoint_dir=str(tmp_path / "pr_ckpt")
+    )
+    query.awaitTermination(180)
+    query.stop()
+
+    assert state.batches == 3
+    got = {r.id: r.rank for r in state.components.collect()}
+    want_res = pagerank(spark, edges.select("src", "dst"), tol=1e-6, mode="delta")
+    want = {r.id: r.rank for r in want_res.ranks.collect()}
+    assert got.keys() == want.keys()
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-5, v
+    # warm-started batches record their perturbation-proportional seeds
+    warm = [h for h in state.history if "seed_active" in h]
+    assert warm and all(h["seed_active"] is not None for h in warm)
