@@ -450,3 +450,49 @@ def quantize_int8(
             v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
         ).alias("qv"),
     )
+
+
+def semantic_dedup_clusters(
+    spark,
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vec_id, canonical, keep): END-TO-END semantic dedup — the
+    embedding-space sibling of ``dedup.dedup_clusters``. Candidate pairs
+    come from the production ANN path (``near_dup_pairs_ann``: LSH bucket
+    join + exact-cosine filter, no quadratic stage), then hash-min
+    connected components over the near-dup pair graph collapse
+    transitive chains (A≈B≈C with no shared A/C bucket still lands in
+    one cluster), and every vector maps to its cluster's min id with
+    ``keep`` marking the one survivor.
+
+    Scale shape: identical to the lexical pipeline — the pair graph is
+    orders of magnitude smaller than the corpus, so the CC supersteps
+    cost nothing next to the LSH scan, and canonical assignment is one
+    join back to the corpus keyed by vec_id."""
+    from .components import connected_components
+
+    pairs = near_dup_pairs_ann(
+        emb, threshold=threshold, n_tables=n_tables, n_planes=n_planes,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(
+        spark, pairs, num_partitions=num_partitions
+    ).components
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("canonical"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )

@@ -27,6 +27,10 @@ from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relati
 # last — it is independently exercised by entry(), bench.py, and pytest).
 _PRIORITY = [
     # -- group 1: never oracled --
+    "rel_cube",
+    "rel_grouping_sets",
+    "graph_matching8",
+    "emb_dedup_clusters",
     "rel_redact_props",
     "rel_pivot",
     "rel_asof_purchase",

@@ -609,3 +609,25 @@ QUERIES = {
         ),
     ),
 }
+
+
+def _q_matching8(spark, sf_dir):
+    """8 handshake rounds of deterministic maximal matching over the
+    sparse co-occurrence graph — the METIS-coarsening primitive
+    (reference ``subgraph/divide.py:8-30``) as a driver-checked kernel."""
+    from ..operators.matching import handshake_matching
+
+    res = handshake_matching(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), rounds=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    return res.matched.select("src", "dst", "rnd")
+
+
+def _matching8_sql():
+    from ..operators.matching import matching_oracle_sql
+
+    return matching_oracle_sql(G_SPARSE_SQL, rounds=8)
+
+
+QUERIES["graph_matching8"] = (_q_matching8, _matching8_sql())

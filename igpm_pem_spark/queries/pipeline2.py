@@ -8,7 +8,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import REDACT_PATTERNS
 from ._common import docs, emb, register
-from .pipeline import _LSH_JACCARD_SQL, _TOK_CTE, _band_union, _minhash_select
+from .pipeline import (
+    _LSH_JACCARD_SQL,
+    _TOK_CTE,
+    _ann_near_dup_sql,
+    _band_union,
+    _minhash_select,
+)
 
 _TFIDF_SQL = f"""
 {_TOK_CTE},
@@ -73,6 +79,37 @@ SELECT d.doc_id,
        coalesce(c.comp, d.doc_id) AS canonical,
        coalesce(c.comp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
+"""
+
+
+# semantic dedup clustering oracle: the ANN near-dup pair query
+# (LSH buckets + exact cosine ≥ 0.3) feeds the same hash-min recursive
+# CTE as the lexical _dedup_clusters_sql; every vector left-joins its
+# component. DuckDB allows a WITH-bearing derived table, so the ANN
+# prelude nests verbatim inside the RECURSIVE chain.
+def _emb_dedup_clusters_sql() -> str:
+    pairs = _ann_near_dup_sql()
+    return f"""
+WITH RECURSIVE pr AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({pairs}) anns
+),
+sympr AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+verts AS (SELECT DISTINCT src AS id FROM sympr),
+ep AS (SELECT src, dst FROM sympr UNION ALL SELECT id, id FROM verts),
+cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.dst, min(c.comp)
+    FROM cc c JOIN ep e ON e.src = c.id
+    WHERE c.iter < {_DEDUP_CC_ITERS}
+    GROUP BY c.iter, e.dst
+),
+canon AS (SELECT id, comp FROM cc WHERE iter = {_DEDUP_CC_ITERS})
+SELECT v.vec_id,
+       coalesce(c.comp, v.vec_id) AS canonical,
+       coalesce(c.comp, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN canon c ON c.id = v.vec_id
 """
 
 
@@ -191,6 +228,18 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_emb_dedup_clusters(spark, sf_dir):
+    from ..functions.hashing import ANN_PLANES
+    from ..operators.similarity import semantic_dedup_clusters
+    from ._common import graph_nparts
+
+    # n_planes pinned to the static-oracle constant (see _q_ann_lsh_topk)
+    return semantic_dedup_clusters(
+        spark, emb(spark, sf_dir), threshold=0.3, n_planes=ANN_PLANES,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
 def _q_redact(spark, sf_dir):
     from ..functions.text import redact
 
@@ -260,6 +309,7 @@ def _q_kmeans_bcast(spark, sf_dir):
 QUERIES = {
     "doc_tfidf_top": (_q_tfidf, _TFIDF_SQL),
     "doc_dedup_clusters": (_q_dedup_clusters, _dedup_clusters_sql()),
+    "emb_dedup_clusters": (_q_emb_dedup_clusters, _emb_dedup_clusters_sql()),
     "rel_redact_props": (_q_redact, _redact_sql("events", "event_id")),
     "emb_kmeans2": (_q_kmeans, _KMEANS_SQL),
     "emb_kmeans_bcast": (_q_kmeans_bcast, _KMEANS_SQL),

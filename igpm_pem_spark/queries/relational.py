@@ -467,3 +467,59 @@ QUERIES["rel_pivot"] = (
     FROM orders GROUP BY o_orderpriority
     """,
 )
+
+
+def _q_cube(spark, sf_dir):
+    """CUBE: all four grouping combinations of (status, priority) in one
+    pass — the full-lattice sibling of rel_rollup; same coalesce-to-'ALL'
+    discipline so the hash compare never sees null grouping keys."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+QUERIES["rel_cube"] = (
+    _q_cube,
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+# explicit GROUPING SETS: the two one-dimension marginals plus the grand
+# total, WITHOUT the (status, priority) cross — the set rollup/cube can't
+# express. The SQL text is identical ANSI in Spark and DuckDB, so the
+# Spark side runs the same string the oracle does.
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _q_grouping_sets(spark, sf_dir):
+    register(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+QUERIES["rel_grouping_sets"] = (_q_grouping_sets, _GROUPING_SETS_SQL)
