@@ -355,3 +355,39 @@ def repetition_stats(
     return ntok.join(reps, "doc_id").select(
         "doc_id", "n_tokens", "n_bigrams", "top_bigram_n", "n_distinct_bigrams"
     )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    cap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, df, postings_csv): the inverted-index build — document
+    frequency plus the first ``cap`` posting doc ids per token (ascending,
+    CSV so the driver comparator sees a scalar column).
+
+    Scale shape: the head of each posting list is taken with a window
+    row_number BEFORE any collect_list, so per-token state is bounded by
+    ``cap`` even for stopword-grade tokens whose full posting list is the
+    corpus; df comes from the same distinct (doc, token) relation. At
+    100 TB the full index would sink the ranked relation partitioned by
+    token instead of CSV-capping — the dataflow is identical."""
+    t = tokens(docs, id_col, text_col).select("doc_id", "token").distinct()
+    dfs = t.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    heads = (
+        t.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv")
+        )
+    )
+    return dfs.join(heads, "token").select("token", "df", "postings_csv")

@@ -124,9 +124,9 @@ def handshake_matching(
     return MatchingResult(matched=matched, rounds=rounds, converged=converged)
 
 
-def matching_oracle_sql(g_sql: str, rounds: int = 8, salt: str = "match") -> str:
-    """DuckDB SQL computing the identical matching: the same ``rounds``
-    handshake rounds unrolled as CTE chains over the canonical graph."""
+def _matching_rounds_cte(g_sql: str, rounds: int, salt: str) -> str:
+    """The WITH chain of ``rounds`` unrolled handshake rounds; exposes
+    ``mall`` = all matched (src, dst, rnd) rows for the final SELECT."""
     h = edge_priority_sql(salt=salt)
     parts = [
         f"""WITH e0 AS MATERIALIZED (
@@ -164,5 +164,220 @@ def matching_oracle_sql(g_sql: str, rounds: int = 8, salt: str = "match") -> str
 )"""
         )
     union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}" for i in range(1, rounds + 1))
-    parts.append(f"\nSELECT src, dst, rnd FROM ({union})")
+    parts.append(f"\n, mall AS MATERIALIZED (SELECT src, dst, rnd FROM ({union}))")
+    return "".join(parts)
+
+
+def matching_oracle_sql(g_sql: str, rounds: int = 8, salt: str = "match") -> str:
+    """DuckDB SQL computing the identical matching: the same ``rounds``
+    handshake rounds unrolled as CTE chains over the canonical graph."""
+    return (
+        _matching_rounds_cte(g_sql, rounds, salt)
+        + "\nSELECT src, dst, rnd FROM mall"
+    )
+
+
+def coarsen_once(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    rounds: int = 8,
+    salt: str = "match",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One multilevel-coarsening level (the METIS move the reference
+    delegates to ``subgraph/divide.py``): contract the handshake matching
+    — every matched pair collapses into its min-id supervertex — and
+    return the coarse canonical edge list (parallel edges merged, intra-
+    supervertex edges dropped). Roughly halves the vertex set per level
+    on non-degenerate graphs; iterating gives the multilevel hierarchy.
+
+    Plan shape: the matching plus two broadcast-size joins of the edge
+    table against the (tiny: ≤V/2 rows) contraction map — no extra
+    shuffle beyond the final dedup."""
+    m = handshake_matching(
+        spark, edges, rounds=rounds, salt=salt, num_partitions=num_partitions
+    ).matched
+    # contraction map: both endpoints of a matched edge -> min endpoint
+    cmap = m.select(
+        F.col("dst").alias("v"), F.col("src").alias("canon")
+    )  # src<dst canonical => min is src; src maps to itself
+    e = canonical_undirected(edges)
+    for side in ("src", "dst"):
+        e = (
+            e.join(cmap.withColumnRenamed("v", side), side, "left")
+            .withColumn(side, F.coalesce("canon", F.col(side)))
+            .drop("canon")
+        )
+    return (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def coarsen_oracle_sql(g_sql: str, rounds: int = 8, salt: str = "match") -> str:
+    """DuckDB SQL of ``coarsen_once``: the matching CTE chain plus the
+    same contraction projection."""
+    return (
+        _matching_rounds_cte(g_sql, rounds, salt)
+        + """
+, cmap AS (SELECT dst AS v, src AS canon FROM mall)
+, ge AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM ({g}) q WHERE src <> dst
+)
+, mapped AS (
+  SELECT coalesce(cs.canon, ge.src) AS src, coalesce(cd.canon, ge.dst) AS dst
+  FROM ge LEFT JOIN cmap cs ON cs.v = ge.src LEFT JOIN cmap cd ON cd.v = ge.dst
+)
+SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+FROM mapped WHERE src <> dst
+""".format(g=g_sql)
+    )
+
+
+def vertex_priority(id_col=None, salt: str = "mis"):
+    """Portable per-vertex priority (md5-prefix of ``salt:id``)."""
+    c = F.col("id") if id_col is None else id_col
+    s = F.concat(F.lit(salt + ":"), c.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def vertex_priority_sql(id_sql: str = "id", salt: str = "mis") -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_sql} AS VARCHAR)), 1, 15))"
+        f"::BIGINT)"
+    )
+
+
+def luby_mis(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    rounds: int = 8,
+    salt: str = "mis",
+    num_partitions: int | None = None,
+) -> MatchingResult:
+    """Luby's maximal independent set: per round, a live vertex whose
+    (priority, id) is lexicographically below every live neighbor's joins
+    the MIS; MIS vertices and their neighbors leave the graph. Expected
+    O(log n) rounds with hash priorities; each round is one message
+    shuffle (neighbor min) over the live edge set. The dual of
+    ``handshake_matching`` — together they are the standard symmetry-
+    breaking pair (coloring, scheduling, coarsening seeds).
+
+    Returns MatchingResult with ``matched`` = (id, rnd) MIS members (the
+    field name is shared with the matching kernel; rnd is the round the
+    vertex entered the set)."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    e = canonical_undirected(edges).repartition(num_partitions, "src")
+    live_v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("p", vertex_priority(salt=salt))
+        .localCheckpoint(eager=True)
+    )
+    live_e = e.localCheckpoint(eager=True)
+    mis: DataFrame | None = None
+    converged = False
+    for rnd in range(1, rounds + 1):
+        sym = live_e.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionByName(
+            live_e.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
+        )
+        nbrp = sym.join(
+            live_v.select(F.col("id").alias("nbr"), F.col("p").alias("pn")), "nbr"
+        )
+        minnbr = nbrp.groupBy(F.col("v").alias("id")).agg(
+            F.min(F.struct("pn", "nbr")).alias("mn")
+        )
+        cand = (
+            live_v.join(minnbr, "id", "left")
+            .where(
+                F.col("mn").isNull()
+                | (F.struct(F.col("p").alias("pn"), F.col("id").alias("nbr")) < F.col("mn"))
+            )
+            .select("id")
+            .withColumn("rnd", F.lit(rnd).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if cand.rdd.isEmpty():
+            converged = True
+            break
+        mis = cand if mis is None else mis.unionByName(cand)
+        rm = cand.select("id").unionByName(
+            sym.join(cand.withColumnRenamed("id", "v").select("v"), "v", "left_semi")
+            .select(F.col("nbr").alias("id"))
+        ).distinct()
+        live_v = live_v.join(rm, "id", "left_anti").localCheckpoint(eager=True)
+        lv = live_v.select("id")
+        live_e = (
+            live_e.join(lv.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(lv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if live_v.rdd.isEmpty():
+            converged = True
+            break
+    if mis is None:
+        mis = spark.createDataFrame([], "id BIGINT, rnd INT")
+    return MatchingResult(matched=mis, rounds=rounds, converged=converged)
+
+
+def mis_oracle_sql(g_sql: str, rounds: int = 8, salt: str = "mis") -> str:
+    """DuckDB SQL of ``luby_mis``: the same rounds unrolled (every CTE
+    MATERIALIZED — see matching_oracle_sql)."""
+    p = vertex_priority_sql("id", salt)
+    parts = [
+        f"""WITH ge AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM ({g_sql}) q WHERE src <> dst
+)
+, v0 AS MATERIALIZED (
+  SELECT id, {p} AS p FROM (
+    SELECT src AS id FROM ge UNION SELECT dst FROM ge
+  )
+)
+, e0 AS MATERIALIZED (SELECT src, dst FROM ge)"""
+    ]
+    for i in range(1, rounds + 1):
+        q = i - 1
+        parts.append(
+            f"""
+, mn{i} AS MATERIALIZED (
+  SELECT s.v AS id, min(ROW(x.p, s.nbr)) AS mn
+  FROM (SELECT src AS v, dst AS nbr FROM e{q}
+        UNION ALL SELECT dst AS v, src AS nbr FROM e{q}) s
+  JOIN v{q} x ON x.id = s.nbr
+  GROUP BY s.v
+)
+, mis{i} AS MATERIALIZED (
+  SELECT v.id, CAST({i} AS INT) AS rnd
+  FROM v{q} v LEFT JOIN mn{i} m ON m.id = v.id
+  WHERE m.id IS NULL OR ROW(v.p, v.id) < m.mn
+)
+, rm{i} AS MATERIALIZED (
+  SELECT id FROM mis{i}
+  UNION
+  SELECT s.nbr AS id
+  FROM (SELECT src AS v, dst AS nbr FROM e{q}
+        UNION ALL SELECT dst AS v, src AS nbr FROM e{q}) s
+  JOIN mis{i} m ON m.id = s.v
+)
+, v{i} AS MATERIALIZED (
+  SELECT v.id, v.p FROM v{q} v WHERE v.id NOT IN (SELECT id FROM rm{i})
+)
+, e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{q} e
+  WHERE e.src IN (SELECT id FROM v{i}) AND e.dst IN (SELECT id FROM v{i})
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM mis{i}" for i in range(1, rounds + 1))
+    parts.append(f"\nSELECT id, rnd FROM ({union})")
     return "".join(parts)

@@ -30,7 +30,10 @@ _PRIORITY = [
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",
+    "graph_mis8",
+    "graph_coarsen1",
     "emb_dedup_clusters",
+    "doc_postings",
     "rel_redact_props",
     "rel_pivot",
     "rel_asof_purchase",

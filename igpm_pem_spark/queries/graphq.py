@@ -631,3 +631,43 @@ def _matching8_sql():
 
 
 QUERIES["graph_matching8"] = (_q_matching8, _matching8_sql())
+
+
+def _q_mis8(spark, sf_dir):
+    """8 Luby rounds of maximal-independent-set — the symmetry-breaking
+    dual of graph_matching8 (coloring/scheduling/coarsening seeds)."""
+    from ..operators.matching import luby_mis
+
+    res = luby_mis(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), rounds=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    return res.matched.select("id", "rnd")
+
+
+def _q_coarsen1(spark, sf_dir):
+    """One multilevel-coarsening level: contract the handshake matching
+    and return the coarse canonical edge list (METIS's coarsening move,
+    reference ``subgraph/divide.py:8-30``)."""
+    from ..operators.matching import coarsen_once
+
+    return coarsen_once(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), rounds=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
+def _mis8_sql():
+    from ..operators.matching import mis_oracle_sql
+
+    return mis_oracle_sql(G_SPARSE_SQL, rounds=8)
+
+
+def _coarsen1_sql():
+    from ..operators.matching import coarsen_oracle_sql
+
+    return coarsen_oracle_sql(G_SPARSE_SQL, rounds=8)
+
+
+QUERIES["graph_mis8"] = (_q_mis8, _mis8_sql())
+QUERIES["graph_coarsen1"] = (_q_coarsen1, _coarsen1_sql())

@@ -189,3 +189,31 @@ QUERIES = {
     "doc_sample_stratified": (_q_sample_stratified, _SAMPLE_SQL),
     "graph_neighbor_mean": (_q_neighbor_mean, _NEIGHBOR_MEAN_SQL),
 }
+
+
+def _q_postings(spark, sf_dir):
+    """Inverted-index build: df + capped posting-list head per token."""
+    from ..functions.text import inverted_postings
+
+    return inverted_postings(docs(spark, sf_dir), cap=10)
+
+
+_POSTINGS_SQL = (
+    _TOK_CTE
+    + """
+, dtok AS (SELECT DISTINCT doc_id, token FROM tok)
+, dfs AS (SELECT token, count(*) AS df FROM dtok GROUP BY token)
+, heads AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+  FROM (
+    SELECT doc_id, token,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM dtok
+  ) WHERE rn <= 10 GROUP BY token
+)
+SELECT d.token, d.df, h.postings_csv FROM dfs d JOIN heads h USING (token)
+"""
+)
+
+QUERIES["doc_postings"] = (_q_postings, _POSTINGS_SQL)

@@ -423,3 +423,100 @@ def pagerank_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
     return query, state
+
+
+def labelprop_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: str = "src BIGINT, dst BIGINT, label STRING, ts INT",
+    max_iter_per_batch: int = 30,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple["object", StreamState]:
+    """Streaming deterministic LPA: the first micro-batch converges from
+    scratch; every later batch warm-starts from the carried labels with
+    the arriving edges' endpoints marked changed, then runs
+    receiver-restricted sweeps (``incremental._lpa_step_frontier`` — a
+    vertex whose neighborhood's labels didn't change cannot change, so
+    the message shuffle is frontier-proportional, not E-proportional).
+
+    Same semantics note as ``incremental_labelprop``: LPA is
+    initialization-dependent, so the warm-started fixpoint is A stable
+    labeling of the updated graph; tests pin stability (one more full
+    sweep changes nothing) and batch equality on unambiguous communities.
+    ``StreamState.components`` carries the (id, label) table per batch.
+    """
+    from ..lineage import LineageLog
+    from ..operators._superstep import commit_and_stats, edge_partition_counts
+    from ..operators.graph import partitioned_adjacency, vertex_ids
+    from ..operators.incremental import _lpa_step_frontier
+    from ..operators.labelprop import label_propagation
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    state = StreamState()
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
+        if new_edges.rdd.isEmpty():
+            return
+        state.batches += 1
+        if state.edges is None:
+            state.edges = new_edges
+            res = label_propagation(
+                spark, state.edges, max_iter=max_iter_per_batch,
+                num_partitions=num_partitions, steps_per_commit=2,
+            )
+            state.components = res.labels.localCheckpoint(eager=True)
+            state.history.append({"batch": batch_id, "supersteps": res.supersteps})
+            return
+        state.edges = state.edges.unionByName(new_edges).localCheckpoint(eager=True)
+        touched = (
+            new_edges.select(F.col("src").alias("id"))
+            .unionByName(new_edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        adj = partitioned_adjacency(state.edges, num_partitions).persist()
+        verts = vertex_ids(adj)
+        st = (
+            verts.join(state.components, "id", "left")
+            .join(touched.withColumn("t", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("label"), F.col("id")).alias("label"),
+                F.coalesce(F.col("t"), F.lit(False)).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edge_parts = edge_partition_counts(adj)
+        log = LineageLog(spark, None)
+        supersteps = 0
+        import time as _t
+
+        while supersteps < max_iter_per_batch:
+            t1 = _t.time()
+            ns = _lpa_step_frontier(st, adj, num_partitions)
+            supersteps += 1
+            st, delta, _ = commit_and_stats(
+                log, supersteps - 1, ns,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t1,
+            )
+            if delta == 0.0:
+                break
+        state.components = st.select("id", "label").localCheckpoint(eager=True)
+        adj.unpersist()
+        state.history.append({"batch": batch_id, "supersteps": supersteps})
+
+    # one file per micro-batch (see components_stream): each parquet file
+    # IS an arrival bucket, so the frontier-restricted path actually runs
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    return query, state

@@ -194,3 +194,43 @@ def test_pagerank_stream_matches_batch(spark, tmp_path):
     # warm-started batches record their perturbation-proportional seeds
     warm = [h for h in state.history if "seed_active" in h]
     assert warm and all(h["seed_active"] is not None for h in warm)
+
+
+def test_labelprop_stream_stable_and_matches_batch(spark, tmp_path):
+    """Streamed LPA warm-start: final labels are a stable labeling of the
+    cumulative graph and equal batch LPA on unambiguous communities (two
+    cliques, bridge arriving in the second bucket)."""
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.operators.graph import partitioned_adjacency
+    from igpm_pem_spark.operators.labelprop import _lpa_step, label_propagation
+    from igpm_pem_spark.streaming.stream import labelprop_stream
+
+    cl1 = [(a, b, "e", 0) for a in range(5) for b in range(5) if a < b]
+    cl2 = [(a, b, "e", 0) for a in range(10, 15) for b in range(10, 15) if a < b]
+    bridge = [(4, 10, "e", 1)]
+    schema = "src BIGINT, dst BIGINT, label STRING, ts INT"
+    edges = spark.createDataFrame(cl1 + cl2 + bridge, schema)
+    src_dir = str(tmp_path / "lpa_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for ts in (0, 1):
+        edges.where(f"ts = {ts}").coalesce(1).write.mode("append").parquet(src_dir)
+
+    query, state = labelprop_stream(
+        spark, src_dir, checkpoint_dir=str(tmp_path / "lpa_ckpt")
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    assert state.batches == 2
+    got = {r.id: r.label for r in state.components.collect()}
+    assert got[0] == got[4] and got[10] == got[14] and got[0] != got[10]
+    # stability: one more FULL sweep over the cumulative graph is a no-op
+    adj = partitioned_adjacency(edges.select("src", "dst"), 4).persist()
+    st = state.components.withColumn("changed", F.lit(True))
+    swept = {r.id: r.label for r in _lpa_step(st, adj, 4).collect()}
+    adj.unpersist()
+    assert swept == got
+    # batch equality on this unambiguous graph
+    batch = label_propagation(spark, edges.select("src", "dst"), max_iter=10)
+    assert {r.id: r.label for r in batch.labels.collect()} == got
