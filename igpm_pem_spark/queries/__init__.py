@@ -32,6 +32,8 @@ _PRIORITY = [
     "graph_matching8",
     "graph_mis8",
     "graph_coarsen1",
+    "graph_partition_lpa",
+    "graph_edge_cut",
     "emb_dedup_clusters",
     "doc_postings",
     "rel_redact_props",

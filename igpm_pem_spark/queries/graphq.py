@@ -671,3 +671,49 @@ def _coarsen1_sql():
 
 QUERIES["graph_mis8"] = (_q_mis8, _mis8_sql())
 QUERIES["graph_coarsen1"] = (_q_coarsen1, _coarsen1_sql())
+
+
+def _q_partition_lpa(spark, sf_dir):
+    """Edge-cut-aware partition assignment (north rule): LPA communities
+    packed size-desc round-robin into 4 parts — METIS's role
+    (reference ``subgraph/divide.py:8-30``) via the engine's own kernels."""
+    from ..operators.partition import lpa_partitions
+
+    return lpa_partitions(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), k=4,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
+def _q_edge_cut(spark, sf_dir):
+    """Measured edge-cut: LPA-packed parts vs portable-hash parts on the
+    same graph — the per-superstep shuffled-message count a deployment
+    weighs against the partition-map join."""
+    from ..operators.partition import edge_cut_summary, lpa_partitions
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    return edge_cut_summary(e, lpa_partitions(
+        spark, e, k=4, num_partitions=graph_nparts(spark, sf_dir),
+    ), k=4)
+
+
+def _partition_sql():
+    from ..operators.partition import partition_oracle_tail
+
+    return _with_g(
+        _LPA3 + partition_oracle_tail(4) + "SELECT id, part FROM assign",
+        G_SPARSE_SQL,
+    )
+
+
+def _edge_cut_sql():
+    from ..operators.partition import edge_cut_oracle_tail, partition_oracle_tail
+
+    return _with_g(
+        _LPA3 + partition_oracle_tail(4) + edge_cut_oracle_tail(4),
+        G_SPARSE_SQL,
+    )
+
+
+QUERIES["graph_partition_lpa"] = (_q_partition_lpa, _partition_sql())
+QUERIES["graph_edge_cut"] = (_q_edge_cut, _edge_cut_sql())
