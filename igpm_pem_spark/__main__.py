@@ -17,7 +17,9 @@ executors)::
 Subcommands mirror the engine surface: ``config`` (the reference's INI
 batch entry, ``gray/query_call.py:415-438``), the iterative kernels
 (``pagerank``, ``components``, ``labelprop``, ``kcore``), ``triangles``,
-and ``ingest`` (repo-files → import edge table, the input_hint pipeline).
+symmetry-breaking kernels (``matching``, ``mis``), ``partition``
+(edge-cut-aware LPA assignment + measured cut), and ``ingest``
+(repo-files → import edge table, the input_hint pipeline).
 Edge inputs are parquet with (src, dst[, weight, ts]) columns.
 """
 
@@ -97,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
 
     kernel_parser("triangles", "exact triangle count (adaptive plan)")
 
+    mt = kernel_parser("matching", "handshake maximal matching")
+    mt.add_argument("--rounds", type=int, default=8)
+
+    ms = kernel_parser("mis", "Luby maximal independent set")
+    ms.add_argument("--rounds", type=int, default=8)
+
+    pt = kernel_parser("partition", "edge-cut-aware LPA partition assignment")
+    pt.add_argument("-k", type=int, default=4)
+    pt.add_argument("--lpa-iters", type=int, default=3)
+
     ing = sub.add_parser("ingest", help="repo files parquet -> import edges")
     ing.add_argument("--repo-files", required=True,
                      help="parquet with (repo, path, commit, lang, content)")
@@ -159,6 +171,32 @@ def main(argv: list[str] | None = None) -> int:
         from igpm_pem_spark.operators.triangles import triangle_count
 
         print(triangle_count(edges))
+    elif args.cmd == "matching":
+        from igpm_pem_spark.operators.matching import handshake_matching
+
+        res = handshake_matching(
+            spark, edges, rounds=args.rounds, num_partitions=args.num_partitions
+        )
+        _emit(res.matched, args.output)
+        print(f"converged={res.converged}", file=sys.stderr)
+    elif args.cmd == "mis":
+        from igpm_pem_spark.operators.matching import luby_mis
+
+        res = luby_mis(
+            spark, edges, rounds=args.rounds, num_partitions=args.num_partitions
+        )
+        _emit(res.matched, args.output)
+        print(f"converged={res.converged}", file=sys.stderr)
+    elif args.cmd == "partition":
+        from igpm_pem_spark.operators.partition import (
+            edge_cut_summary, lpa_partitions)
+
+        assign = lpa_partitions(
+            spark, edges, k=args.k, lpa_iters=args.lpa_iters,
+            num_partitions=args.num_partitions,
+        )
+        _emit(assign, args.output)
+        edge_cut_summary(edges, assign, k=args.k).show(truncate=False)
     return 0
 
 

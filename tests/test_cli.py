@@ -71,3 +71,23 @@ def test_cli_config_roundtrip(spark, tmp_path):
     out = str(tmp_path / "matches.parquet")
     assert main(["config", str(ini), "--output", out]) == 0
     assert spark.read.parquet(out).count() == 2  # test1 has 2 triangles
+
+
+def test_cli_matching_mis_partition(spark, tmp_path, capsys):
+    p = _edges_parquet(spark, tmp_path)
+    outm = str(tmp_path / "matched.parquet")
+    assert main(["matching", "--edges", p, "--output", outm, "--rounds", "12"]) == 0
+    matched = spark.read.parquet(outm).collect()
+    verts = [v for r in matched for v in (r.src, r.dst)]
+    assert len(verts) == len(set(verts)) > 0
+
+    outi = str(tmp_path / "mis.parquet")
+    assert main(["mis", "--edges", p, "--output", outi, "--rounds", "12"]) == 0
+    mis = {r.id for r in spark.read.parquet(outi).collect()}
+    assert len(mis) > 0
+
+    outp = str(tmp_path / "parts.parquet")
+    assert main(["partition", "--edges", p, "--output", outp, "-k", "3"]) == 0
+    parts = spark.read.parquet(outp)
+    assert parts.count() == 60
+    assert {r.part for r in parts.select("part").distinct().collect()} <= {0, 1, 2}
