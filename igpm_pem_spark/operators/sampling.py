@@ -128,3 +128,38 @@ def sample_case_sql(
         parts.append(f"WHEN {strata} = '{name}' THEN {int(r * SPLIT_BUCKETS)}")
     parts.append(f"ELSE {int(default_rate * SPLIT_BUCKETS)} END")
     return f"{b} < ({' '.join(parts)})"
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int = 5,
+    salt: str = "resv",
+) -> DataFrame:
+    """Deterministic fixed-COUNT sample per group (vs sample_stratified's
+    fixed-RATE): the n smallest-hash keys per group — the engine-portable
+    stand-in for per-group reservoir sampling. Stable under appends in
+    the weaker per-group sense (a new row evicts at most the current
+    max-hash member) and reproducible across engines/partitionings.
+
+    Scale shape: window row_number over the per-group hash order — one
+    shuffle by group, per-group state is the heap of n rows."""
+    from pyspark.sql import Window
+
+    h = split_bucket(F.col(key_col), salt)  # portable hash, bucketed domain
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def reservoir_case_sql(key: str, group: str, n: int, salt: str = "resv") -> str:
+    """DuckDB SQL fragment: the same per-group n-smallest-hash filter as
+    a QUALIFY-style subquery predicate (callers wrap in row_number)."""
+    b = split_bucket_sql(key, salt)
+    return (
+        f"row_number() OVER (PARTITION BY {group} ORDER BY {b}, {key}) <= {n}"
+    )

@@ -70,3 +70,65 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """(group, k_used, kth_hash, est_distinct): per-group KMV distinct
+    estimate — the sketch composed under GROUP BY (per-language vocab
+    sizes, per-source unique users) without a per-group countDistinct
+    shuffle of every key.
+
+    Scale shape: one distinct over (group, hash) then a window top-k per
+    group — partial aggregation does the heavy lifting and per-group
+    state is k rows. Exact-degrade below k, as in kmv_distinct."""
+    if k < 3:
+        raise ValueError("kmv_distinct_by: k must be >= 3")
+    from pyspark.sql import Window
+
+    hs = (
+        df.select(F.col(group_col).alias("grp"), kmv_hash(F.col(key_col), salt).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    mins = hs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = mins.groupBy("grp").agg(
+        F.count("*").alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1) * float(KMV_DOMAIN)) / F.col("kth_hash").cast("double")
+            ).cast("bigint")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_by_sql(
+    group_sql: str, key_sql: str, from_sql: str, k: int = 64, salt: str = "kmv"
+) -> str:
+    """DuckDB SQL of kmv_distinct_by (same values per group)."""
+    h = kmv_hash_sql(key_sql, salt)
+    return f"""
+WITH hs AS (SELECT DISTINCT {group_sql} AS grp, {h} AS h FROM {from_sql}),
+mins AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
+  ) WHERE rn <= {k}
+)
+SELECT grp AS {group_sql}, count(*) AS k_used, max(h) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN count(*)
+            ELSE CAST(floor(({float(k - 1)} * {float(KMV_DOMAIN)}) / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM mins GROUP BY grp
+"""

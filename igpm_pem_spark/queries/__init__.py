@@ -36,6 +36,8 @@ _PRIORITY = [
     "graph_edge_cut",
     "emb_dedup_clusters",
     "doc_postings",
+    "doc_vocab_kmv_by_lang",
+    "doc_reservoir_lang",
     "rel_redact_props",
     "rel_pivot",
     "rel_asof_purchase",

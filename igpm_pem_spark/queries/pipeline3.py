@@ -217,3 +217,55 @@ SELECT d.token, d.df, h.postings_csv FROM dfs d JOIN heads h USING (token)
 )
 
 QUERIES["doc_postings"] = (_q_postings, _POSTINGS_SQL)
+
+
+def _q_vocab_kmv_by_lang(spark, sf_dir):
+    """Per-language vocabulary-size sketch: the KMV estimator composed
+    under GROUP BY — per-group distinct counts without shuffling every
+    (lang, token) key to one reducer."""
+    from ..functions.text import tokens
+    from ..operators.sketch import kmv_distinct_by
+
+    d = docs(spark, sf_dir)
+    t = tokens(d).join(d.select("doc_id", "lang"), "doc_id")
+    return kmv_distinct_by(t, "lang", "token", k=16)
+
+
+def _q_reservoir_lang(spark, sf_dir):
+    """Fixed-count deterministic sample: 5 docs per language by
+    smallest portable hash (fixed-COUNT sibling of the fixed-RATE
+    doc_sample_stratified)."""
+    from ..operators.sampling import reservoir_per_group
+
+    return reservoir_per_group(
+        docs(spark, sf_dir), "doc_id", "lang", n=5
+    ).select("doc_id", "lang")
+
+
+def _kmv_by_lang_sql() -> str:
+    from ..operators.sketch import kmv_by_sql
+
+    # join tok back to documents for lang, then the group-wise tail
+    return (
+        _TOK_CTE
+        + """
+, tl AS (SELECT t.doc_id, t.token, d.lang FROM tok t JOIN documents d USING (doc_id))
+"""
+        + kmv_by_sql("lang", "token", "tl", k=16).replace("WITH hs", ", hs", 1)
+    )
+
+
+def _reservoir_lang_sql() -> str:
+    from ..operators.sampling import reservoir_case_sql
+
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         {reservoir_case_sql("doc_id", "lang", 5)} AS keep
+  FROM documents
+) WHERE keep
+"""
+
+
+QUERIES["doc_vocab_kmv_by_lang"] = (_q_vocab_kmv_by_lang, _kmv_by_lang_sql())
+QUERIES["doc_reservoir_lang"] = (_q_reservoir_lang, _reservoir_lang_sql())
