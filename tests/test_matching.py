@@ -154,3 +154,21 @@ def test_multilevel_coarsening_shrinks_and_preserves_components(spark):
         nx.number_connected_components(nx.Graph(p2))
         == nx.number_connected_components(g0)
     )
+
+
+def test_lpa_partitions_strategies(spark):
+    """Window (spec) and hash (scale-fallback) packing both produce a
+    total assignment into k parts; window balances within one community
+    size of even."""
+    from igpm_pem_spark.operators.partition import edge_cut_summary, lpa_partitions
+
+    pairs = _ba_pairs(n=60, m=2, seed=29)
+    e = edges_df(spark, pairs)
+    for strategy in ("window", "hash"):
+        a = lpa_partitions(spark, e, k=3, strategy=strategy)
+        rows = a.collect()
+        assert len(rows) == 60
+        assert {r.part for r in rows} <= {0, 1, 2}
+    s = edge_cut_summary(e, lpa_partitions(spark, e, k=3), k=3).first()
+    assert s.n_edges > 0 and 0 <= s.cut_lpa <= s.n_edges
+    assert s.n_parts_used <= 3
