@@ -520,3 +520,129 @@ def labelprop_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
     return query, state
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    schema: str = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    ),
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user sessionization with an inactivity gap, the keyed-state shape
+    ``session_window`` cannot express when the per-key state must be
+    inspectable/extensible (the brief's "custom stateful operator" slot).
+
+    Per user, the state is the OPEN session ``(start_ns, last_ns,
+    n_events, total_value)``. Each micro-batch's rows for a key are folded
+    vectorized (numpy diff → gap flags → cumsum session ids → pandas
+    groupby agg — no per-row Python); sessions closed by the gap are
+    emitted append-mode, the trailing session is stored with an
+    EVENT-TIME timeout at ``last_ts + gap``: when the watermark passes it,
+    the engine calls back with ``hasTimedOut`` and the session is emitted
+    and the state removed — so output needs no end-of-stream flush logic
+    beyond the watermark advancing (tests append far-future sentinel rows
+    to drive it).
+
+    Emits exactly the batch ``rel_sessionize`` schema (user_id,
+    session_start epoch-seconds floor, n_events, total_value rounded 4) —
+    the session boundary rule matches ``F.session_window``: a row at
+    ``ts >= last + gap`` starts a new session. Parity with the batch
+    query on replayed buckets is pinned by tests/test_streaming.py.
+
+    At-scale note: exact parity requires arrival buckets ordered by event
+    time within the watermark (the reference's replay is bucket-ordered,
+    SURVEY §2.8); rows later than the watermark are dropped by the engine.
+    State per key is one fixed-width tuple — the state store stays
+    O(active users), not O(events).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = int(gap_minutes) * 60 * 1_000_000_000
+
+    out_schema = (
+        "user_id BIGINT, session_start BIGINT, n_events BIGINT, total_value DOUBLE"
+    )
+    state_schema = "start_ns BIGINT, last_ns BIGINT, n_events BIGINT, total_value DOUBLE"
+
+    def _emit(user_id, sess):
+        start_ns, _last, n, tot = sess
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "session_start": pd.Series([start_ns // 1_000_000_000], dtype="int64"),
+                "n_events": pd.Series([int(n)], dtype="int64"),
+                "total_value": pd.Series([round(float(tot), 4)], dtype="float64"),
+            }
+        )
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sess = state.get
+            state.remove()
+            yield _emit(user_id, sess)
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # unit-proof ns conversion (Arrow hands pandas us- or ns-resolution
+        # timestamps depending on the pandas major version)
+        ts = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        vals = pdf["value"].to_numpy()
+        carried = state.get if state.exists else None
+        # vectorized fold: gap flags -> session ids -> per-session agg
+        new_s = np.ones(len(ts), dtype=bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) >= gap_ns
+        sid = np.cumsum(new_s)
+        g = pd.DataFrame({"sid": sid, "ts": ts, "v": vals}).groupby("sid", sort=True)
+        agg = g.agg(
+            start=("ts", "first"), last=("ts", "last"),
+            n=("ts", "size"), tot=("v", "sum"),
+        )
+        sessions = [
+            [int(r.start), int(r.last), int(r.n), float(r.tot)]
+            for r in agg.itertuples()
+        ]
+        if carried is not None:
+            first = sessions[0]
+            if first[0] - carried[1] < gap_ns:  # batch head continues the open session
+                sessions[0] = [
+                    carried[0], first[1], carried[2] + first[2], carried[3] + first[3]
+                ]
+            else:
+                sessions.insert(0, list(carried))
+        for sess in sessions[:-1]:  # gap-closed this batch
+            yield _emit(user_id, sess)
+        open_sess = sessions[-1]
+        state.update(tuple(open_sess))
+        state.setTimeoutTimestamp(open_sess[1] // 1_000_000 + gap_ns // 1_000_000)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    out = (
+        s.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -234,3 +234,65 @@ def test_labelprop_stream_stable_and_matches_batch(spark, tmp_path):
     # batch equality on this unambiguous graph
     batch = label_propagation(spark, edges.select("src", "dst"), max_iter=10)
     assert {r.id: r.label for r in batch.labels.collect()} == got
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch session_window on the
+    same replayed event buckets; open sessions are flushed by the
+    event-time timeout when sentinel rows advance the watermark."""
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.streaming.stream import sessionize_stream
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src, exist_ok=True)
+    # ordered arrival buckets: 5-day slices of a 30-day feed
+    for lo in range(1, 31, 5):
+        bucket = ev.where(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < lo + 5)
+        )
+        bucket.coalesce(1).write.mode("append").parquet(src)
+    # two far-future sentinel buckets: the first advances the watermark past
+    # every open session's timeout (watermark is set from the PREVIOUS
+    # batch's max event time), the second flushes the first's own session
+    for day in ("2024-06-01", "2024-06-02"):
+        spark.createDataFrame(
+            [(10**6, day + " 00:00:00", -1, "flush", 0.0)],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sink = str(tmp_path / "ev_out")
+    q = sessionize_stream(spark, src, sink, str(tmp_path / "ev_ckpt"))
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.n_events): r.total_value
+        for r in spark.read.parquet(sink).where("user_id >= 0").collect()
+    }
+    expected = {
+        (r.user_id, r.session_start, r.n_events): r.total_value
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6, k
