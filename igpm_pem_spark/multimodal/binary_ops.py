@@ -340,3 +340,121 @@ def sample_frames(media: DataFrame, every_n: int = 10, n_frames_meta_key: str = 
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     ).where(F.col("n_frames") > 0)
+
+
+AUDIO_SCHEMA = (
+    "asset_id BIGINT, sample_rate INT, channels INT, n_samples BIGINT, "
+    "duration_ms DOUBLE, rms DOUBLE, peak INT, valid BOOLEAN"
+)
+
+
+def pack_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Real RIFF/WAVE container around 16-bit little-endian PCM — the audio
+    sibling of ``pack_ppm``: bytes any WAV reader (incl. stdlib ``wave``)
+    decodes. ``samples`` is an int array, interleaved when channels > 1."""
+    import numpy as np
+
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * 2 * channels, 2 * channels, 16,
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_media_wav(
+    spark: SparkSession, n: int = 50, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic REAL-audio media table: asset i is a mono 16-bit PCM
+    WAV whose integer waveform s[t] = ((1009*i + 97*t) mod 4001) - 2000
+    and length/rate derive from i. Pure function of i — identical bytes at
+    any partitioning — and decodable by any WAV reader."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            rows = {"asset_id": [], "kind": [], "bytes": [], "meta": []}
+            for i in ids:
+                i = int(i)
+                t = np.arange(400 + i % 37, dtype=np.int64)
+                s = (1009 * i + 97 * t) % 4001 - 2000
+                rate = 8000 * (1 + i % 3)
+                rows["asset_id"].append(i)
+                rows["kind"].append("audio")
+                rows["bytes"].append(pack_wav(s, rate))
+                rows["meta"].append({"source": f"synthetic-wav/{i}"})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_wav(raw: bytes):
+    """(sample_rate, channels, samples int16 ndarray) from RIFF/PCM-16
+    bytes; walks the chunk list (real files carry LIST/INFO chunks between
+    fmt and data). Raises ValueError on anything that is not PCM-16 WAV."""
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        cid, sz = raw[pos : pos + 4], struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Real audio decode + per-asset stats via Arrow-batched mapInPandas:
+    parse the RIFF/PCM WAV container, then vectorized numpy over the
+    sample buffer — duration, RMS, peak. Undecodable bytes yield
+    valid=false rows instead of failing the job (same contract as
+    ``decode_image_metadata``). This is the quality-filter stage of an
+    audio corpus pipeline (drop silence: rms ≈ 0; drop clipped: peak =
+    32767), and its output joins back on asset_id."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "sample_rate", "channels", "n_samples",
+                "duration_ms", "rms", "peak", "valid",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["bytes"]):
+                try:
+                    rate, ch, s = _decode_wav(bytes(b))
+                    n = len(s) // ch
+                    x = s.astype("float64")
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(1000.0 * n / rate)
+                    out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0)
+                    out["peak"].append(int(np.max(np.abs(s))) if len(s) else 0)
+                    out["valid"].append(True)
+                except (ValueError, struct.error):
+                    for k, v in (("sample_rate", 0), ("channels", 0), ("n_samples", 0),
+                                 ("duration_ms", 0.0), ("rms", 0.0), ("peak", 0),
+                                 ("valid", False)):
+                        out[k].append(v)
+                out["asset_id"].append(aid)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").select("asset_id", "bytes").mapInPandas(
+        decode, AUDIO_SCHEMA
+    )

@@ -246,3 +246,75 @@ def test_feature_extraction_feeds_kmeans(spark):
     assert len(got) == 31
     assert got[1000] == got[0]  # identical bytes -> identical embedding -> same cluster
     assert set(got.values()) <= set(range(4))
+
+
+def test_wav_golden_against_stdlib_wave(spark):
+    """pack_wav/_decode_wav round-trip checked against Python's stdlib wave
+    reader on the same bytes — a genuinely independent decoder."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from igpm_pem_spark.multimodal.binary_ops import _decode_wav, pack_wav
+
+    t = np.arange(500, dtype=np.int64)
+    s = (1009 * 3 + 97 * t) % 4001 - 2000
+    raw = pack_wav(s, 16000)
+    with wave.open(io.BytesIO(raw)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (16000, 1, 2)
+        ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    rate, ch, got = _decode_wav(raw)
+    assert (rate, ch) == (16000, 1)
+    assert (got == ref).all() and (got == s.astype("<i2")).all()
+
+
+def test_wav_decode_walks_extra_chunks():
+    import struct as st
+
+    import numpy as np
+
+    from igpm_pem_spark.multimodal.binary_ops import _decode_wav, pack_wav
+
+    raw = bytearray(pack_wav(np.arange(10), 8000))
+    # splice a LIST chunk (odd-sized, word-aligned) between fmt and data
+    extra = b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"
+    di = raw.index(b"data")
+    raw = bytes(raw[:di]) + extra + bytes(raw[di:])
+    rate, ch, s = _decode_wav(raw)
+    assert rate == 8000 and len(s) == 10
+
+
+def test_decode_audio_stats_matches_numpy_oracle(spark):
+    import numpy as np
+
+    from igpm_pem_spark.multimodal.binary_ops import (
+        decode_audio_stats,
+        synthetic_media_wav,
+    )
+
+    media = synthetic_media_wav(spark, n=25, num_partitions=4)
+    got = {r.asset_id: r for r in decode_audio_stats(media).collect()}
+    assert len(got) == 25
+    for i in range(25):
+        t = np.arange(400 + i % 37, dtype=np.int64)
+        s = ((1009 * i + 97 * t) % 4001 - 2000).astype("float64")
+        rate = 8000 * (1 + i % 3)
+        r = got[i]
+        assert r.valid and r.sample_rate == rate and r.n_samples == len(t)
+        assert abs(r.duration_ms - 1000.0 * len(t) / rate) < 1e-9
+        assert abs(r.rms - float(np.sqrt(np.mean(s * s)))) < 1e-9
+        assert r.peak == int(np.max(np.abs(s)))
+
+
+def test_decode_audio_stats_flags_corrupt_rows(spark):
+    from igpm_pem_spark.multimodal.binary_ops import decode_audio_stats
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"not a wav at all", {"source": "x"}),
+         (2, "image", b"PNG...", {"source": "y"})],
+        "asset_id BIGINT, kind STRING, bytes BINARY, meta MAP<STRING,STRING>",
+    )
+    rows = decode_audio_stats(media).collect()
+    assert len(rows) == 1  # non-audio kinds filtered out
+    assert rows[0].asset_id == 1 and not rows[0].valid
