@@ -45,33 +45,109 @@ def _min_prop_fix(
     adj: DataFrame,
     num_partitions: int,
     max_iter: int,
+    unroll: int = 2,
 ) -> tuple[DataFrame, int]:
     """Run color(v) ← min(color(v), min over edges (u,v) of color(u)) to
-    fixpoint, frontier-restricted. state: (id, color, changed)."""
+    fixpoint, frontier-restricted. state: (id, color, changed).
+
+    ``unroll`` sweeps share one materialization + ONE job (the
+    changed-count action is what materializes the lazy checkpoint): on
+    deep fixpoints the wall is dominated by per-job scheduling, not data,
+    so halving the job count nearly halves the wall. The plan references
+    the checkpointed state 3× per sweep (frontier, join left, compare) —
+    bounded by 3^unroll scans of an in-memory relation, which is why
+    unroll stays small instead of chasing the full fixpoint in one plan.
+    Convergence detection is unaffected: a sweep over an unchanged state
+    changes nothing, so "last sweep of the batch changed nothing" is
+    still exactly the fixpoint test (at most unroll-1 no-op sweeps run)."""
     steps = 0
     while steps < max_iter:
-        frontier = state.where("changed").select(
-            F.col("id").alias("src"), F.col("color").alias("cand")
-        )
-        raw = adj.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
-        msgs = (
-            raw.repartition(num_partitions, "dst")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("cand").alias("cand"))
-        )
-        state = state.join(msgs, "id", "left").select(
-            "id",
-            F.least(
-                F.col("color"), F.coalesce(F.col("cand"), F.col("color"))
-            ).alias("color"),
-            (F.coalesce(F.col("cand"), F.col("color")) < F.col("color")).alias(
-                "changed"
-            ),
-        ).localCheckpoint(eager=True)
-        steps += 1
-        if state.where("changed").limit(1).count() == 0:
+        for _ in range(min(unroll, max_iter - steps)):
+            frontier = state.where("changed").select(
+                F.col("id").alias("src"), F.col("color").alias("cand")
+            )
+            raw = adj.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
+            msgs = (
+                raw.repartition(num_partitions, "dst")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cand").alias("cand"))
+            )
+            state = state.join(msgs, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("color"), F.coalesce(F.col("cand"), F.col("color"))
+                ).alias("color"),
+                (F.coalesce(F.col("cand"), F.col("color")) < F.col("color")).alias(
+                    "changed"
+                ),
+            )
+            steps += 1
+        state = state.localCheckpoint(eager=False)
+        if state.where("changed").count() == 0:
             return state, steps
     raise RuntimeError(f"min-propagation did not converge in {max_iter} sweeps")
+
+
+def _trim(
+    alive: DataFrame,
+    fwd: DataFrame,
+    max_sweeps: int,
+) -> tuple[DataFrame, DataFrame | None, int]:
+    """Parallel trim (the T of FW-BW-Trim, Slota/Rajamanickam/Madduri
+    IPDPS'14): a vertex with zero in-degree or zero out-degree in the
+    alive subgraph cannot lie on a cycle, so it is its own singleton SCC.
+    Peel ALL such vertices each sweep; their removal exposes the next
+    layer (chains/DAG periphery peel in depth-of-chain sweeps). Link
+    graphs are mostly periphery — trimming empties the bulk of the vertex
+    set for pennies before a single coloring fixpoint runs.
+
+    Returns (alive', singletons(id, scc) or None, sweeps). Stops early at
+    a fixpoint; ``max_sweeps`` only bounds the work (correctness never
+    depends on trimming to completion — leftovers go through coloring)."""
+    singles: DataFrame | None = None
+    sweeps = 0
+    # restrict the edge set to the alive subgraph ONCE, then shrink it
+    # incrementally: each peel re-restricts the survivor edges, never the
+    # full graph — per-sweep cost is O(remaining subgraph), not O(E)
+    fa = (
+        fwd.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    while sweeps < max_sweeps:
+        # both degree flags in ONE shuffle: union the endpoint roles and
+        # max-aggregate, instead of two distincts + a semi-join
+        keep = (
+            fa.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .unionByName(
+                fa.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+            )
+            .groupBy("id")
+            .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+            .where((F.col("has_out") == 1) & (F.col("has_in") == 1))
+            .select("id")
+            .localCheckpoint(eager=False)
+        )
+        trimmed = alive.join(keep, "id", "left_anti").select(
+            "id", F.col("id").alias("scc")
+        )
+        sweeps += 1
+        # one job per peel: counting the trimmed layer materializes keep's
+        # (and the shrunken edge set's) lazy checkpoints underneath it
+        if trimmed.count() == 0:
+            break
+        # singles accumulate lazily — every input is checkpointed, so the
+        # union plan stays shallow; one checkpoint after the loop
+        singles = trimmed if singles is None else singles.unionByName(trimmed)
+        alive = keep
+        fa = (
+            fa.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    if singles is not None:
+        singles = singles.localCheckpoint(eager=True)
+    return alive, singles, sweeps
 
 
 def strongly_connected_components(
@@ -81,6 +157,7 @@ def strongly_connected_components(
     max_phases: int = 50,
     max_iter: int = 200,
     num_partitions: int | None = None,
+    trim_sweeps: int = 25,
 ) -> SccResult:
     """(id, scc) over the directed simple graph; scc = min member id
     (matching ``nx.strongly_connected_components`` up to labeling)."""
@@ -105,6 +182,13 @@ def strongly_connected_components(
     converged = False
     t0 = time.time()
     while phases < max_phases:
+        # trim first, every phase: the initial periphery, then whatever
+        # each extracted SCC's removal exposes
+        alive, singles, s0 = _trim(alive, fwd, trim_sweeps)
+        supersteps += s0
+        if singles is not None:
+            done = singles if done is None else done.unionByName(singles)
+            done = done.localCheckpoint(eager=True)
         if alive.limit(1).count() == 0:
             converged = True
             break

@@ -33,8 +33,9 @@ def test_scc_two_cycles_and_bridge(spark):
 def test_scc_dag_all_singletons(spark):
     pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
     res = _check(spark, pairs)
-    # a path-shaped DAG needs several phases but each removes the pivots
-    assert res.phases >= 1
+    # a pure DAG is entirely periphery: the trim pass peels every vertex
+    # before a single coloring phase runs
+    assert res.phases == 0
 
 
 def test_scc_one_big_cycle(spark):
