@@ -391,3 +391,96 @@ def inverted_postings(
         )
     )
     return dfs.join(heads, "token").select("token", "df", "postings_csv")
+
+
+def _word_array(text_col: str):
+    """array<string> of lower-cased whitespace words, empties dropped —
+    the row-local form of ``tokens`` (no explode, no shuffle)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): fixed-token-window
+    chunking with overlap — the context-window packing step every LLM
+    training pipeline runs between cleaning and tokenization. Chunk k
+    covers tokens [k*stride, k*stride + chunk_size); the tail chunk is
+    short rather than dropped, so every token lands in ≥1 chunk.
+
+    Entirely row-local Catalyst array expressions (split → sequence of
+    starts → explode → slice → array_join): the only data movement is the
+    explode's row multiplication (~n_tokens/stride rows per doc), there
+    is no shuffle and nothing Python — at 10^12 documents this runs as a
+    stateless map over the corpus scan."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_tokens: chunk_size and stride must be positive")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _word_array(text_col).alias("_xs")
+    ).where(F.size("_xs") > 0)
+    starts = F.sequence(F.lit(0), F.size("_xs") - 1, F.lit(stride))
+    ex = base.select("doc_id", "_xs", F.explode(starts).alias("_start"))
+    chunk = F.slice(F.col("_xs"), F.col("_start") + 1, chunk_size)
+    return ex.select(
+        "doc_id",
+        (F.col("_start") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def c4_quality_flags(
+    docs: DataFrame,
+    min_words: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, total_chars, max_word_freq, n_distinct,
+    ends_terminal, keep): C4-style document quality gate (Raffel et al.
+    2020's cleaning rules adapted to whole-document granularity) —
+    length floor, mean-word-length band, single-word repetition cap,
+    vocabulary-diversity floor, terminal-punctuation flag.
+
+    ``keep`` is decided on INTEGER comparisons only (total_chars vs
+    3·n/8·n bands, max_word_freq·5 vs n, n_distinct·10 vs 3·n) so the
+    DuckDB oracle reproduces it bit-exactly — no float thresholds.
+    All columns are row-local array expressions over one split; the
+    per-distinct-word frequency scan is O(n·distinct) per row, bounded
+    by document length, still a stateless map at corpus scale."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _word_array(text_col).alias("_xs"),
+        F.col(text_col).rlike(r"[.!?]\s*$").alias("ends_terminal"),
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("_xs").alias("n_words"),
+        F.aggregate(
+            F.col("_xs"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("_xs"),
+                    lambda d: F.size(F.filter(F.col("_xs"), lambda t: t == d)),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_word_freq"),
+        F.size(F.array_distinct("_xs")).alias("n_distinct"),
+        "ends_terminal",
+    )
+    keep = (
+        (F.col("n_words") >= F.lit(min_words))
+        & (F.col("total_chars") >= 3 * F.col("n_words"))
+        & (F.col("total_chars") <= 8 * F.col("n_words"))
+        & (F.col("max_word_freq") * 5 <= F.col("n_words"))
+        & (F.col("n_distinct") * 10 >= 3 * F.col("n_words"))
+    )
+    return stats.withColumn("keep", keep)

@@ -18,7 +18,7 @@ recent rounds; nothing stays permanently unverified.
 
 from __future__ import annotations
 
-from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relational
+from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, pipeline4, relational
 
 # Front-to-back driver order (see module docstring). Group 1: never
 # driver-oracled (round-3 stragglers + round-4 additions, ~63 s total at
@@ -27,6 +27,11 @@ from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relati
 # last — it is independently exercised by entry(), bench.py, and pytest).
 _PRIORITY = [
     # -- group 1: never oracled --
+    "doc_chunks",
+    "doc_c4_filter",
+    "rel_percentiles",
+    "rel_moving_avg",
+    "graph_contract_brand",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",
@@ -141,7 +146,7 @@ _PRIORITY = [
 
 def all_queries():
     merged = {}
-    for mod in (graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, relational):
+    for mod in (graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, pipeline4, relational):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
