@@ -132,3 +132,132 @@ SELECT grp AS {group_sql}, count(*) AS k_used, max(h) AS kth_hash,
        END AS est_distinct
 FROM mins GROUP BY grp
 """
+
+
+def anf_kmv(
+    spark,
+    edges: DataFrame,
+    *,
+    hops: int = 3,
+    k: int = 32,
+    salt: str = "anf",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, h, k_used, n_reach_est): the neighborhood function — how many
+    vertices lie within h hops of each vertex (undirected, self included)
+    — estimated per vertex by a KMV sketch merged along edges (the ANF
+    idea of Palmer/Gibbons/Faloutsos KDD'02, with KMV in place of their
+    Flajolet-Martin bitmasks so the estimate is portable arithmetic an
+    independent SQL engine reproduces exactly).
+
+    State is one ascending array of ≤k hashes per vertex. Per hop, every
+    vertex merges its neighbors' sketches with its own: one message join
+    + one groupBy whose per-group state is bounded by (degree+1)·k longs
+    (at web scale a hub's merge fans in via partial aggregation; beyond
+    that the standard move is a two-level salted merge — the sketch union
+    is associative and commutative, so any merge tree is exact). The
+    sketch rows are k longs regardless of how large the h-hop ball gets —
+    the whole point at 10^9 vertices, where exact per-vertex reach sets
+    are quadratic.
+
+    Sketches below occupancy k are exact counts (k_used < k ⇒ the ball
+    itself had k_used distinct hash values)."""
+    from .graph import canonical_undirected
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    e = canonical_undirected(edges)
+    sym = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .unionByName(e.select(F.col("dst").alias("v"), F.col("src").alias("nbr")))
+        .repartition(num_partitions, "nbr")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        sym.select(F.col("v").alias("id"))
+        .distinct()
+        .select("id", F.array(kmv_hash(F.col("id"), salt)).alias("ks"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    def _est(h: int) -> DataFrame:
+        n = F.size("ks")
+        return state.select(
+            "id",
+            F.lit(h).cast("int").alias("h"),
+            n.cast("int").alias("k_used"),
+            F.when(n < k, n.cast("bigint"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1) * float(KMV_DOMAIN))
+                    / F.element_at("ks", k).cast("double")
+                ).cast("bigint")
+            )
+            .alias("n_reach_est"),
+        )
+
+    out: DataFrame | None = None
+    for h in range(1, hops + 1):
+        msgs = sym.join(
+            state.select(F.col("id").alias("nbr"), "ks"), "nbr"
+        ).select(F.col("v").alias("id"), "ks")
+        state = (
+            state.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))),
+                    1,
+                    k,
+                ).alias("ks")
+            )
+            .localCheckpoint(eager=True)
+        )
+        hop_est = _est(h)
+        out = hop_est if out is None else out.unionByName(hop_est)
+    return out
+
+
+def anf_oracle_sql(g_sql: str, hops: int = 3, k: int = 32, salt: str = "anf") -> str:
+    """DuckDB SQL of ``anf_kmv``: exact h-hop reach sets (unrolled,
+    MATERIALIZED), then the identical min-k / estimator arithmetic over
+    the same portable hash values."""
+    h = kmv_hash_sql("node", salt)
+    parts = [
+        f"""WITH ge AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM ({g_sql}) q WHERE src <> dst
+)
+, sym AS MATERIALIZED (
+  SELECT src AS v, dst AS nbr FROM ge UNION ALL SELECT dst, src FROM ge
+)
+, r0 AS MATERIALIZED (
+  SELECT id, id AS node FROM (SELECT src AS id FROM ge UNION SELECT dst FROM ge)
+)"""
+    ]
+    for i in range(1, hops + 1):
+        q = i - 1
+        parts.append(
+            f"""
+, r{i} AS MATERIALIZED (
+  SELECT id, node FROM r{q}
+  UNION
+  SELECT s.v AS id, r.node FROM sym s JOIN r{q} r ON r.id = s.nbr
+)"""
+        )
+    hop_selects = []
+    for i in range(1, hops + 1):
+        hop_selects.append(
+            f"""
+SELECT id, CAST({i} AS INT) AS h, CAST(count(*) AS INT) AS k_used,
+       CASE WHEN count(*) < {k} THEN count(*)
+            ELSE CAST(floor({float(k - 1) * float(KMV_DOMAIN)} / CAST(max(hv) AS DOUBLE)) AS BIGINT)
+       END AS n_reach_est
+FROM (
+  SELECT id, hv, row_number() OVER (PARTITION BY id ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT id, {h} AS hv FROM r{i})
+) WHERE rn <= {k} GROUP BY id"""
+        )
+    parts.append("\nUNION ALL".join(hop_selects))
+    return "".join(parts)

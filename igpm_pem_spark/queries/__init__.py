@@ -32,6 +32,8 @@ _PRIORITY = [
     "rel_percentiles",
     "rel_moving_avg",
     "graph_contract_brand",
+    "graph_coloring_jp8",
+    "graph_anf3",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",

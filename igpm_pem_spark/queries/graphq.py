@@ -717,3 +717,44 @@ def _edge_cut_sql():
 
 QUERIES["graph_partition_lpa"] = (_q_partition_lpa, _partition_sql())
 QUERIES["graph_edge_cut"] = (_q_edge_cut, _edge_cut_sql())
+
+
+def _q_coloring_jp8(spark, sf_dir):
+    """8 Jones-Plassmann rounds of greedy coloring over the sparse
+    co-occurrence graph — the conflict-free-scheduling primitive
+    (color classes = independent sets updatable concurrently)."""
+    from ..operators.coloring import jp_coloring
+
+    res = jp_coloring(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), rounds=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    return res.colored.select("id", "color", "rnd")
+
+
+def _coloring_sql():
+    from ..operators.coloring import jp_coloring_oracle_sql
+
+    return jp_coloring_oracle_sql(G_SPARSE_SQL, rounds=8)
+
+
+def _q_anf3(spark, sf_dir):
+    """Neighborhood function within 3 hops per vertex, KMV-sketched —
+    the ANF web-graph connectivity profile (effective-diameter / reach
+    curves) at sketch cost instead of quadratic reach sets."""
+    from ..operators.sketch import anf_kmv
+
+    return anf_kmv(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), hops=3, k=32,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
+def _anf3_sql():
+    from ..operators.sketch import anf_oracle_sql
+
+    return anf_oracle_sql(G_SPARSE_SQL, hops=3, k=32)
+
+
+QUERIES["graph_coloring_jp8"] = (_q_coloring_jp8, _coloring_sql())
+QUERIES["graph_anf3"] = (_q_anf3, _anf3_sql())
