@@ -252,3 +252,68 @@ def strongly_connected_components(
     result = SccResult(done, phases, supersteps, True)
     result.stats.append({"wall_sec": round(time.time() - t0, 3)})
     return result
+
+
+def condensation_levels(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_levels: int = 200,
+    num_partitions: int | None = None,
+    scc_kwargs: dict | None = None,
+) -> DataFrame:
+    """(scc, level): longest-path layering of the SCC condensation DAG —
+    the build/evaluation schedule of a directed link graph (an import
+    graph's "compile level": everything at level L depends only on
+    levels < L; cycles are collapsed to one schedulable unit first).
+
+    level(c) = 0 for condensation sources, else 1 + max over predecessor
+    components — computed by bulk max-propagation sweeps over the
+    quotient edge set, which is ≤ the SCC count squared but in practice
+    tiny next to the input graph (the expensive part, the SCC map, is
+    the already-scale-shaped kernel above). Sweep count = DAG depth."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    comp = strongly_connected_components(
+        spark, edges, num_partitions=num_partitions, **(scc_kwargs or {})
+    ).components
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    q = (
+        e.join(comp.select(F.col("id").alias("src"), F.col("scc").alias("a")), "src")
+        .join(comp.select(F.col("id").alias("dst"), F.col("scc").alias("b")), "dst")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .repartition(num_partitions, "a")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        comp.select(F.col("scc").alias("c"))
+        .distinct()
+        .select("c", F.lit(0).cast("int").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_levels):
+        msgs = (
+            q.join(state.select(F.col("c").alias("a"), "level"), "a")
+            .groupBy(F.col("b").alias("c"))
+            .agg((F.max("level") + 1).alias("cand"))
+        )
+        nxt = (
+            state.join(msgs, "c", "left")
+            .select(
+                "c",
+                F.greatest(F.col("level"), F.coalesce(F.col("cand"), F.col("level")))
+                .cast("int")
+                .alias("level"),
+                (F.coalesce(F.col("cand"), F.lit(0)) > F.col("level")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = nxt.where("chg").count()
+        state = nxt.select("c", "level").localCheckpoint(eager=True)
+        if changed == 0:
+            return state.select(F.col("c").alias("scc"), "level")
+    raise RuntimeError(
+        f"condensation deeper than {max_levels} levels — raise max_levels"
+    )

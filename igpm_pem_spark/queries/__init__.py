@@ -34,6 +34,7 @@ _PRIORITY = [
     "graph_contract_brand",
     "graph_coloring_jp8",
     "graph_anf3",
+    "graph_condensation_levels",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",

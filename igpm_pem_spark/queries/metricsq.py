@@ -964,3 +964,53 @@ QUERIES["link_recommend_rwr"] = (
     _q_link_recommend,
     _with_g(_LINK_RECOMMEND_SQL, G_SPARSE_SQL, recursive=True),
 )
+
+
+def _q_condensation_levels(spark, sf_dir):
+    """Longest-path layering of the SCC condensation — the build-order
+    schedule of the directed link graph (level L depends only on < L;
+    cycles collapse to one unit first)."""
+    from ..operators.scc import condensation_levels
+
+    return condensation_levels(
+        spark, edges(spark, sf_dir, _G_DIRMIX_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
+# quotient DAG over the SCC oracle's map, then level = max path depth
+# from the condensation sources (recursive path enumeration, UNION-dedup
+# states so it terminates at DAG depth)
+_CONDENSATION_SQL = f"""
+WITH RECURSIVE g AS ({_G_DIRMIX_SQL})
+, verts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM g UNION ALL SELECT dst FROM g))
+, tc(src, dst) AS (
+    SELECT src, dst FROM g
+    UNION
+    SELECT t.src, g.dst FROM tc t JOIN g ON g.src = t.dst
+)
+, mutual AS (
+    SELECT a.src AS u, a.dst AS v
+    FROM tc a JOIN tc b ON b.src = a.dst AND b.dst = a.src
+)
+, map AS (
+    SELECT vt.id, least(vt.id, coalesce(min(m.v), vt.id)) AS scc
+    FROM verts vt LEFT JOIN mutual m ON m.u = vt.id
+    GROUP BY vt.id
+)
+, qe AS (
+    SELECT DISTINCT ms.scc AS a, md.scc AS b
+    FROM g JOIN map ms ON ms.id = g.src JOIN map md ON md.id = g.dst
+    WHERE ms.scc <> md.scc
+)
+, nodes AS (SELECT DISTINCT scc FROM map)
+, paths(n, d) AS (
+    SELECT scc, 0 FROM nodes WHERE scc NOT IN (SELECT b FROM qe)
+    UNION
+    SELECT qe.b, p.d + 1 FROM paths p JOIN qe ON qe.a = p.n
+)
+SELECT n AS scc, CAST(max(d) AS INT) AS level FROM paths GROUP BY n
+"""
+
+QUERIES["graph_condensation_levels"] = (_q_condensation_levels, _CONDENSATION_SQL)

@@ -55,3 +55,24 @@ def test_scc_random_digraphs(spark):
         })
         pairs = [(a, b) for a, b in pairs if a != b]
         _check(spark, pairs)
+
+
+def test_condensation_levels_vs_networkx(spark):
+    from igpm_pem_spark.operators.scc import condensation_levels
+
+    # cycle {1,2,3} -> 4 -> cycle {5,6} -> 7; plus source 8 -> 4
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (6, 7), (8, 4)]
+    g = nx.DiGraph()
+    g.add_edges_from(pairs)
+    got = {
+        r.scc: r.level
+        for r in condensation_levels(spark, edges_df(spark, pairs)).collect()
+    }
+    cond = nx.condensation(g)
+    # longest path from a source, per condensation node (same recurrence)
+    want_lv = {}
+    for n in nx.topological_sort(cond):
+        preds = list(cond.predecessors(n))
+        want_lv[n] = 0 if not preds else 1 + max(want_lv[p] for p in preds)
+    want = {min(cond.nodes[n]["members"]): lv for n, lv in want_lv.items()}
+    assert got == want
