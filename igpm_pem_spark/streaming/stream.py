@@ -646,3 +646,51 @@ def sessionize_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tol_seconds: int = 300,
+    watermark: str = "10 minutes",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: same-key (left, right) event pairs
+    with |left_ts − right_ts| ≤ tol — the streaming twin of the batch
+    ``operators/timejoin.range_join`` (identical pair semantics, proved
+    equal in tests). Both sides are watermarked and the join condition
+    is time-bounded, so the engine provably expires buffered rows once
+    the watermark passes their reach (state ≈ watermark + tol per side
+    — bounded regardless of stream length, the property that makes this
+    runnable forever at event-feed scale). Inner join: matches emit as
+    soon as both rows have arrived; no waiting on window finalization.
+
+    Right columns (except the key) come back ``prefix``-renamed;
+    ``delta_s`` = right − left in exact integer seconds."""
+    if prefix == "" or key.startswith(prefix):
+        raise ValueError("interval_join_stream: prefix must be non-empty and not a key prefix")
+    l = left.withWatermark(left_ts, watermark)
+    r_cols = [c for c in right.columns if c != key]
+    rr = right.select(
+        F.col(key), *[F.col(c).alias(f"{prefix}{c}") for c in r_cols]
+    ).withWatermark(f"{prefix}{right_ts}", watermark)
+    cond = (
+        (l[key] == rr[key])
+        & (
+            rr[f"{prefix}{right_ts}"]
+            >= F.col(left_ts) - F.expr(f"INTERVAL {tol_seconds} SECONDS")
+        )
+        & (
+            rr[f"{prefix}{right_ts}"]
+            <= F.col(left_ts) + F.expr(f"INTERVAL {tol_seconds} SECONDS")
+        )
+    )
+    joined = l.join(rr, cond).drop(rr[key])
+    return joined.withColumn(
+        "delta_s",
+        F.unix_timestamp(f"{prefix}{right_ts}") - F.unix_timestamp(left_ts),
+    )

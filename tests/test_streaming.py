@@ -296,3 +296,54 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got.keys() == expected.keys()
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-6, k
+
+
+def test_interval_join_stream_matches_batch_pairs(spark, tmp_path):
+    """Stream-stream interval join emits exactly the batch pair set:
+    same-key events within tol, across micro-batch boundaries."""
+    import datetime as dt
+
+    from igpm_pem_spark.streaming.stream import interval_join_stream
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    clicks = [  # (click_id, user_id, ts)
+        (1, 7, s(0)), (2, 7, s(400)), (3, 8, s(100)), (4, 9, s(50)),
+    ]
+    buys = [  # (buy_id, user_id, ts)
+        (10, 7, s(250)), (11, 8, s(500)), (12, 9, s(40)), (13, 9, s(1000)),
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i in range(2):  # two micro-batch files per side
+        spark.createDataFrame(
+            clicks[i * 2 : i * 2 + 2], "click_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        ).coalesce(1).write.mode("append").parquet(lsrc)
+        spark.createDataFrame(
+            buys[i * 2 : i * 2 + 2], "buy_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        ).coalesce(1).write.mode("append").parquet(rsrc)
+    ls = spark.readStream.schema("click_id BIGINT, user_id BIGINT, ts TIMESTAMP").parquet(lsrc)
+    rs = spark.readStream.schema("buy_id BIGINT, user_id BIGINT, ts TIMESTAMP").parquet(rsrc)
+    q = (
+        interval_join_stream(ls, rs, tol_seconds=300)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.click_id, r.r_buy_id, r.delta_s)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # batch truth: |delta| <= 300 same-key pairs
+    want = {
+        (c[0], b[0], int((b[2] - c[2]).total_seconds()))
+        for c in clicks
+        for b in buys
+        if c[1] == b[1] and abs((b[2] - c[2]).total_seconds()) <= 300
+    }
+    assert got == want and (1, 10, 250) in got and (2, 10, -150) in got
