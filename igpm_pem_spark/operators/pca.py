@@ -1,0 +1,106 @@
+"""PCA top principal component of an embedding corpus — power iteration.
+
+The feature-prep step a training pipeline runs before whitening /
+dimensionality reduction: the dominant direction of the (mean-centered)
+covariance. Power iteration never materializes the d×d covariance —
+each step is two corpus passes fused into ONE aggregation job:
+
+    s_row = ⟨x_row − μ, v⟩          (row-local expression)
+    w_d   = Σ_rows (x_row,d − μ_d)·s_row   (d running sums)
+
+so the per-iteration cost is a single scan + a 64-value aggregate,
+linear in corpus size and embarrassingly partition-parallel — the only
+driver traffic is the d-vector itself (64 doubles per iteration). At
+10^9 vectors this is exactly the shape you want: no shuffle at all
+(global aggregate = partial per partition + 64-double merge).
+
+The iteration count is FIXED (default 8) and v₀ = 1/√d·(1,…,1), so an
+independent SQL engine replays the identical recurrence. Convergence
+to the true top eigenvector needs a spectral gap — on a near-isotropic
+corpus the fixed-step output is the exact recurrence value, not the
+eigenvector (raise ``iters`` when the gap is known to be small); outputs are
+rounded to 6 decimals for the cross-engine comparison (power iteration
+is self-correcting, so sum-order float noise damps instead of
+compounding). Sign is pinned by the positive start vector.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pca_top_component(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, mu6, loading6): per-dimension corpus mean and the top
+    principal direction after ``iters`` power-iteration steps."""
+    if iters < 1 or dim < 1:
+        raise ValueError("pca_top_component: iters and dim must be >= 1")
+    x = [
+        F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)
+    ]
+    mu_row = emb.agg(*[F.avg(x[d]).alias(f"m{d}") for d in range(dim)]).collect()[0]
+    mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        # s = <x - mu, v> as one left-associative codegen'd expression
+        s = F.lit(0.0)
+        for d in range(dim):
+            s = s + (x[d] - F.lit(mu[d])) * F.lit(v[d])
+        w_row = emb.agg(
+            *[F.sum((x[d] - F.lit(mu[d])) * s).alias(f"w{d}") for d in range(dim)]
+        ).collect()[0]
+        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        norm = math.sqrt(sum(wi * wi for wi in w))
+        if norm == 0.0:
+            raise ValueError("pca_top_component: zero covariance — degenerate corpus")
+        v = [wi / norm for wi in w]
+    spark = emb.sparkSession
+    rows = [(d + 1, round(mu[d], 6), round(v[d], 6)) for d in range(dim)]
+    return spark.createDataFrame(rows, "pos INT, mu6 DOUBLE, loading6 DOUBLE")
+
+
+def pca_oracle_sql(dim: int = 64, iters: int = 8, table: str = "embeddings") -> str:
+    """DuckDB SQL of ``pca_top_component``: the same fixed recurrence
+    unrolled at (row, dim) granularity."""
+    parts = [
+        f"""WITH x AS MATERIALIZED (
+  SELECT vec_id, CAST(d.i AS INT) AS pos, CAST(embedding[CAST(d.i AS INT)] AS DOUBLE) AS val
+  FROM {table} JOIN range(1, {dim + 1}) d(i) ON true
+)
+, mu AS MATERIALIZED (SELECT pos, avg(val) AS mu FROM x GROUP BY pos)
+, c AS MATERIALIZED (
+  SELECT vec_id, x.pos, x.val - mu.mu AS cv FROM x JOIN mu ON mu.pos = x.pos
+)
+, v0 AS MATERIALIZED (
+  SELECT CAST(i AS INT) AS pos, 1.0 / sqrt({dim}) AS v FROM range(1, {dim + 1}) t(i)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        q = t - 1
+        parts.append(
+            f"""
+, s{t} AS MATERIALIZED (
+  SELECT c.vec_id, sum(c.cv * v{q}.v) AS s FROM c JOIN v{q} ON v{q}.pos = c.pos
+  GROUP BY c.vec_id
+)
+, w{t} AS MATERIALIZED (
+  SELECT c.pos, sum(c.cv * s{t}.s) AS w FROM c JOIN s{t} ON s{t}.vec_id = c.vec_id
+  GROUP BY c.pos
+)
+, v{t} AS MATERIALIZED (
+  SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM w{t}) AS v FROM w{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT mu.pos, round(mu.mu, 6) AS mu6, round(v{iters}.v, 6) AS loading6
+FROM mu JOIN v{iters} ON v{iters}.pos = mu.pos"""
+    )
+    return "".join(parts)

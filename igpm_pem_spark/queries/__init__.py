@@ -35,6 +35,7 @@ _PRIORITY = [
     "graph_coloring_jp8",
     "graph_anf3",
     "graph_condensation_levels",
+    "emb_pca_top",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",

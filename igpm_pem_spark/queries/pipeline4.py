@@ -181,3 +181,22 @@ QUERIES = {
     "rel_moving_avg": (_q_moving_avg, _MOVING_AVG_SQL),
     "graph_contract_brand": (_q_contract_brand, _CONTRACT_BRAND_SQL),
 }
+
+
+def _q_pca_top(spark, sf_dir):
+    """Top principal component of the embedding corpus by fixed-step
+    power iteration — one scan + one 64-value aggregate per step, no
+    shuffle, no materialized covariance."""
+    from ..operators.pca import pca_top_component
+    from ._common import emb
+
+    return pca_top_component(emb(spark, sf_dir), dim=64, iters=8)
+
+
+def _pca_sql():
+    from ..operators.pca import pca_oracle_sql
+
+    return pca_oracle_sql(dim=64, iters=8)
+
+
+QUERIES["emb_pca_top"] = (_q_pca_top, _pca_sql())
