@@ -31,17 +31,11 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 
-def pca_top_component(
-    emb: DataFrame,
-    *,
-    dim: int = 64,
-    iters: int = 8,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(pos, mu6, loading6): per-dimension corpus mean and the top
-    principal direction after ``iters`` power-iteration steps."""
+def _power_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
+    """Run the fixed power-iteration recurrence; returns (x exprs, mu, v)
+    where mu/v are plain python float lists (the only driver traffic)."""
     if iters < 1 or dim < 1:
-        raise ValueError("pca_top_component: iters and dim must be >= 1")
+        raise ValueError("pca: iters and dim must be >= 1")
     x = [
         F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)
     ]
@@ -59,16 +53,48 @@ def pca_top_component(
         w = [float(w_row[f"w{d}"]) for d in range(dim)]
         norm = math.sqrt(sum(wi * wi for wi in w))
         if norm == 0.0:
-            raise ValueError("pca_top_component: zero covariance — degenerate corpus")
+            raise ValueError("pca: zero covariance — degenerate corpus")
         v = [wi / norm for wi in w]
+    return x, mu, v
+
+
+def pca_top_component(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, mu6, loading6): per-dimension corpus mean and the top
+    principal direction after ``iters`` power-iteration steps."""
+    _, mu, v = _power_iterate(emb, dim, iters, vec_col)
     spark = emb.sparkSession
     rows = [(d + 1, round(mu[d], 6), round(v[d], 6)) for d in range(dim)]
     return spark.createDataFrame(rows, "pos INT, mu6 DOUBLE, loading6 DOUBLE")
 
 
-def pca_oracle_sql(dim: int = 64, iters: int = 8, table: str = "embeddings") -> str:
-    """DuckDB SQL of ``pca_top_component``: the same fixed recurrence
-    unrolled at (row, dim) granularity."""
+def pca_project(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, score6): each vector's coordinate on the top principal
+    direction — the 1-D whitening/feature a curriculum or outlier filter
+    sorts on. After the (driver-tiny) iteration, the projection itself is
+    a stateless row-local expression: zero shuffle, scan-wide codegen."""
+    x, mu, v = _power_iterate(emb, dim, iters, vec_col)
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + (x[d] - F.lit(mu[d])) * F.lit(v[d])
+    return emb.select(F.col(id_col), F.round(s, 6).alias("score6"))
+
+
+def _recurrence_ctes(dim: int, iters: int, table: str) -> list[str]:
+    """Shared CTE chain unrolling the power-iteration recurrence at
+    (row, dim) granularity: x, mu, c (centered), v0..v{iters}."""
     parts = [
         f"""WITH x AS MATERIALIZED (
   SELECT vec_id, CAST(d.i AS INT) AS pos, CAST(embedding[CAST(d.i AS INT)] AS DOUBLE) AS val
@@ -98,9 +124,31 @@ def pca_oracle_sql(dim: int = 64, iters: int = 8, table: str = "embeddings") -> 
   SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM w{t}) AS v FROM w{t}
 )"""
         )
+    return parts
+
+
+def pca_oracle_sql(dim: int = 64, iters: int = 8, table: str = "embeddings") -> str:
+    """DuckDB SQL of ``pca_top_component``: the same fixed recurrence
+    unrolled at (row, dim) granularity."""
+    parts = _recurrence_ctes(dim, iters, table)
     parts.append(
         f"""
 SELECT mu.pos, round(mu.mu, 6) AS mu6, round(v{iters}.v, 6) AS loading6
 FROM mu JOIN v{iters} ON v{iters}.pos = mu.pos"""
+    )
+    return "".join(parts)
+
+
+def pca_project_oracle_sql(
+    dim: int = 64, iters: int = 8, table: str = "embeddings"
+) -> str:
+    """DuckDB SQL of ``pca_project``: the recurrence CTEs plus one more
+    per-row inner product against the final direction."""
+    parts = _recurrence_ctes(dim, iters, table)
+    parts.append(
+        f"""
+SELECT c.vec_id, round(sum(c.cv * v{iters}.v), 6) AS score6
+FROM c JOIN v{iters} ON v{iters}.pos = c.pos
+GROUP BY c.vec_id"""
     )
     return "".join(parts)

@@ -18,7 +18,17 @@ recent rounds; nothing stays permanently unverified.
 
 from __future__ import annotations
 
-from . import graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, pipeline4, relational
+from . import (
+    graphq,
+    metricsq,
+    patternq,
+    pipeline,
+    pipeline2,
+    pipeline3,
+    pipeline4,
+    pipeline5,
+    relational,
+)
 
 # Front-to-back driver order (see module docstring). Group 1: never
 # driver-oracled (round-3 stragglers + round-4 additions, ~63 s total at
@@ -36,6 +46,9 @@ _PRIORITY = [
     "graph_anf3",
     "graph_condensation_levels",
     "emb_pca_top",
+    "rel_funnel3",
+    "rel_cohort_retention",
+    "emb_pca_project",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",
@@ -150,7 +163,10 @@ _PRIORITY = [
 
 def all_queries():
     merged = {}
-    for mod in (graphq, metricsq, patternq, pipeline, pipeline2, pipeline3, pipeline4, relational):
+    for mod in (
+        graphq, metricsq, patternq, pipeline, pipeline2, pipeline3,
+        pipeline4, pipeline5, relational,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

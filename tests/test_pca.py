@@ -45,6 +45,31 @@ def test_matches_numpy_eigenvector(spark):
     assert math.isclose(float((out["loading6"] ** 2).sum()), 1.0, rel_tol=1e-4)
 
 
+def test_project_matches_numpy(spark):
+    x = _corpus()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    from igpm_pem_spark.operators.pca import pca_project
+
+    out = (
+        pca_project(df, dim=8, iters=12)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu)
+    _, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if top.sum() < 0:
+        top = -top
+    expected = (x - mu) @ top
+    assert len(out) == len(x)
+    assert np.allclose(out["score6"].values, expected, atol=1e-3)
+
+
 def test_rejects_bad_args(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="iters and dim"):
