@@ -496,3 +496,52 @@ def semantic_dedup_clusters(
             ).alias("keep"),
         )
     )
+
+
+def knn_label_accuracy(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_queries, n_correct): leave-self-out kNN label-vote
+    accuracy per true label — the standard intrinsic quality check run
+    on an embedding table before it is trusted for dedup/retrieval
+    (low kNN accuracy ⇒ the vectors don't encode the taxonomy).
+
+    The neighbor search is the exact ``cosine_topk`` subset baseline
+    (deterministic (cos4 desc, id asc) ranking); the vote is majority
+    with (count desc, label asc) tie-break, so the whole statistic is
+    engine-portable. At scale the exact search swaps for ``ann_lsh_topk``
+    unchanged — both emit (query_id, neighbor_id) pairs. Everything after
+    the top-k is two keyed aggregations over ≤ |Q|·k rows."""
+    topk = cosine_topk(emb, k=k, query_mod=query_mod, id_col=id_col, vec_col=vec_col)
+    lbl = emb.select(F.col(id_col), F.col(label_col))
+    nb_lbl = topk.join(
+        lbl.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+        ),
+        "neighbor_id",
+    )
+    votes = nb_lbl.groupBy("query_id", "nb_label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred"))
+    )
+    truth = lbl.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )

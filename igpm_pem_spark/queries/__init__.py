@@ -49,6 +49,7 @@ _PRIORITY = [
     "rel_funnel3",
     "rel_cohort_retention",
     "emb_pca_project",
+    "emb_knn_label_acc",
     "rel_cube",
     "rel_grouping_sets",
     "graph_matching8",

@@ -118,8 +118,52 @@ def _pca_project_sql():
     return pca_project_oracle_sql(dim=64, iters=8)
 
 
+def _q_knn_label_acc(spark, sf_dir):
+    """Leave-self-out 5-NN label-vote accuracy per class on the exact
+    cosine subset baseline — the intrinsic embedding-quality gate."""
+    from ..operators.similarity import knn_label_accuracy
+    from ._common import emb
+
+    return knn_label_accuracy(emb(spark, sf_dir), k=5, query_mod=25)
+
+
+_KNN_ACC_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e1
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.e1, c.embedding::DOUBLE[]), 4) AS cos4
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label AS nb_label, count(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+),
+pred AS (
+  SELECT query_id, nb_label AS pred FROM votes
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY c DESC, nb_label ASC) = 1
+)
+SELECT e.label,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+GROUP BY e.label
+"""
+
+
 QUERIES = {
     "rel_funnel3": (_q_funnel3, _FUNNEL3_SQL),
     "rel_cohort_retention": (_q_cohort_retention, _COHORT_SQL),
     "emb_pca_project": (_q_pca_project, _pca_project_sql()),
+    "emb_knn_label_acc": (_q_knn_label_acc, _KNN_ACC_SQL),
 }

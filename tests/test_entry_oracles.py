@@ -38,8 +38,9 @@ def duck():
 
 
 # exactness baselines documented as subset-guarded quadratic plans — the
-# only queries allowed a cartesian/nested-loop join
-_CROSSJOIN_OK = {"emb_cosine_topk", "emb_near_dup_pairs"}
+# only queries allowed a cartesian/nested-loop join (emb_knn_label_acc
+# votes over the exact cosine_topk subset baseline)
+_CROSSJOIN_OK = {"emb_cosine_topk", "emb_near_dup_pairs", "emb_knn_label_acc"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
