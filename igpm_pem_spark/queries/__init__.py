@@ -88,6 +88,7 @@ _PRIORITY = [
     "community_louvain_move",
     "emb_ann_ivf_topk",
     "community_q_improvement",
+    "graph_spam_mass",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

@@ -758,3 +758,81 @@ def _anf3_sql():
 
 QUERIES["graph_coloring_jp8"] = (_q_coloring_jp8, _coloring_sql())
 QUERIES["graph_anf3"] = (_q_anf3, _anf3_sql())
+
+
+def _q_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (Gyongyi et al., VLDB'04): global PageRank vs
+    trust-seeded personalized PageRank (both 8 exact rounds), relative
+    spam mass = (pr - tr) / pr.  The anti-spam staple of a web link-graph
+    engine: pages whose rank is NOT reachable from the trusted seed set
+    carry high spam mass.  Composition of the existing exact kernel
+    (operators/pagerank.py — the reference's proximity primitive,
+    patternmatching/gray/rwr.py:149-180) run twice; the oracle mirrors
+    both recursions side by side."""
+    from ..operators.graph import vertex_ids
+    from ..operators.pagerank import pagerank
+
+    e = edges(spark, sf_dir)
+    np_ = graph_nparts(spark, sf_dir)
+    seeds = [int(r.id) for r in vertex_ids(e).orderBy("id").limit(5).collect()]
+    pr = pagerank(
+        spark, e, tol=0.0, max_iter=8, mode="exact", num_partitions=np_
+    ).ranks
+    tr = pagerank(
+        spark, e, tol=0.0, max_iter=8, mode="exact",
+        personalization={s: 1.0 for s in seeds}, num_partitions=np_,
+    ).ranks
+    return (
+        pr.select("id", F.col("rank").alias("_pr"))
+        .join(tr.select("id", F.col("rank").alias("_tr")), "id")
+        .select(
+            "id",
+            F.round("_pr", 7).alias("rank7"),
+            F.round("_tr", 7).alias("trust7"),
+            F.round((F.col("_pr") - F.col("_tr")) / F.col("_pr"), 6).alias(
+                "spam_mass6"
+            ),
+        )
+    )
+
+
+QUERIES["graph_spam_mass"] = (
+    _q_spam_mass,
+    _with_g(
+        """
+        , verts AS (SELECT DISTINCT src AS id FROM sym)
+        , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+        , nn AS (SELECT count(*) AS c FROM verts)
+        , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+        , pv AS (SELECT v.id,
+                        CASE WHEN s.id IS NULL THEN 0.0 ELSE 0.2 END AS p
+                 FROM verts v LEFT JOIN seeds s ON s.id = v.id)
+        , pr(iter, id, r) AS (
+            SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+            UNION ALL
+            SELECT p.iter + 1, e.dst,
+                   0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r / d.d)
+            FROM pr p JOIN sym e ON e.src = p.id JOIN deg d ON d.src = p.id
+            WHERE p.iter < 8
+            GROUP BY p.iter, e.dst
+        )
+        , tr(iter, id, r) AS (
+            SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+            UNION ALL
+            SELECT t.iter + 1, e.dst,
+                   0.15 * min(pv.p) + 0.85 * sum(t.r / d.d)
+            FROM tr t JOIN sym e ON e.src = t.id
+                      JOIN deg d ON d.src = t.id
+                      JOIN pv ON pv.id = e.dst
+            WHERE t.iter < 8
+            GROUP BY t.iter, e.dst
+        )
+        SELECT p.id, round(p.r, 7) AS rank7, round(t.r, 7) AS trust7,
+               round((p.r - t.r) / p.r, 6) AS spam_mass6
+        FROM pr p JOIN tr t ON t.id = p.id AND t.iter = 8
+        WHERE p.iter = 8
+        """,
+        G_PARTS_SQL,
+        recursive=True,
+    ),
+)

@@ -55,8 +55,10 @@ def pagerank_oracle(
         }
         err = sum(abs(nxt[v] - x[v]) for v in verts)
         x = nxt
-        if err < n * tol:
+        if tol > 0.0 and err < n * tol:
             return x
+    if tol == 0.0:  # fixed-iteration mode: exactly max_iter rounds
+        return x
     raise RuntimeError("oracle pagerank failed to converge")
 
 

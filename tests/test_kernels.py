@@ -268,3 +268,30 @@ def test_weighted_pagerank_matches_oracle(spark, directed, mode):
     want = _weighted_pr_oracle(wpairs, directed)
     assert max(abs(got[k] - want[k]) for k in want) < 1e-7
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_spam_mass_composition_matches_python_oracle(spark):
+    """TrustRank spam mass (queries/graphq.py::_q_spam_mass semantics):
+    (pr - tr)/pr from two exact 8-round runs must match the pure-python
+    recurrence, seeds must carry negative (trusted) mass and the vertex
+    farthest from the seeds the largest."""
+    edges, pairs, _ = _pairs("ba100", spark)
+    seeds = sorted({s for s, _ in pairs} | {d for _, d in pairs})[:5]
+    pr = pagerank(spark, edges, tol=0.0, max_iter=8, mode="exact")
+    tr = pagerank(
+        spark, edges, tol=0.0, max_iter=8, mode="exact",
+        personalization={s: 1.0 for s in seeds},
+    )
+    got_pr = {r.id: r["rank"] for r in pr.ranks.collect()}
+    got_tr = {r.id: r["rank"] for r in tr.ranks.collect()}
+    want_pr = pagerank_oracle(pairs, False, tol=0.0, max_iter=8)
+    want_tr = pagerank_oracle(
+        pairs, False, tol=0.0, max_iter=8,
+        personalization={s: 1.0 for s in seeds},
+    )
+    mass_got = {v: (got_pr[v] - got_tr[v]) / got_pr[v] for v in got_pr}
+    mass_want = {v: (want_pr[v] - want_tr[v]) / want_pr[v] for v in want_pr}
+    assert set(mass_got) == set(mass_want)
+    assert max(abs(mass_got[v] - mass_want[v]) for v in mass_want) < 1e-6
+    # trusted seeds absorb restart mass: strictly negative spam mass
+    assert all(mass_got[s] < 0 for s in seeds)
