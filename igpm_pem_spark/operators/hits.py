@@ -121,3 +121,90 @@ def hits(
         ),
         max_iter,
     )
+
+
+def _salsa_message_graph(e: DataFrame) -> DataFrame:
+    """SALSA's stochastic message graph: the HITS bipartite layout with
+    degree-normalized weights (fwd w = 1/outdeg(src), bwd w = 1/indeg(dst))
+    plus the same weight-0 keep-alive self messages."""
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    fwd = e.join(outdeg, "src").select(
+        F.col("src").alias("fid"), F.lit("h").alias("fs"),
+        F.col("dst").alias("tid"), F.lit("a").alias("ts"),
+        (F.lit(1.0) / F.col("od")).alias("w"),
+    )
+    bwd = e.join(indeg, "dst").select(
+        F.col("dst").alias("fid"), F.lit("a").alias("fs"),
+        F.col("src").alias("tid"), F.lit("h").alias("ts"),
+        (F.lit(1.0) / F.col("idg")).alias("w"),
+    )
+    ids = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    keep = ids.crossJoin(
+        F.broadcast(
+            ids.sparkSession.createDataFrame([("h",), ("a",)], "side STRING")
+        )
+    ).select(
+        F.col("id").alias("fid"), F.col("side").alias("fs"),
+        F.col("id").alias("tid"), F.col("side").alias("ts"),
+        F.lit(0.0).alias("w"),
+    )
+    return fwd.unionByName(bwd).unionByName(keep)
+
+
+def salsa(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_iter: int = 8,
+    num_partitions: int | None = None,
+) -> HitsResult:
+    """Fixed-iteration SALSA (Lempel & Moran, WWW'00) — the stochastic
+    sibling of HITS: each propagation divides by the sending side's degree,
+    so hubs/authorities perform coupled random walks instead of raw
+    mass accumulation (TKC-effect resistant).  Spec the oracle mirrors::
+
+        auth_t(v) = sum over (u,v) of hub_{t-1}(u)  / outdeg(u)
+        hub_t(u)  = sum over (u,v) of auth_{t-1}(v) / indeg(v)
+
+    simultaneous (Jacobi) updates from hub_0 = auth_0 = 1, final L1
+    normalization only.  Same one-join + one-aggregate superstep plan as
+    ``hits`` — only the static message weights differ, so the scale shape
+    (bm partitioned once, repartition-then-sum aggregate) is inherited."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    e = simple_edges(edges, directed=True)
+    bm = _salsa_message_graph(e).repartition(num_partitions, "fid").persist()
+    state = (
+        bm.select(F.col("fid").alias("id"), F.col("fs").alias("side"))
+        .distinct()
+        .withColumn("val", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = bm.join(
+            state.hint("shuffle_hash"),
+            (bm["fid"] == state["id"]) & (bm["fs"] == state["side"]),
+        ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
+        state = (
+            msgs.repartition(num_partitions, "tid", "ts")
+            .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
+            .agg(F.sum("m").alias("val"))
+        )
+        state = state.localCheckpoint(eager=True)
+    bm.unpersist()
+    totals = state.groupBy("side").agg(F.sum("val").alias("s"))
+    norm = state.join(F.broadcast(totals), "side").select(
+        "id", "side", (F.col("val") / F.col("s")).alias("val")
+    )
+    wide = norm.groupBy("id").pivot("side", ["h", "a"]).agg(F.first("val"))
+    return HitsResult(
+        wide.select(
+            "id", F.col("h").alias("hub"), F.col("a").alias("auth")
+        ),
+        max_iter,
+    )

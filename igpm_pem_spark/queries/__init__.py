@@ -89,6 +89,7 @@ _PRIORITY = [
     "emb_ann_ivf_topk",
     "community_q_improvement",
     "graph_spam_mass",
+    "salsa_fixed8",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

@@ -362,6 +362,57 @@ GROUP BY f.id
 """
 
 
+# SALSA oracle: the HITS recursion with degree-normalized message weights
+# (fwd 1/outdeg(src), bwd 1/indeg(dst)) — see operators/hits.py::salsa.
+_SALSA_SQL = f"""
+WITH RECURSIVE g AS ({G_SPARSE_SQL})
+, verts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM g UNION ALL SELECT dst FROM g))
+, sides(side) AS (VALUES ('h'), ('a'))
+, odeg AS (SELECT src, count(*) AS od FROM g GROUP BY src)
+, ideg AS (SELECT dst, count(*) AS idg FROM g GROUP BY dst)
+, bm AS (
+    SELECT g.src AS fid, 'h' AS fs, g.dst AS tid, 'a' AS ts,
+           CAST(1.0 AS DOUBLE) / o.od AS w
+    FROM g JOIN odeg o ON o.src = g.src
+    UNION ALL
+    SELECT g.dst, 'a', g.src, 'h', CAST(1.0 AS DOUBLE) / i.idg
+    FROM g JOIN ideg i ON i.dst = g.dst
+    UNION ALL
+    SELECT id, side, id, side, CAST(0.0 AS DOUBLE) FROM verts, sides
+)
+, st(iter, id, side, val) AS (
+    SELECT 0, id, side, CAST(1.0 AS DOUBLE) FROM verts, sides
+    UNION ALL
+    SELECT t.iter + 1, b.tid, b.ts, sum(t.val * b.w)
+    FROM st t JOIN bm b ON b.fid = t.id AND b.fs = t.side
+    WHERE t.iter < 8
+    GROUP BY t.iter, b.tid, b.ts
+)
+, fin AS (SELECT id, side, val FROM st WHERE iter = 8)
+, tot AS (SELECT side, sum(val) AS s FROM fin GROUP BY side)
+SELECT f.id,
+       round(max(CASE WHEN f.side = 'h' THEN f.val / t.s END), 7) AS hub7,
+       round(max(CASE WHEN f.side = 'a' THEN f.val / t.s END), 7) AS auth7
+FROM fin f JOIN tot t ON t.side = f.side
+GROUP BY f.id
+"""
+
+
+def _q_salsa(spark, sf_dir):
+    from ..operators.hits import salsa
+
+    res = salsa(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), max_iter=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    return res.scores.select(
+        "id",
+        F.round("hub", 7).alias("hub7"),
+        F.round("auth", 7).alias("auth7"),
+    )
+
+
 def _q_hits(spark, sf_dir):
     from ..operators.hits import hits
 
@@ -551,6 +602,7 @@ def _q_square_count(spark, sf_dir):
 
 QUERIES = {
     "hits_fixed8": (_q_hits, _HITS_SQL),
+    "salsa_fixed8": (_q_salsa, _SALSA_SQL),
     # identical oracle to sssp_weighted: the incremental replay must land
     # on the batch fixpoint
     "sssp_incremental": (_q_sssp_incremental, _SSSP_SQL),

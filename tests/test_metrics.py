@@ -9,7 +9,7 @@ import math
 import networkx as nx
 import pytest
 
-from igpm_pem_spark.operators.hits import hits
+from igpm_pem_spark.operators.hits import hits, salsa
 from igpm_pem_spark.operators.metrics import (
     avg_neighbor_degree,
     clustering_coefficient,
@@ -128,6 +128,43 @@ def test_hits_rows_and_l1(spark):
     rows = res.scores.collect()
     ids = {r.id for r in rows}
     assert ids == {v for p in PAIRS for v in p}
+    assert math.isclose(sum(r.hub for r in rows), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r.auth for r in rows), 1.0, abs_tol=1e-9)
+
+
+def test_salsa_matches_python_recurrence(spark):
+    """SALSA (degree-normalized HITS): fixed-8 Jacobi iterate must equal
+    the dict recurrence exactly (final L1 normalization only)."""
+    pairs = [(1, 4), (2, 4), (3, 4), (1, 5), (2, 5), (4, 6), (5, 6), (6, 1)]
+    e = edges_df(spark, pairs)
+    res = salsa(spark, e, max_iter=8)
+    got = {r.id: (r.hub, r.auth) for r in res.scores.collect()}
+    ids = sorted({v for p in pairs for v in p})
+    od = {v: 0 for v in ids}
+    idg = {v: 0 for v in ids}
+    for s_, d in pairs:
+        od[s_] += 1
+        idg[d] += 1
+    h = {v: 1.0 for v in ids}
+    a = {v: 1.0 for v in ids}
+    for _ in range(8):
+        a_new = {v: 0.0 for v in ids}
+        h_new = {v: 0.0 for v in ids}
+        for s_, d in pairs:  # simultaneous (Jacobi) update
+            a_new[d] += h[s_] / od[s_]
+            h_new[s_] += a[d] / idg[d]
+        h, a = h_new, a_new
+    sh, sa = sum(h.values()), sum(a.values())
+    for v in ids:
+        assert got[v][0] == pytest.approx(h[v] / sh, abs=1e-12)
+        assert got[v][1] == pytest.approx(a[v] / sa, abs=1e-12)
+
+
+def test_salsa_rows_and_l1(spark):
+    e = edges_df(spark, PAIRS)
+    res = salsa(spark, e, max_iter=8)
+    rows = res.scores.collect()
+    assert {r.id for r in rows} == {v for p in PAIRS for v in p}
     assert math.isclose(sum(r.hub for r in rows), 1.0, abs_tol=1e-9)
     assert math.isclose(sum(r.auth for r in rows), 1.0, abs_tol=1e-9)
 
