@@ -435,6 +435,45 @@ def chunk_tokens(
     )
 
 
+def span_duplicates(
+    docs: DataFrame,
+    span: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(span_md5, n_docs, n_spans, min_doc_id): token spans shared across
+    documents — the cross-document companion to ``repetition_stats``
+    (within-doc) and the C4/RefinedWeb "remove duplicated spans" dedup
+    primitive at token granularity (C4 uses 3-sentence spans; fixed
+    ``span``-token windows are the tokenizer-stable equivalent).
+
+    Spans are non-overlapping ``span``-token windows (tail fragments
+    shorter than ``span`` are excluded — they would never collide except
+    trivially); a span row survives when ≥ ``min_docs`` DISTINCT documents
+    contain it. Plan: the stateless ``chunk_tokens`` map, then ONE groupBy
+    at span-type granularity keyed on the 16-byte md5 — the same shape as
+    exact dedup, so it scales to 10^12 documents (hot spans are bounded by
+    corpus vocabulary, not corpus size; the md5 key is portable to any
+    engine for the oracle)."""
+    if min_docs < 2:
+        raise ValueError("span_duplicates: min_docs must be >= 2")
+    ch = chunk_tokens(
+        docs, chunk_size=span, stride=span, id_col=id_col, text_col=text_col
+    )
+    return (
+        ch.where(F.col("n_tokens") == span)
+        .select("doc_id", F.md5(F.col("chunk_text")).alias("span_md5"))
+        .groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_spans"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def c4_quality_flags(
     docs: DataFrame,
     min_words: int = 30,

@@ -90,6 +90,7 @@ _PRIORITY = [
     "community_q_improvement",
     "graph_spam_mass",
     "salsa_fixed8",
+    "doc_span_dedup",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

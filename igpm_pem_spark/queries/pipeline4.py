@@ -43,6 +43,34 @@ FROM nz JOIN range(0, {_MAX_TOKENS}, {_STRIDE}) r(s) ON r.s < n
 )
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Cross-document span dedup summary: 16-token spans appearing in
+    >= 2 distinct documents (functions/text.py::span_duplicates)."""
+    from ..functions.text import span_duplicates
+
+    return span_duplicates(docs(spark, sf_dir), span=16, min_docs=2)
+
+
+_SPAN_DEDUP_SQL = (
+    _XS_CTE
+    + f"""
+, nz AS (SELECT doc_id, xs, len(xs) AS n FROM base WHERE len(xs) > 0)
+, spans AS (
+  SELECT doc_id,
+         array_to_string(list_slice(xs, CAST(r.s + 1 AS INT), CAST(least(r.s + 16, n) AS INT)), ' ') AS t,
+         len(list_slice(xs, CAST(r.s + 1 AS INT), CAST(least(r.s + 16, n) AS INT))) AS nt
+  FROM nz JOIN range(0, {_MAX_TOKENS}, 16) r(s) ON r.s < n
+)
+SELECT md5(t) AS span_md5,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_spans,
+       min(doc_id) AS min_doc_id
+FROM spans WHERE nt = 16
+GROUP BY md5(t) HAVING count(DISTINCT doc_id) >= 2
+"""
+)
+
+
 def _q_c4_filter(spark, sf_dir):
     """C4-style quality gate: length floor, mean-word-length band,
     repetition cap, diversity floor — all decided on integer
@@ -177,6 +205,7 @@ FROM lab GROUP BY 1, 2
 QUERIES = {
     "doc_chunks": (_q_chunks, _CHUNKS_SQL),
     "doc_c4_filter": (_q_c4_filter, _C4_SQL),
+    "doc_span_dedup": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "rel_percentiles": (_q_percentiles, _PERCENTILES_SQL),
     "rel_moving_avg": (_q_moving_avg, _MOVING_AVG_SQL),
     "graph_contract_brand": (_q_contract_brand, _CONTRACT_BRAND_SQL),

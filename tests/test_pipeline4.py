@@ -60,3 +60,32 @@ def test_c4_flags_terminal_punct(spark):
     rows = [(1, "ends with a period."), (2, "no terminal mark here")]
     out = {r.doc_id: r for r in c4_quality_flags(_docs(spark, rows)).collect()}
     assert out[1].ends_terminal and not out[2].ends_terminal
+
+
+def test_span_duplicates_cross_doc(spark):
+    from igpm_pem_spark.functions.text import span_duplicates
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        (1, shared + " tailA"),             # span at offset 0
+        (2, shared + " tailB"),             # same span, different doc
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique doc
+        (4, shared + " " + shared),         # same span twice in ONE doc
+    ]
+    out = span_duplicates(
+        _docs(spark, rows), span=16, min_docs=2
+    ).collect()
+    # exactly one 16-token span is shared across >= 2 docs
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 3          # docs 1, 2, 4
+    assert r.n_spans == 4         # doc 4 contributes two occurrences
+    assert r.min_doc_id == 1
+    # doc 3's tokens never collide; spans are full-width only (tails drop)
+
+
+def test_span_duplicates_rejects_min_docs_1(spark):
+    from igpm_pem_spark.functions.text import span_duplicates
+
+    with pytest.raises(ValueError):
+        span_duplicates(_docs(spark, [(1, "a b")]), min_docs=1)
