@@ -91,6 +91,7 @@ _PRIORITY = [
     "graph_spam_mass",
     "salsa_fixed8",
     "doc_span_dedup",
+    "graph_eff_diameter",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

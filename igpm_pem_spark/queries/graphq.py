@@ -836,3 +836,53 @@ QUERIES["graph_spam_mass"] = (
         recursive=True,
     ),
 )
+
+
+def _q_eff_diameter(spark, sf_dir):
+    """ANF reach curve + 90% effective diameter (Palmer et al. KDD'02,
+    THE web-graph distance measurement): per hop h, total KMV-estimated
+    reach Σ_v |ball(v,h)|; the effective diameter is the smallest h whose
+    total reach covers ≥ 90% of the h=6 saturation level. KMV sketches
+    only grow, so per-vertex estimates — and the curve — are monotone;
+    sketch cost O(V·k) per hop instead of quadratic reach sets."""
+    from ..operators.sketch import anf_kmv
+
+    a = anf_kmv(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), hops=6, k=32,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    curve = a.groupBy("h").agg(F.sum("n_reach_est").alias("reach_total"))
+    sat = curve.where(F.col("h") == 6).select(
+        F.col("reach_total").alias("_sat")
+    )
+    return curve.crossJoin(F.broadcast(sat)).select(
+        "h",
+        "reach_total",
+        F.round(
+            F.col("reach_total").cast("double") / F.col("_sat").cast("double"),
+            6,
+        ).alias("frac6"),
+        (
+            F.col("reach_total").cast("double") * F.lit(10.0)
+            >= F.col("_sat").cast("double") * F.lit(9.0)
+        ).alias("reaches90"),
+    )
+
+
+def _eff_diameter_sql():
+    from ..operators.sketch import anf_oracle_sql
+
+    inner = anf_oracle_sql(G_SPARSE_SQL, hops=6, k=32)
+    return f"""
+WITH curve AS (
+  SELECT h, sum(n_reach_est) AS reach_total FROM ({inner}) anf GROUP BY h
+)
+, sat AS (SELECT reach_total AS s FROM curve WHERE h = 6)
+SELECT h, reach_total,
+       round(CAST(reach_total AS DOUBLE) / CAST((SELECT s FROM sat) AS DOUBLE), 6) AS frac6,
+       CAST(reach_total AS DOUBLE) * 10.0 >= CAST((SELECT s FROM sat) AS DOUBLE) * 9.0 AS reaches90
+FROM curve
+"""
+
+
+QUERIES["graph_eff_diameter"] = (_q_eff_diameter, _eff_diameter_sql())

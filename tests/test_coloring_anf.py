@@ -6,6 +6,8 @@ from __future__ import annotations
 import networkx as nx
 import pytest
 
+from pyspark.sql import functions as F
+
 from igpm_pem_spark.operators.coloring import jp_coloring
 from igpm_pem_spark.operators.sketch import anf_kmv
 
@@ -72,3 +74,28 @@ def test_anf_estimator_regime_is_sane(spark):
     hub = next(r for r in out.collect() if r.id == 0)
     assert hub.k_used == 8
     assert 25 <= hub.n_reach_est <= 160  # 61 within a few sigma
+
+
+def test_anf_effective_diameter_curve_path_graph(spark):
+    """Reach-curve composition (queries/graphq.py::_q_eff_diameter
+    semantics) in the exact regime (k > every ball): path 0-..-6, the
+    h-hop ball sizes are known in closed form and the 90% threshold
+    lands where hand arithmetic says."""
+    pairs = [(i, i + 1) for i in range(6)]  # path on 7 vertices
+    out = anf_kmv(spark, edges_df(spark, pairs), hops=6, k=32)
+    curve = {
+        r.h: r.total
+        for r in out.groupBy("h")
+        .agg(F.sum("n_reach_est").alias("total"))
+        .collect()
+    }
+    # ball sizes on a 7-path: |ball(v,h)| = min(v,h) + min(6-v,h) + 1
+    want = {
+        h: sum(min(v, h) + min(6 - v, h) + 1 for v in range(7))
+        for h in range(1, 7)
+    }
+    assert curve == want
+    sat = want[6]
+    reaches90 = {h: curve[h] * 10 >= sat * 9 for h in curve}
+    # 90% of 49 = 44.1; totals: h=4 -> 43 (False), h=5 -> 47 (True)
+    assert reaches90 == {1: False, 2: False, 3: False, 4: False, 5: True, 6: True}
