@@ -81,3 +81,87 @@ def k_core(
         deg.unpersist()  # e is materialized; the round's cache can go
     verts = e.select(F.col("src").alias("id")).distinct()
     return KCoreResult(verts, e, rounds, converged, peeled)
+
+
+@dataclass
+class CorenessResult:
+    coreness: DataFrame  # (id BIGINT, coreness BIGINT)
+    rounds: int
+    converged: bool
+
+
+def coreness_hindex(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> CorenessResult:
+    """Full core decomposition — coreness(v) for every vertex at once —
+    by h-index iteration (Lu, Zhou et al., Nature Comm. 7:10168, 2016):
+
+        c_0(v)     = degree(v)
+        c_{t+1}(v) = H-index of the multiset {c_t(u) : u in N(v)}
+
+    The sequence is monotone non-increasing and its fixpoint is exactly
+    the core number, so the loop self-terminates (rounds bounded by the
+    degeneracy ordering depth, small on real graphs). Unlike peeling,
+    every round is bulk-synchronous over ALL vertices — no sequential
+    min-degree bottleneck — which is the right shape for 10^9 vertices.
+
+    The per-vertex H-index is computed WITHOUT materializing sorted
+    neighbor lists: neighbor values aggregate to (v, value, count), a
+    per-v descending cumulative window gives cum(c) = #neighbors with
+    value >= c, and H = max over values of least(c, cum) — shuffle at
+    (v, distinct-neighbor-value) granularity, hub state bounded by the
+    value range, never by degree. Idempotent at the fixpoint, so an
+    oracle may unroll MORE rounds than the engine needed."""
+    from pyspark.sql import Window
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    # simple_edges(directed=False) already emits both directions
+    sym = (
+        simple_edges(edges, directed=False)
+        .select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .repartition(num_partitions, "nbr")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        sym.groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").alias("c"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc())
+    converged = False
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        nbrvals = sym.join(
+            state.select(F.col("id").alias("nbr"), "c"), "nbr"
+        ).select("v", "c")
+        cum = (
+            nbrvals.groupBy("v", "c")
+            .agg(F.count("*").alias("n"))
+            .select("v", "c", F.sum("n").over(w).alias("cum"))
+        )
+        new_state = (
+            cum.groupBy(F.col("v").alias("id"))
+            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .where(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            converged = True
+            break
+    return CorenessResult(
+        state.select("id", F.col("c").alias("coreness")), rounds, converged
+    )

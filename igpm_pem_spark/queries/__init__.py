@@ -92,6 +92,7 @@ _PRIORITY = [
     "salsa_fixed8",
     "doc_span_dedup",
     "graph_eff_diameter",
+    "graph_coreness",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

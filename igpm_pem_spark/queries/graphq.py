@@ -886,3 +886,51 @@ FROM curve
 
 
 QUERIES["graph_eff_diameter"] = (_q_eff_diameter, _eff_diameter_sql())
+
+
+# h-index iteration is idempotent at its fixpoint (coreness), so the
+# oracle may unroll MORE rounds than the engine needed; the query guards
+# engine convergence within this depth (kcore-oracle pattern).
+CORENESS_ORACLE_ROUNDS = 12
+
+
+def _q_coreness(spark, sf_dir):
+    """Full core decomposition (coreness per vertex) by bulk-synchronous
+    h-index iteration — the whole k-core hierarchy in one run instead of
+    one fixed k (operators/kcore.py::coreness_hindex)."""
+    from ..operators.kcore import coreness_hindex
+
+    res = coreness_hindex(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    if not (res.converged and res.rounds <= CORENESS_ORACLE_ROUNDS):
+        raise RuntimeError(
+            f"coreness h-index iteration took {res.rounds} rounds "
+            f"(converged={res.converged}); raise CORENESS_ORACLE_ROUNDS "
+            f"past {CORENESS_ORACLE_ROUNDS} to keep the unrolled oracle valid"
+        )
+    return res.coreness.select("id", "coreness")
+
+
+def _coreness_round(k: int) -> str:
+    # MATERIALIZED on every round CTE: without it DuckDB inlines the
+    # 12-deep chain and planning never returns (kcore-oracle pattern)
+    p = k - 1
+    return f"""
+, nv{k} AS MATERIALIZED (SELECT s.src AS v, c{p}.c AS c FROM sym s JOIN c{p} ON c{p}.id = s.dst)
+, cnt{k} AS MATERIALIZED (SELECT v, c, count(*) AS n FROM nv{k} GROUP BY v, c)
+, cum{k} AS MATERIALIZED (SELECT v, c, sum(n) OVER (PARTITION BY v ORDER BY c DESC) AS cum FROM cnt{k})
+, c{k} AS MATERIALIZED (SELECT v AS id, CAST(max(least(c, CAST(cum AS BIGINT))) AS BIGINT) AS c FROM cum{k} GROUP BY v)
+"""
+
+
+QUERIES["graph_coreness"] = (
+    _q_coreness,
+    _with_g(
+        ", c0 AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM sym GROUP BY src)"
+        + "".join(_coreness_round(k) for k in range(1, CORENESS_ORACLE_ROUNDS + 1))
+        + f"SELECT id, c AS coreness FROM c{CORENESS_ORACLE_ROUNDS}",
+        G_SPARSE_SQL,
+    ),
+)

@@ -295,3 +295,17 @@ def test_spam_mass_composition_matches_python_oracle(spark):
     assert max(abs(mass_got[v] - mass_want[v]) for v in mass_want) < 1e-6
     # trusted seeds absorb restart mass: strictly negative spam mass
     assert all(mass_got[s] < 0 for s in seeds)
+
+
+@pytest.mark.parametrize("graph", ["test1", "ba100"])
+def test_coreness_hindex_matches_networkx(spark, graph):
+    """Full core decomposition by h-index iteration must equal
+    networkx.core_number exactly, for every vertex."""
+    from igpm_pem_spark.operators.kcore import coreness_hindex
+
+    edges, pairs, _ = _pairs(graph, spark)
+    res = coreness_hindex(spark, edges)
+    assert res.converged
+    got = {r.id: r.coreness for r in res.coreness.collect()}
+    want = nx.core_number(nx_graph(pairs, False))
+    assert got == {k: v for k, v in want.items()}
