@@ -93,6 +93,7 @@ _PRIORITY = [
     "doc_span_dedup",
     "graph_eff_diameter",
     "graph_coreness",
+    "graph_trussness",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

@@ -934,3 +934,79 @@ QUERIES["graph_coreness"] = (
         G_SPARSE_SQL,
     ),
 )
+
+
+TRUSSNESS_ORACLE_ROUNDS = 10
+
+
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (trussness per edge) by bulk-synchronous
+    local h-index iteration — the whole truss hierarchy in one run
+    instead of one fixed k (operators/ktruss.py::trussness_hindex)."""
+    from ..operators.ktruss import trussness_hindex
+
+    res = trussness_hindex(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    if not (res.converged and res.rounds <= TRUSSNESS_ORACLE_ROUNDS):
+        raise RuntimeError(
+            f"trussness h-index iteration took {res.rounds} rounds "
+            f"(converged={res.converged}); raise TRUSSNESS_ORACLE_ROUNDS "
+            f"past {TRUSSNESS_ORACLE_ROUNDS} to keep the unrolled oracle valid"
+        )
+    return res.trussness.select("src", "dst", "trussness")
+
+
+def _trussness_round(k: int) -> str:
+    # s{p} is referenced four times per round — MATERIALIZED is load-bearing
+    # (inlined, DuckDB's planner re-expands the chain combinatorially)
+    p = k - 1
+    return f"""
+, tv{k} AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, sab.s AS s_ab, sbc.s AS s_bc, sac.s AS s_ac
+  FROM tri t
+  JOIN s{p} sab ON sab.src = t.a AND sab.dst = t.b
+  JOIN s{p} sbc ON sbc.src = t.b AND sbc.dst = t.c
+  JOIN s{p} sac ON sac.src = t.a AND sac.dst = t.c)
+, rho{k} AS MATERIALIZED (
+  SELECT a AS src, b AS dst, least(s_bc, s_ac) AS rho FROM tv{k}
+  UNION ALL SELECT b, c, least(s_ab, s_ac) FROM tv{k}
+  UNION ALL SELECT a, c, least(s_ab, s_bc) FROM tv{k})
+, cnt{k} AS MATERIALIZED (
+  SELECT src, dst, rho, count(*) AS n FROM rho{k} GROUP BY src, dst, rho)
+, cum{k} AS MATERIALIZED (
+  SELECT src, dst, rho, sum(n) OVER (PARTITION BY src, dst ORDER BY rho DESC) AS cum
+  FROM cnt{k})
+, h{k} AS MATERIALIZED (
+  SELECT src, dst, max(least(rho, CAST(cum AS BIGINT))) AS h
+  FROM cum{k} GROUP BY src, dst)
+, s{k} AS MATERIALIZED (
+  SELECT s.src, s.dst, least(s.s, coalesce(h.h, 0)) AS s
+  FROM s{p} s LEFT JOIN h{k} h ON h.src = s.src AND h.dst = s.dst)
+"""
+
+
+QUERIES["graph_trussness"] = (
+    _q_trussness,
+    _with_g(
+        """
+, tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM g e1
+  JOIN g e2 ON e2.src = e1.dst
+  JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+, s0 AS MATERIALIZED (
+  SELECT e.src, e.dst, coalesce(t.s, 0) AS s
+  FROM g e LEFT JOIN (
+    SELECT src, dst, count(*) AS s FROM (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT b, c FROM tri
+      UNION ALL SELECT a, c FROM tri)
+    GROUP BY src, dst) t ON t.src = e.src AND t.dst = e.dst)
+"""
+        + "".join(_trussness_round(k) for k in range(1, TRUSSNESS_ORACLE_ROUNDS + 1))
+        + f"SELECT src, dst, CAST(s + 2 AS BIGINT) AS trussness FROM s{TRUSSNESS_ORACLE_ROUNDS}",
+        G_SPARSE_SQL,
+    ),
+)
