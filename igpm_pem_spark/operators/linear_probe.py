@@ -1,0 +1,198 @@
+"""Logistic-regression linear probe over an embedding corpus.
+
+The standard intrinsic-quality gate a training pipeline runs on its
+embedding column (next to kNN label accuracy): fit a linear classifier
+on frozen features; if a linear probe can't separate a label, the
+embedding doesn't encode it. Binary one-vs-rest probe, full-batch
+gradient descent with a FIXED step count and a zero start, so an
+independent SQL engine replays the identical recurrence:
+
+    m_row = b + ⟨w, x_row⟩                 (row-local expression)
+    g_row = σ(m_row) − y_row               (row-local)
+    w_d  ← w_d − η/n · Σ_rows g_row·x_row,d
+    b    ← b   − η/n · Σ_rows g_row
+
+Per step: ONE corpus scan fused into a (d+1)-value global aggregate —
+partial sums per partition + a 65-double merge, ZERO shuffle, the same
+scale shape as ``pca.pca_top_component``. The only driver traffic is
+the weight vector itself. At 10^9 vectors each step is a single
+embarrassingly-parallel pass; the fixed-step output is the exact
+recurrence value (not the converged optimum — raise ``iters`` for
+that), which is what makes it cross-engine checkable. GD is
+self-correcting, so sum-order float noise damps; outputs round to 6
+decimals for the comparison (the PCA convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _fit(
+    emb: DataFrame,
+    dim: int,
+    iters: int,
+    lr: float,
+    target_label: int,
+    vec_col: str,
+    label_col: str,
+    corpus_count: int | None,
+):
+    """Run the fixed GD recurrence; returns (x exprs, w, b) with w/b as
+    plain python floats (the only driver traffic, 65 doubles/step)."""
+    if iters < 1 or dim < 1:
+        raise ValueError("linear_probe: iters and dim must be >= 1")
+    x = [
+        F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)
+    ]
+    y = (F.col(label_col) == F.lit(target_label)).cast("double")
+    # visible one-stats-job count unless the caller already knows it
+    n = emb.count() if corpus_count is None else corpus_count
+    if n == 0:
+        raise ValueError("linear_probe: empty corpus")
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        m = F.lit(b)
+        for d in range(dim):
+            m = m + x[d] * F.lit(w[d])
+        g = F.lit(1.0) / (F.lit(1.0) + F.exp(-m)) - y
+        row = emb.agg(
+            *[F.sum(g * x[d]).alias(f"g{d}") for d in range(dim)],
+            F.sum(g).alias("gb"),
+        ).collect()[0]
+        w = [w[d] - lr / n * float(row[f"g{d}"]) for d in range(dim)]
+        b = b - lr / n * float(row["gb"])
+    return x, w, b
+
+
+def logreg_probe_weights(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """(pos, w6): trained probe weights, pos 1..dim; pos 0 is the bias."""
+    _, w, b = _fit(emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count)
+    spark = emb.sparkSession
+    rows = [(0, round(b, 6))] + [(d + 1, round(w[d], 6)) for d in range(dim)]
+    return spark.createDataFrame(rows, "pos INT, w6 DOUBLE")
+
+
+def logreg_probe_accuracy(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """One row (n_rows, n_pos, n_correct): train-set accuracy of the
+    fitted probe at threshold 0.5 (margin > 0). After the driver-tiny
+    fit, scoring is a stateless row-local expression — zero shuffle."""
+    x, w, b = _fit(emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count)
+    m = F.lit(b)
+    for d in range(dim):
+        m = m + x[d] * F.lit(w[d])
+    y = (F.col(label_col) == F.lit(target_label)).cast("int")
+    pred = (m > 0).cast("int")
+    return emb.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum((pred == y).cast("int")).cast("long").alias("n_correct"),
+    )
+
+
+def _recurrence_ctes(
+    dim: int, iters: int, lr: float, target_label: int, table: str
+) -> str:
+    """CTE chain unrolling the GD recurrence at (row, dim) granularity.
+    MATERIALIZED throughout — w{t}/b{t} are each referenced by two CTEs
+    of round t+1 and an inlined chain explodes the planner."""
+    parts = [
+        f"""WITH x AS MATERIALIZED (
+  SELECT vec_id, CAST(d.i AS INT) AS pos,
+         CAST(embedding[CAST(d.i AS INT)] AS DOUBLE) AS val
+  FROM {table} JOIN range(1, {dim + 1}) d(i) ON true
+)
+, y AS MATERIALIZED (
+  SELECT vec_id, CAST(label = {target_label} AS DOUBLE) AS y FROM {table}
+)
+, nn AS MATERIALIZED (SELECT count(*) AS n FROM {table})
+, w0 AS MATERIALIZED (
+  SELECT CAST(i AS INT) AS pos, 0.0 AS w FROM range(1, {dim + 1}) t(i)
+)
+, b0 AS MATERIALIZED (SELECT 0.0 AS b)"""
+    ]
+    for t in range(1, iters + 1):
+        q = t - 1
+        parts.append(
+            f"""
+, m{t} AS MATERIALIZED (
+  SELECT x.vec_id, (SELECT b FROM b{q}) + sum(x.val * w{q}.w) AS m
+  FROM x JOIN w{q} ON w{q}.pos = x.pos GROUP BY x.vec_id
+)
+, g{t} AS MATERIALIZED (
+  SELECT m.vec_id, 1.0 / (1.0 + exp(-m.m)) - y.y AS g
+  FROM m{t} m JOIN y ON y.vec_id = m.vec_id
+)
+, w{t} AS MATERIALIZED (
+  SELECT x.pos, any_value(w{q}.w) - {lr!r} / (SELECT n FROM nn) * sum(x.val * g.g) AS w
+  FROM x JOIN g{t} g ON g.vec_id = x.vec_id JOIN w{q} ON w{q}.pos = x.pos
+  GROUP BY x.pos
+)
+, b{t} AS MATERIALIZED (
+  SELECT (SELECT b FROM b{q}) - {lr!r} / (SELECT n FROM nn) * sum(g) AS b FROM g{t}
+)"""
+        )
+    return "".join(parts)
+
+
+def logreg_oracle_sql(
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """(pos, w6) oracle replaying the identical recurrence in DuckDB."""
+    return (
+        _recurrence_ctes(dim, iters, lr, target_label, table)
+        + f"""
+SELECT 0 AS pos, round(b, 6) AS w6 FROM b{iters}
+UNION ALL
+SELECT pos, round(w, 6) AS w6 FROM w{iters}
+ORDER BY pos"""
+    )
+
+
+def logreg_accuracy_oracle_sql(
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """(n_rows, n_pos, n_correct) oracle: score with the round-{iters}
+    weights at margin > 0."""
+    return (
+        _recurrence_ctes(dim, iters, lr, target_label, table)
+        + f"""
+, margin AS MATERIALIZED (
+  SELECT x.vec_id, (SELECT b FROM b{iters}) + sum(x.val * w.w) AS m
+  FROM x JOIN w{iters} w ON w.pos = x.pos GROUP BY x.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(y.y AS INT)) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN (m.m > 0) = (y.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM margin m JOIN y ON y.vec_id = m.vec_id"""
+    )

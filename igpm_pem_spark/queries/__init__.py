@@ -94,6 +94,8 @@ _PRIORITY = [
     "graph_eff_diameter",
     "graph_coreness",
     "graph_trussness",
+    "emb_logreg_probe",
+    "emb_logreg_acc",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

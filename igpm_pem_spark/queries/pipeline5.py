@@ -161,8 +161,44 @@ GROUP BY e.label
 """
 
 
+def _q_logreg_weights(spark, sf_dir):
+    """Linear-probe weights: binary one-vs-rest logistic regression on
+    the frozen embedding column, 4 fixed full-batch GD steps — each step
+    ONE corpus scan fused into a 65-double global aggregate, zero
+    shuffle (operators/linear_probe.py)."""
+    from ..operators.linear_probe import logreg_probe_weights
+
+    register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return logreg_probe_weights(emb)
+
+
+def _q_logreg_acc(spark, sf_dir):
+    """Train-set accuracy of the linear probe at margin>0 — the
+    embedding-quality scalar gate next to emb_knn_label_acc."""
+    from ..operators.linear_probe import logreg_probe_accuracy
+
+    register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return logreg_probe_accuracy(emb)
+
+
+def _logreg_sqls():
+    from ..operators.linear_probe import (
+        logreg_accuracy_oracle_sql,
+        logreg_oracle_sql,
+    )
+
+    return logreg_oracle_sql(), logreg_accuracy_oracle_sql()
+
+
+_LOGREG_W_SQL, _LOGREG_ACC_SQL = _logreg_sqls()
+
+
 QUERIES = {
     "rel_funnel3": (_q_funnel3, _FUNNEL3_SQL),
+    "emb_logreg_probe": (_q_logreg_weights, _LOGREG_W_SQL),
+    "emb_logreg_acc": (_q_logreg_acc, _LOGREG_ACC_SQL),
     "rel_cohort_retention": (_q_cohort_retention, _COHORT_SQL),
     "emb_pca_project": (_q_pca_project, _pca_project_sql()),
     "emb_knn_label_acc": (_q_knn_label_acc, _KNN_ACC_SQL),

@@ -34,15 +34,17 @@ TABLES = [
 ]
 
 
-def value_hash(df) -> str:
-    """Portable hash of the sorted, column-name-ordered frame: floats
-    rounded to 9 decimals so engine-epsilon noise doesn't flip the hash."""
+def value_hash(df, float_cols: set[str]) -> str:
+    """Portable hash of the sorted, column-name-ordered frame. Columns
+    that are floating-point on EITHER side are hashed as float64 rounded
+    to 9 decimals, so engine-epsilon noise and int-vs-float dtype
+    divergence between Spark and DuckDB don't flip the hash."""
     cols = sorted(df.columns)
     df = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     h = hashlib.sha256()
     for c in cols:
         a = df[c].to_numpy()
-        if np.issubdtype(a.dtype, np.floating):
+        if c in float_cols:
             a = np.round(a.astype(np.float64), 9)
             a = np.where(a == 0.0, 0.0, a)  # -0.0 → 0.0
         h.update(repr(a.tolist()).encode())
@@ -63,10 +65,16 @@ def compare(sdf, odf) -> dict:
     cols = sorted(sdf.columns)
     s = sdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     o = odf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    float_cols = {
+        c
+        for c in cols
+        if np.issubdtype(s[c].to_numpy().dtype, np.floating)
+        or np.issubdtype(o[c].to_numpy().dtype, np.floating)
+    }
     ok = True
     for c in cols:
         a, b = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+        if c in float_cols:
             ok = ok and bool(
                 np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9)
             )
@@ -75,7 +83,7 @@ def compare(sdf, odf) -> dict:
         if not ok:
             out["err"] = f"value mismatch in column {c}"
             break
-    out["hash_match"] = ok and value_hash(s) == value_hash(o)
+    out["hash_match"] = ok and value_hash(s, float_cols) == value_hash(o, float_cols)
     return out
 
 
