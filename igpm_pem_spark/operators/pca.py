@@ -152,3 +152,100 @@ FROM c JOIN v{iters} ON v{iters}.pos = c.pos
 GROUP BY c.vec_id"""
     )
     return "".join(parts)
+
+
+def _deflated_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
+    """Second-component recurrence: power iteration with v₁ (the
+    ``iters``-step top direction) deflated out of every step. Same
+    job shape — each step ONE scan + a d-value aggregate + driver-side
+    d-vector arithmetic; the deflation (w − ⟨w,v₁⟩v₁) is pure python on
+    the d-vector, zero extra jobs."""
+    x, mu, v1 = _power_iterate(emb, dim, iters, vec_col)
+    # u0: the all-ones start orthogonalized against v1, then normalized —
+    # replayed identically by the SQL oracle
+    s0 = 1.0 / math.sqrt(dim)
+    d0 = sum(s0 * v1[d] for d in range(dim))
+    u = [s0 - d0 * v1[d] for d in range(dim)]
+    n0 = math.sqrt(sum(ui * ui for ui in u))
+    if n0 == 0.0:
+        raise ValueError("pca: start vector is parallel to v1 — degenerate")
+    u = [ui / n0 for ui in u]
+    for _ in range(iters):
+        s = F.lit(0.0)
+        for d in range(dim):
+            s = s + (x[d] - F.lit(mu[d])) * F.lit(u[d])
+        w_row = emb.agg(
+            *[F.sum((x[d] - F.lit(mu[d])) * s).alias(f"w{d}") for d in range(dim)]
+        ).collect()[0]
+        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        dp = sum(w[d] * v1[d] for d in range(dim))
+        w = [w[d] - dp * v1[d] for d in range(dim)]
+        norm = math.sqrt(sum(wi * wi for wi in w))
+        if norm == 0.0:
+            raise ValueError("pca: zero deflated covariance — rank-1 corpus")
+        u = [wi / norm for wi in w]
+    return x, mu, v1, u
+
+
+def pca_second_component(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, loading1_6, loading2_6): top TWO principal directions — the
+    2-D whitening basis a curriculum/visualization step wants. v₂ by
+    deflated power iteration; orthogonality to v₁ is enforced every step
+    so float drift can't re-admit the dominant direction."""
+    _, _, v1, v2 = _deflated_iterate(emb, dim, iters, vec_col)
+    spark = emb.sparkSession
+    rows = [(d + 1, round(v1[d], 6), round(v2[d], 6)) for d in range(dim)]
+    return spark.createDataFrame(rows, "pos INT, loading1_6 DOUBLE, loading2_6 DOUBLE")
+
+
+def pca2_oracle_sql(dim: int = 64, iters: int = 8, table: str = "embeddings") -> str:
+    """DuckDB SQL of ``pca_second_component``: the v₁ recurrence CTEs,
+    then the deflated recurrence for v₂ — u0 orthogonalizes the all-ones
+    start, each round deflates ⟨w,v₁⟩v₁ before normalizing."""
+    I = iters
+    parts = _recurrence_ctes(dim, iters, table)
+    parts.append(
+        f"""
+, ud0a AS MATERIALIZED (
+  SELECT v.pos, 1.0 / sqrt({dim}) -
+         (SELECT sum(v2.v / sqrt({dim})) FROM v{I} v2) * v.v AS w
+  FROM v{I} v
+)
+, u0 AS MATERIALIZED (
+  SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM ud0a) AS v FROM ud0a
+)"""
+    )
+    for t in range(1, iters + 1):
+        q = t - 1
+        parts.append(
+            f"""
+, du{t} AS MATERIALIZED (
+  SELECT c.vec_id, sum(c.cv * u{q}.v) AS s FROM c JOIN u{q} ON u{q}.pos = c.pos
+  GROUP BY c.vec_id
+)
+, wu{t} AS MATERIALIZED (
+  SELECT c.pos, sum(c.cv * du{t}.s) AS w FROM c JOIN du{t} ON du{t}.vec_id = c.vec_id
+  GROUP BY c.pos
+)
+, wd{t} AS MATERIALIZED (
+  SELECT wu.pos,
+         wu.w - (SELECT sum(w2.w * v2.v) FROM wu{t} w2 JOIN v{I} v2 ON v2.pos = w2.pos)
+                * v.v AS w
+  FROM wu{t} wu JOIN v{I} v ON v.pos = wu.pos
+)
+, u{t} AS MATERIALIZED (
+  SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM wd{t}) AS v FROM wd{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v{I}.pos, round(v{I}.v, 6) AS loading1_6, round(u{I}.v, 6) AS loading2_6
+FROM v{I} JOIN u{I} ON u{I}.pos = v{I}.pos"""
+    )
+    return "".join(parts)

@@ -96,6 +96,7 @@ _PRIORITY = [
     "graph_trussness",
     "emb_logreg_probe",
     "emb_logreg_acc",
+    "emb_pca_top2",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

@@ -229,3 +229,21 @@ def _pca_sql():
 
 
 QUERIES["emb_pca_top"] = (_q_pca_top, _pca_sql())
+
+
+def _q_pca_top2(spark, sf_dir):
+    """Top-2 principal directions (deflated power iteration) — the 2-D
+    whitening basis; same one-scan-per-step zero-shuffle job shape."""
+    from ..operators.pca import pca_second_component
+    from ._common import emb
+
+    return pca_second_component(emb(spark, sf_dir), dim=64, iters=8)
+
+
+def _pca2_sql():
+    from ..operators.pca import pca2_oracle_sql
+
+    return pca2_oracle_sql(dim=64, iters=8)
+
+
+QUERIES["emb_pca_top2"] = (_q_pca_top2, _pca2_sql())

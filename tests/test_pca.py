@@ -76,3 +76,43 @@ def test_rejects_bad_args(spark):
         pca_top_component(df, dim=2, iters=0)
     with pytest.raises(ValueError, match="degenerate"):
         pca_top_component(df, dim=2, iters=2)
+
+
+def _corpus2(n=400, dim=8, seed=11):
+    """Two dominant directions with 100x / 25x variance over noise so 14
+    deflated iterations converge to the true second eigenvector."""
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    d1, d2 = q[:, 0], q[:, 1]
+    return (
+        rng.normal(scale=10.0, size=(n, 1)) * d1
+        + rng.normal(scale=5.0, size=(n, 1)) * d2
+        + rng.normal(scale=1.0, size=(n, dim))
+    )
+
+
+def test_second_component_matches_numpy(spark):
+    from igpm_pem_spark.operators.pca import pca_second_component
+
+    x = _corpus2()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = (
+        pca_second_component(df, dim=8, iters=14)
+        .toPandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu)
+    _, vecs = np.linalg.eigh(cov)
+    v2 = vecs[:, -2]
+    got = out["loading2_6"].values
+    if np.dot(got, v2) < 0:
+        v2 = -v2
+    assert np.allclose(got, v2, atol=1e-3)
+    # orthogonality to the returned top direction and unit norm
+    assert abs(float((out["loading1_6"] * out["loading2_6"]).sum())) < 1e-4
+    assert math.isclose(float((out["loading2_6"] ** 2).sum()), 1.0, rel_tol=1e-4)
