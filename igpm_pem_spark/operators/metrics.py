@@ -230,3 +230,49 @@ def modularity(edges: DataFrame, labels: DataFrame) -> float:
     )
     e.unpersist()
     return float(row["q"])
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: list[int] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """(k, n_nodes, n_edges, phi6): rich-club coefficient φ(k) =
+    2·E_k / (N_k·(N_k−1)) over the undirected simple graph, where N_k are
+    vertices with degree > k and E_k the edges among them (Zhou-Mondragón;
+    ``nx.rich_club_coefficient(normalized=False)`` at the same k).
+
+    One degree aggregate + two joins to tag each canonical edge with its
+    endpoint degrees, then ONE conditional-aggregation pass producing all
+    thresholds at once (no per-k jobs, no explode — the k-loop lives in
+    the aggregate expression list, so the edge relation is scanned once
+    regardless of |thresholds|); same single-pass over the degree
+    relation for the N_k counts."""
+    ks = sorted(set(int(k) for k in thresholds))
+    if not ks or ks[0] < 0:
+        raise ValueError("rich_club: thresholds must be non-negative ints")
+    dp = degree_pairs(edges).where(F.col("src") < F.col("dst"))  # canonical
+    erow = dp.agg(
+        *[
+            F.sum(
+                ((F.col("du") > k) & (F.col("dv") > k)).cast("long")
+            ).alias(f"e{k}")
+            for k in ks
+        ]
+    ).collect()[0]
+    deg = (
+        symmetrize(canonical_undirected(edges))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    nrow = deg.agg(
+        *[F.sum((F.col("d") > k).cast("long")).alias(f"n{k}") for k in ks]
+    ).collect()[0]
+    spark = edges.sparkSession
+    rows = []
+    for k in ks:
+        n, e = int(nrow[f"n{k}"] or 0), int(erow[f"e{k}"] or 0)
+        phi = round(2.0 * e / (n * (n - 1)), 6) if n >= 2 else None
+        rows.append((k, n, e, phi))
+    return spark.createDataFrame(
+        rows, "k INT, n_nodes BIGINT, n_edges BIGINT, phi6 DOUBLE"
+    )

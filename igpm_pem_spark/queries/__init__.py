@@ -97,6 +97,7 @@ _PRIORITY = [
     "emb_logreg_probe",
     "emb_logreg_acc",
     "emb_pca_top2",
+    "graph_rich_club",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

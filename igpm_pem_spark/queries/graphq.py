@@ -1010,3 +1010,36 @@ QUERIES["graph_trussness"] = (
         G_SPARSE_SQL,
     ),
 )
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient at fixed degree thresholds — do the sparse
+    graph's hubs preferentially interlink (operators/metrics.py::rich_club)."""
+    from ..operators.metrics import rich_club
+
+    return rich_club(edges(spark, sf_dir, G_SPARSE_SQL))
+
+
+_RICH_CLUB_TAIL = """
+, deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, dp AS MATERIALIZED (
+  SELECT g.src, g.dst, d1.d AS du, d2.d AS dv
+  FROM g JOIN deg d1 ON d1.id = g.src JOIN deg d2 ON d2.id = g.dst)
+, ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+, ec AS (
+  SELECT ks.k, sum(CASE WHEN dp.du > ks.k AND dp.dv > ks.k THEN 1 ELSE 0 END) AS e
+  FROM ks CROSS JOIN dp GROUP BY ks.k)
+, nc AS (
+  SELECT ks.k, sum(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END) AS n
+  FROM ks CROSS JOIN deg GROUP BY ks.k)
+SELECT ks.k,
+       CAST(coalesce(nc.n, 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce(ec.e, 0) AS BIGINT) AS n_edges,
+       CASE WHEN coalesce(nc.n, 0) >= 2
+            THEN round(2.0 * coalesce(ec.e, 0) / (nc.n * (nc.n - 1)), 6)
+       END AS phi6
+FROM ks JOIN nc ON nc.k = ks.k JOIN ec ON ec.k = ks.k
+"""
+
+
+QUERIES["graph_rich_club"] = (_q_rich_club, _with_g(_RICH_CLUB_TAIL, G_SPARSE_SQL))

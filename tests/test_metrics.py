@@ -420,3 +420,22 @@ def test_adamic_adar_excludes_adjacent_and_min_common(spark):
     for r in rows:
         assert (r.a, r.b) not in adjacent
         assert r.cn >= 2
+
+
+def test_rich_club_matches_networkx(spark):
+    from igpm_pem_spark.operators.metrics import rich_club
+    from igpm_pem_spark.sources.fixtures import ba_graph
+
+    import networkx as nx
+
+    _, edges, _ = ba_graph(spark, 60, 4, seed=5)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = nx.rich_club_coefficient(g, normalized=False)
+    out = {r.k: r for r in rich_club(edges_df(spark, pairs)).collect()}
+    for k, row in out.items():
+        if k in want:
+            assert abs(row.phi6 - round(want[k], 6)) < 2e-6, k
+        else:  # k >= max degree: no rich club of size >= 2
+            assert row.phi6 is None or row.n_nodes < 2
