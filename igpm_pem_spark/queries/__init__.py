@@ -98,6 +98,7 @@ _PRIORITY = [
     "emb_logreg_acc",
     "emb_pca_top2",
     "graph_rich_club",
+    "graph_harmonic_anf",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

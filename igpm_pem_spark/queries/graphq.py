@@ -1043,3 +1043,53 @@ FROM ks JOIN nc ON nc.k = ks.k JOIN ec ON ec.k = ks.k
 
 
 QUERIES["graph_rich_club"] = (_q_rich_club, _with_g(_RICH_CLUB_TAIL, G_SPARSE_SQL))
+
+
+def _q_harmonic_anf(spark, sf_dir):
+    """Approximate per-vertex harmonic centrality from the KMV-ANF reach
+    curve (the HyperBall idea, Boldi-Vigna: harm(v) = Σ_h Δreach(v,h)/h)
+    — whole-graph centrality at sketch cost, where the exact BFS variant
+    (harmonic_centrality_seeds) only affords a seed set."""
+    from ..operators.sketch import anf_kmv
+
+    est = anf_kmv(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL), hops=3, k=32,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    r = est.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h") == h, F.col("n_reach_est"))
+            ).alias(f"r{h}")
+            for h in (1, 2, 3)
+        ]
+    )
+    return r.select(
+        "id",
+        F.round(
+            (F.col("r1") - 1) / F.lit(1.0)
+            + (F.col("r2") - F.col("r1")) / F.lit(2.0)
+            + (F.col("r3") - F.col("r2")) / F.lit(3.0),
+            6,
+        ).alias("harm6"),
+    )
+
+
+def _harmonic_anf_sql():
+    from ..operators.sketch import anf_oracle_sql
+
+    return f"""
+SELECT id,
+       round((r1 - 1) / 1.0 + (r2 - r1) / 2.0 + (r3 - r2) / 3.0, 6) AS harm6
+FROM (
+  SELECT id,
+         sum(CASE WHEN h = 1 THEN n_reach_est END) AS r1,
+         sum(CASE WHEN h = 2 THEN n_reach_est END) AS r2,
+         sum(CASE WHEN h = 3 THEN n_reach_est END) AS r3
+  FROM ({anf_oracle_sql(G_SPARSE_SQL, hops=3, k=32)}) est
+  GROUP BY id
+) t
+"""
+
+
+QUERIES["graph_harmonic_anf"] = (_q_harmonic_anf, _harmonic_anf_sql())
