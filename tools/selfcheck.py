@@ -76,7 +76,10 @@ def compare(sdf, odf) -> dict:
         a, b = s[c].to_numpy(), o[c].to_numpy()
         if c in float_cols:
             ok = ok and bool(
-                np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9)
+                np.allclose(
+                    a.astype(float), b.astype(float),
+                    rtol=0, atol=1e-9, equal_nan=True,
+                )
             )
         else:
             ok = ok and bool((a == b).all())
