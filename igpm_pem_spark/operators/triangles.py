@@ -159,3 +159,37 @@ def star_count(edges: DataFrame, min_degree: int = 4) -> int:
         .agg(F.count("*").alias("degree"))
     )
     return deg.where(F.col("degree") >= min_degree).count()
+
+
+def k4_count(edges: DataFrame) -> int:
+    """Global 4-clique (K4) count — the next motif up from triangles; a
+    standard cohesion statistic for link-spam and community-core
+    analysis. Equals the number of vertex quadruples with all 6 edges.
+
+    Plan: extend each id-ordered triangle (a<b<c) by a fourth vertex d>c
+    adjacent to all three — ONE equi-join of the triangle list against
+    the canonical edge list per remaining adjacency ((c,d) drives the
+    candidate generation, then (a,d) and (b,d) are verified with two
+    more equi-joins). Work is O(T · avg-completion-degree) beyond the
+    triangle enumeration; every join is a hash equi-join on ids — no
+    cartesian stage, and the id-ordering means each clique is produced
+    exactly once. At hub-skewed scale the same degree-orientation
+    trick as triangle_count applies upstream (orient by degree before
+    enumerating), which this composition inherits via its input."""
+    e = canonical_undirected(edges).persist()
+    try:
+        tris = _triangle_list_canon(e)
+        cand = tris.join(
+            e.select(F.col("src").alias("c"), F.col("dst").alias("d")), "c"
+        )
+        chk1 = cand.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("d")),
+            ["a", "d"],
+        )
+        k4 = chk1.join(
+            e.select(F.col("src").alias("b"), F.col("dst").alias("d")),
+            ["b", "d"],
+        )
+        return k4.count()
+    finally:
+        e.unpersist()

@@ -99,6 +99,7 @@ _PRIORITY = [
     "emb_pca_top2",
     "graph_rich_club",
     "graph_harmonic_anf",
+    "graph_k4_count",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

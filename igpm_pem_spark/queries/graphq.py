@@ -1093,3 +1093,26 @@ FROM (
 
 
 QUERIES["graph_harmonic_anf"] = (_q_harmonic_anf, _harmonic_anf_sql())
+
+
+def _q_k4_count(spark, sf_dir):
+    """Global 4-clique count on the sparse graph — the motif one up from
+    triangles (operators/triangles.py::k4_count)."""
+    from ..operators.triangles import k4_count
+
+    n = k4_count(edges(spark, sf_dir, G_SPARSE_SQL))
+    return spark.createDataFrame([(n,)], "n_k4 BIGINT")
+
+
+_K4_TAIL = """
+SELECT CAST(count(*) AS BIGINT) AS n_k4
+FROM g e1
+JOIN g e2 ON e2.src = e1.dst
+JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+JOIN g e4 ON e4.src = e2.dst
+JOIN g e5 ON e5.src = e1.src AND e5.dst = e4.dst
+JOIN g e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+"""
+
+
+QUERIES["graph_k4_count"] = (_q_k4_count, _with_g(_K4_TAIL, G_SPARSE_SQL))

@@ -309,3 +309,14 @@ def test_coreness_hindex_matches_networkx(spark, graph):
     got = {r.id: r.coreness for r in res.coreness.collect()}
     want = nx.core_number(nx_graph(pairs, False))
     assert got == {k: v for k, v in want.items()}
+
+
+@pytest.mark.parametrize("graph", ["test1", "ba100"])
+def test_k4_count_matches_networkx(spark, graph):
+    from igpm_pem_spark.operators.triangles import k4_count
+
+    edges, pairs, _ = _pairs(graph, spark)
+    got = k4_count(edges)
+    g = nx_graph(pairs, False)
+    want = sum(1 for q in nx.enumerate_all_cliques(g) if len(q) == 4)
+    assert got == want
