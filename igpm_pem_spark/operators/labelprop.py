@@ -271,3 +271,62 @@ def modularity_local_move(
         lab, s_cur = moved, s_new
     e.unpersist()
     return lab
+
+
+def label_propagation_weighted(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    weight_col: str = "w",
+    max_iter: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, label): synchronous LPA where each neighbor vote carries the
+    edge weight — label'(v) = argmax_label Σ w(v,u) over neighbors u with
+    that label, ties to the smallest label. The multiplicity-aware
+    community pass for weighted co-occurrence / import graphs; same
+    superstep shape as the unweighted kernel (one join over the
+    once-shuffled adjacency + a sum aggregate + a window argmax).
+
+    Determinism note: with integer-valued weights (co-occurrence counts)
+    the vote sums are exact in float64, so the argmax is engine-portable
+    — the fixture graphs keep weights integral for exactly this reason."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    w_ = F.col(weight_col).cast("double")
+    sym = (
+        edges.select("src", "dst", w_.alias("w"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w_.alias("w")
+            )
+        )
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(max_iter):
+        raw = sym.join(
+            state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
+            "src",
+        ).select("dst", "label", "w")
+        hist = (
+            raw.repartition(num_partitions, "dst")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        state = (
+            hist.withColumn("rn", F.row_number().over(win))
+            .where("rn = 1")
+            .select("id", "label")
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+    return state

@@ -100,6 +100,7 @@ _PRIORITY = [
     "graph_rich_club",
     "graph_harmonic_anf",
     "graph_k4_count",
+    "label_propagation3_weighted",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

@@ -1116,3 +1116,39 @@ JOIN g e6 ON e6.src = e1.dst AND e6.dst = e4.dst
 
 
 QUERIES["graph_k4_count"] = (_q_k4_count, _with_g(_K4_TAIL, G_SPARSE_SQL))
+
+
+def _q_lpa3_weighted(spark, sf_dir):
+    """3-round weighted LPA on the multiplicity-weighted co-occurrence
+    graph — neighbor votes carry shared-order counts
+    (operators/labelprop.py::label_propagation_weighted)."""
+    from ..operators.labelprop import label_propagation_weighted
+
+    e = edges(spark, sf_dir, _G_WPARTS_SQL)
+    return label_propagation_weighted(
+        spark, e, max_iter=3, num_partitions=graph_nparts(spark, sf_dir)
+    ).select("id", "label")
+
+
+_WLPA_ROUND = """
+, l{k} AS MATERIALIZED (
+    SELECT e.dst AS id, l.label
+    FROM symw e JOIN l{p} l ON l.id = e.src
+    GROUP BY e.dst, l.label
+    QUALIFY row_number() OVER (
+        PARTITION BY e.dst ORDER BY sum(e.w) DESC, l.label ASC) = 1
+)
+"""
+
+
+_WLPA_SQL = (
+    f"WITH g AS ({_G_WPARTS_SQL})"
+    + ", symw AS (SELECT src, dst, w FROM g"
+    + " UNION ALL SELECT dst AS src, src AS dst, w FROM g)"
+    + ", l0 AS (SELECT DISTINCT src AS id, src AS label FROM symw)"
+    + "".join(_WLPA_ROUND.format(k=k, p=k - 1) for k in (1, 2, 3))
+    + "SELECT id, label FROM l3"
+)
+
+
+QUERIES["label_propagation3_weighted"] = (_q_lpa3_weighted, _WLPA_SQL)

@@ -320,3 +320,21 @@ def test_k4_count_matches_networkx(spark, graph):
     g = nx_graph(pairs, False)
     want = sum(1 for q in nx.enumerate_all_cliques(g) if len(q) == 4)
     assert got == want
+
+
+def test_weighted_lpa_prefers_heavy_edge(spark):
+    """Two communities joined by one light bridge: weighted votes must
+    follow the heavy edges, and a heavy bridge flips the assignment."""
+    from igpm_pem_spark.operators.labelprop import label_propagation_weighted
+
+    rows = [(1, 2, 5.0), (1, 3, 5.0), (2, 3, 5.0), (3, 4, 1.0),
+            (4, 5, 5.0), (4, 6, 5.0), (5, 6, 5.0)]
+    e = spark.createDataFrame(rows, "src BIGINT, dst BIGINT, w DOUBLE")
+    labels = {
+        r.id: r.label
+        for r in label_propagation_weighted(spark, e, max_iter=3).collect()
+    }
+    # the two triangles stay separate communities despite the bridge
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] == labels[5] == labels[6]
+    assert labels[1] != labels[4]
