@@ -523,3 +523,94 @@ def c4_quality_flags(
         & (F.col("n_distinct") * 10 >= 3 * F.col("n_words"))
     )
     return stats.withColumn("keep", keep)
+
+
+# winnowing fingerprint layout: the (kh, pos) argmin is encoded as ONE
+# BIGINT key kh*WINNOW_POS_M + pos so a plain windowed min() computes the
+# tie-broken argmin identically in any engine; pos < WINNOW_POS_M is
+# guaranteed by the token cap (20k) << 2^15
+WINNOW_POS_M = 32768
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing document fingerprints (Schleimer-
+    Wilkerson-Aiken, MOSS): hash every k-token shingle, then from every
+    window of w consecutive shingles keep the minimal hash (ties → the
+    leftmost position). Guarantees any shared run of w+k-1 tokens between
+    two documents shares a selected fingerprint — the density-bounded
+    (2/(w+1)) alternative to full shingle sets for plagiarism/near-dup
+    detection.
+
+    Plan: one scan → per-doc lead() window builds the shingle hash in
+    exact 64-bit arithmetic (each term reduced mod P before summing) →
+    one more window computes min(kh*M+pos) over the next w rows → decode
+    + distinct. Shuffles once on doc_id; per-doc state is the w-row
+    window frame, never the document."""
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError("winnow: k and w must be >= 1")
+    t = tokens(docs, id_col, text_col).select(
+        "doc_id", "pos", token_id().alias("tid")
+    )
+    ow = Window.partitionBy("doc_id").orderBy("pos")
+    kh = F.lit(0).cast("long")
+    for j in range(k):
+        c = pow(FP_A, j, P)
+        tj = F.col("tid") if j == 0 else F.lead("tid", j).over(ow)
+        kh = kh + (F.lit(c) * tj) % F.lit(P)
+    kg = (
+        t.select("doc_id", "pos", (kh % F.lit(P)).alias("kh"))
+        .where(F.col("kh").isNotNull())  # drop incomplete trailing shingles
+    )
+    vw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    key = F.col("kh") * F.lit(WINNOW_POS_M) + F.col("pos")
+    sel = kg.select(
+        "doc_id",
+        F.min(key).over(vw).alias("selkey"),
+        F.count("*").over(vw).alias("cnt"),
+    ).where(F.col("cnt") == w)  # full windows only
+    return sel.select(
+        "doc_id",
+        (F.col("selkey") % F.lit(WINNOW_POS_M)).alias("pos"),
+        F.expr(f"selkey div {WINNOW_POS_M}").alias("fp"),  # exact int division
+    ).distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, shared): document pairs sharing >= min_shared
+    winnowing fingerprints — the MOSS match step. Self-join is bucketed
+    BY FINGERPRINT VALUE with a bucket cap (the LSH-pairs discipline:
+    a fingerprint shared by more than max_bucket docs is a stop-shingle
+    and is dropped, bounding the quadratic term per bucket), so the
+    candidate volume is Σ_fp min(|bucket|, cap)² — never all-pairs."""
+    fp = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("doc_id", "fp").distinct()
+    sz = fp.groupBy("fp").agg(F.count("*").alias("sz"))
+    small = fp.join(sz.where(F.col("sz") <= max_bucket), "fp").select("doc_id", "fp")
+    a = small.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = small.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

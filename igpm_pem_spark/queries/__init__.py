@@ -101,6 +101,8 @@ _PRIORITY = [
     "graph_harmonic_anf",
     "graph_k4_count",
     "label_propagation3_weighted",
+    "doc_winnow_fp",
+    "doc_winnow_pairs",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",

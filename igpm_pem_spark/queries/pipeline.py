@@ -527,3 +527,76 @@ QUERIES["doc_split_assign"] = (
     _q_split_assign,
     f"SELECT doc_id, {_split_case_sql('doc_id')} AS split FROM documents",
 )
+
+
+def _q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min-hash-per-window shingle
+    selection at guaranteed 2/(w+1) density
+    (functions/text.py::winnow_fingerprints)."""
+    from ..functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(docs(spark, sf_dir), k=4, w=4)
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS match step: document pairs sharing >= 2 winnowing
+    fingerprints, stop-shingle-capped (functions/text.py::winnow_pairs)."""
+    from ..functions.text import winnow_pairs
+
+    return winnow_pairs(docs(spark, sf_dir), k=4, w=4, min_shared=2)
+
+
+def _winnow_ctes(k: int = 4, w: int = 4) -> str:
+    from ..functions.hashing import FP_A, P
+
+    terms = " + ".join(
+        f"({pow(FP_A, j, P)} * "
+        + ("tid" if j == 0 else f"lead(tid, {j}) OVER wdoc")
+        + f") % {P}"
+        for j in range(k)
+    )
+    return (
+        _TOK_CTE
+        + f"""
+, kt AS MATERIALIZED (
+  SELECT doc_id, pos, {token_id_sql("token")} AS tid FROM tok
+)
+, kg AS MATERIALIZED (
+  SELECT doc_id, pos, ({terms}) % {P} AS kh
+  FROM kt WINDOW wdoc AS (PARTITION BY doc_id ORDER BY pos)
+)
+, selw AS MATERIALIZED (
+  SELECT doc_id,
+         min(kh * 32768 + pos) OVER w2 AS selkey,
+         count(*) OVER w2 AS cnt
+  FROM kg WHERE kh IS NOT NULL
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+)
+, wfp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, CAST(selkey % 32768 AS BIGINT) AS pos,
+         CAST(selkey // 32768 AS BIGINT) AS fp
+  FROM selw WHERE cnt = {w}
+)"""
+    )
+
+
+QUERIES["doc_winnow_fp"] = (
+    _q_winnow_fp,
+    _winnow_ctes() + "SELECT doc_id, pos, fp FROM wfp",
+)
+
+QUERIES["doc_winnow_pairs"] = (
+    _q_winnow_pairs,
+    _winnow_ctes()
+    + """
+, fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wfp)
+, szs AS MATERIALIZED (SELECT fp, count(*) AS sz FROM fps GROUP BY fp)
+, small AS MATERIALIZED (
+  SELECT f.doc_id, f.fp FROM fps f JOIN szs ON szs.fp = f.fp AND szs.sz <= 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+""",
+)

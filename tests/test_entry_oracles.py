@@ -67,7 +67,7 @@ def test_query_matches_oracle(spark, duck, name):
     for c in cols:
         a, b = sdf[c].to_numpy(), odf[c].to_numpy()
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-12), c
+            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-12, equal_nan=True), c
         else:
             assert (a == b).all(), c
 

@@ -188,3 +188,29 @@ def test_neighbor_mean_inner_semantics(spark):
     rows = neighbor_mean_embedding(e, emb).collect()
     # 99 has neighbor 1 (embedded) → kept; 1's only neighbor 99 has no row → dropped
     assert {r.id for r in rows} == {99}
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing guarantee: two docs sharing a run of w+k-1 = 7 tokens
+    share at least one selected fingerprint; unrelated docs don't."""
+    from igpm_pem_spark.functions.text import winnow_fingerprints, winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, f"intro words here {shared} closing remarks one"),
+        (2, f"totally different opening {shared} and another tail"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    pairs = {(r.doc_a, r.doc_b) for r in winnow_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
+    # density: selected fingerprints per doc ≤ number of full windows
+    for d, fps in by_doc.items():
+        assert 1 <= len(fps) <= 12
