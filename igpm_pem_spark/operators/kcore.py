@@ -88,6 +88,8 @@ class CorenessResult:
     coreness: DataFrame  # (id BIGINT, coreness BIGINT)
     rounds: int
     converged: bool
+    resumed_from: int | None = None
+    stats: list = field(default_factory=list)
 
 
 def coreness_hindex(
@@ -96,6 +98,8 @@ def coreness_hindex(
     *,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> CorenessResult:
     """Full core decomposition — coreness(v) for every vertex at once —
     by h-index iteration (Lu, Zhou et al., Nature Comm. 7:10168, 2016):
@@ -115,8 +119,16 @@ def coreness_hindex(
     value >= c, and H = max over values of least(c, cum) — shuffle at
     (v, distinct-neighbor-value) granularity, hub state bounded by the
     value range, never by degree. Idempotent at the fixpoint, so an
-    oracle may unroll MORE rounds than the engine needed."""
+    oracle may unroll MORE rounds than the engine needed.
+
+    With ``checkpoint_dir`` each round commits the (id, c, changed)
+    state + per-partition lineage rows through the shared LineageLog
+    (the kernels' resumability discipline): a killed run resumes from
+    the newest committed round instead of re-peeling from degrees."""
     from pyspark.sql import Window
+
+    from ..lineage import LineageLog
+    from ._superstep import commit_and_stats, edge_partition_counts
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -127,16 +139,28 @@ def coreness_hindex(
         .repartition(num_partitions, "nbr")
         .localCheckpoint(eager=True)
     )
-    state = (
-        sym.groupBy(F.col("v").alias("id"))
-        .agg(F.count("*").alias("c"))
-        .repartition(num_partitions, "id")
-        .localCheckpoint(eager=True)
-    )
+    edge_parts = edge_partition_counts(sym)
+
+    log = LineageLog(spark, checkpoint_dir)
+    start_round, resumed_from = 0, None
+    state: DataFrame | None = None
+    if resume and checkpoint_dir:
+        last = log.last_committed()
+        if last is not None:
+            state = log.load_state(last)
+            start_round, resumed_from = last + 1, last
+    if state is None:
+        state = (
+            sym.groupBy(F.col("v").alias("id"))
+            .agg(F.count("*").alias("c"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
     w = Window.partitionBy("v").orderBy(F.col("c").desc())
     converged = False
-    rounds = 0
+    rounds = start_round
     while rounds < max_rounds:
+        t0 = time.time()
         rounds += 1
         nbrvals = sym.join(
             state.select(F.col("id").alias("nbr"), "c"), "nbr"
@@ -148,20 +172,25 @@ def coreness_hindex(
         )
         new_state = (
             cum.groupBy(F.col("v").alias("id"))
-            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c"))
-            .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
+            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c_new"))
+            .join(state.select("id", F.col("c").alias("c_old")), "id")
+            .select(
+                "id",
+                F.col("c_new").alias("c"),
+                (F.col("c_new") != F.col("c_old")).alias("changed"),
+            )
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .where(F.col("n.c") != F.col("o.c"))
-            .count()
+        state, delta, _ = commit_and_stats(
+            log, rounds - 1, new_state,
+            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            num_partitions=num_partitions,
         )
-        state = new_state
-        if changed == 0:
+        if delta == 0.0:
             converged = True
             break
-    return CorenessResult(
-        state.select("id", F.col("c").alias("coreness")), rounds, converged
+    result = CorenessResult(
+        state.select("id", F.col("c").alias("coreness")), rounds, converged,
+        resumed_from,
     )
+    result.stats = log.stats
+    return result

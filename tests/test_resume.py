@@ -135,3 +135,24 @@ def test_sssp_kill_resume_matches_uninterrupted(spark, tmp_path):
     got = {r.id: r.dist for r in resumed.distances.collect()}
     want = {r.id: r.dist for r in full.distances.collect()}
     assert got == want
+
+
+def test_coreness_kill_resume_matches_uninterrupted(spark, tmp_path):
+    from igpm_pem_spark.operators.kcore import coreness_hindex
+
+    edges = _edges(spark)
+    ckpt = str(tmp_path / "core")
+
+    full = coreness_hindex(spark, edges)
+    assert full.converged
+    want = {r.id: r.coreness for r in full.coreness.collect()}
+
+    partial = coreness_hindex(spark, edges, max_rounds=1, checkpoint_dir=ckpt)
+    assert not partial.converged and partial.rounds == 1
+
+    resumed = coreness_hindex(spark, edges, checkpoint_dir=ckpt)
+    assert resumed.resumed_from == 0
+    assert resumed.converged
+    assert resumed.stats[0].superstep == 1  # rounds 0 not redone
+    got = {r.id: r.coreness for r in resumed.coreness.collect()}
+    assert got == want
