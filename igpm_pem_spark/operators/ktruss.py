@@ -99,6 +99,8 @@ class TrussnessResult:
     trussness: DataFrame  # (src BIGINT, dst BIGINT, trussness BIGINT)
     rounds: int
     converged: bool
+    resumed_from: int | None = None
+    stats: list = field(default_factory=list)
 
 
 def trussness_hindex(
@@ -107,6 +109,8 @@ def trussness_hindex(
     *,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> TrussnessResult:
     """Full truss decomposition — trussness(e) for every edge at once —
     by local h-index iteration (Sariyüce, Seshadhri, Pinar, WWW'18 local
@@ -125,8 +129,18 @@ def trussness_hindex(
     of the static triangle list against the edge state plus the same
     windowed H-index used by coreness — shuffle at (edge, distinct-ρ)
     granularity, never proportional to a hub's triangle count.
+
+    With ``checkpoint_dir`` each round commits the (src, dst, s, changed)
+    state + per-partition lineage rows through the shared LineageLog —
+    the kernels' resumability discipline (the static triangle relation is
+    re-derived on resume; only the iteration state is durable).
     """
+    import time
+
     from pyspark.sql import Window
+
+    from ..lineage import LineageLog
+    from ._superstep import commit_and_stats, edge_partition_counts
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -156,15 +170,27 @@ def trussness_hindex(
         ).alias("ed")
     ).select("ed.src", "ed.dst")
     sup = tri_edges.groupBy("src", "dst").agg(F.count("*").alias("s"))
-    state = (
-        e.join(sup, ["src", "dst"], "left")
-        .select("src", "dst", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
-        .repartition(num_partitions, "src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edge_parts = edge_partition_counts(tris)
+
+    log = LineageLog(spark, checkpoint_dir)
+    start_round, resumed_from = 0, None
+    state: DataFrame | None = None
+    if resume and checkpoint_dir:
+        last = log.last_committed()
+        if last is not None:
+            state = log.load_state(last)
+            start_round, resumed_from = last + 1, last
+    if state is None:
+        state = (
+            e.join(sup, ["src", "dst"], "left")
+            .select("src", "dst", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+            .repartition(num_partitions, "src", "dst")
+            .localCheckpoint(eager=True)
+        )
     w = Window.partitionBy("src", "dst").orderBy(F.col("rho").desc())
-    rounds, converged = 0, False
+    rounds, converged = start_round, False
     while rounds < max_rounds:
+        t0 = time.time()
         rounds += 1
         sab = state.select(
             F.col("src").alias("a"), F.col("dst").alias("b"), F.col("s").alias("s_ab")
@@ -202,29 +228,31 @@ def trussness_hindex(
         h = cum.groupBy("src", "dst").agg(
             F.max(F.least(F.col("rho"), F.col("cum"))).alias("h")
         )
-        new_state = (
-            state.join(h, ["src", "dst"], "left")
-            .select(
-                "src", "dst",
-                F.least(F.col("s"), F.coalesce(F.col("h"), F.lit(0))).alias("s"),
-            )
-            .repartition(num_partitions, "src", "dst")
-            .localCheckpoint(eager=True)
+        new_state = state.select("src", "dst", F.col("s").alias("s_old")).join(
+            h, ["src", "dst"], "left"
+        ).select(
+            "src", "dst",
+            F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0))).alias("s"),
+            (
+                F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0)))
+                != F.col("s_old")
+            ).alias("changed"),
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), ["src", "dst"])
-            .where(F.col("n.s") != F.col("o.s"))
-            .count()
+        state, delta, _ = commit_and_stats(
+            log, rounds - 1, new_state,
+            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            partition_key=None, num_partitions=num_partitions,
         )
-        state = new_state
-        if changed == 0:
+        if delta == 0.0:
             converged = True
             break
-    return TrussnessResult(
+    result = TrussnessResult(
         state.select(
             "src", "dst", (F.col("s") + F.lit(2)).cast("long").alias("trussness")
         ),
         rounds,
         converged,
+        resumed_from,
     )
+    result.stats = log.stats
+    return result

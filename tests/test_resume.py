@@ -156,3 +156,24 @@ def test_coreness_kill_resume_matches_uninterrupted(spark, tmp_path):
     assert resumed.stats[0].superstep == 1  # rounds 0 not redone
     got = {r.id: r.coreness for r in resumed.coreness.collect()}
     assert got == want
+
+
+def test_trussness_kill_resume_matches_uninterrupted(spark, tmp_path):
+    from igpm_pem_spark.operators.ktruss import trussness_hindex
+
+    edges = _edges(spark)
+    ckpt = str(tmp_path / "truss")
+
+    full = trussness_hindex(spark, edges)
+    assert full.converged
+    want = {(r.src, r.dst): r.trussness for r in full.trussness.collect()}
+
+    partial = trussness_hindex(spark, edges, max_rounds=1, checkpoint_dir=ckpt)
+    assert not partial.converged and partial.rounds == 1
+
+    resumed = trussness_hindex(spark, edges, checkpoint_dir=ckpt)
+    assert resumed.resumed_from == 0
+    assert resumed.converged
+    assert resumed.stats[0].superstep == 1
+    got = {(r.src, r.dst): r.trussness for r in resumed.trussness.collect()}
+    assert got == want
