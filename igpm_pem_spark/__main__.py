@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     kc = kernel_parser("kcore", "k-core decomposition")
     kc.add_argument("-k", type=int, required=True)
 
+    cn = kernel_parser("coreness", "full core decomposition (h-index iteration)")
+    cn.add_argument("--checkpoint-dir")
+
+    tn = kernel_parser("trussness", "full truss decomposition (local h-index)")
+    tn.add_argument("--checkpoint-dir")
+
     kernel_parser("triangles", "exact triangle count (adaptive plan)")
 
     mt = kernel_parser("matching", "handshake maximal matching")
@@ -167,6 +173,24 @@ def main(argv: list[str] | None = None) -> int:
 
         res = k_core(spark, edges, args.k, num_partitions=args.num_partitions)
         _emit(res.vertices, args.output)
+    elif args.cmd == "coreness":
+        from igpm_pem_spark.operators.kcore import coreness_hindex
+
+        res = coreness_hindex(
+            spark, edges, num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        _emit(res.coreness, args.output)
+        print(f"rounds={res.rounds} converged={res.converged}", file=sys.stderr)
+    elif args.cmd == "trussness":
+        from igpm_pem_spark.operators.ktruss import trussness_hindex
+
+        res = trussness_hindex(
+            spark, edges, num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        _emit(res.trussness, args.output)
+        print(f"rounds={res.rounds} converged={res.converged}", file=sys.stderr)
     elif args.cmd == "triangles":
         from igpm_pem_spark.operators.triangles import triangle_count
 

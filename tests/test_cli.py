@@ -91,3 +91,15 @@ def test_cli_matching_mis_partition(spark, tmp_path, capsys):
     parts = spark.read.parquet(outp)
     assert parts.count() == 60
     assert {r.part for r in parts.select("part").distinct().collect()} <= {0, 1, 2}
+
+
+def test_cli_coreness_trussness(spark, tmp_path):
+    p = _edges_parquet(spark, tmp_path)
+    outc = str(tmp_path / "core")
+    assert main(["coreness", "--edges", p, "--output", outc]) == 0
+    core = spark.read.parquet(outc)
+    assert set(core.columns) == {"id", "coreness"} and core.count() > 0
+    outt = str(tmp_path / "truss")
+    assert main(["trussness", "--edges", p, "--output", outt]) == 0
+    truss = spark.read.parquet(outt)
+    assert set(truss.columns) == {"src", "dst", "trussness"} and truss.count() > 0
