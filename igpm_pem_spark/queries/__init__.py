@@ -36,73 +36,75 @@ from . import (
 # round 3, cheap first (~209 s; the 49 s converged-PageRank flagship is
 # last — it is independently exercised by entry(), bench.py, and pytest).
 _PRIORITY = [
-    # -- group 1: never oracled --
-    "doc_chunks",
-    "doc_c4_filter",
-    "rel_percentiles",
-    "rel_moving_avg",
-    "graph_contract_brand",
-    "graph_coloring_jp8",
-    "graph_anf3",
-    "graph_condensation_levels",
-    "emb_pca_top",
-    "rel_funnel3",
-    "rel_cohort_retention",
-    "emb_pca_project",
-    "emb_knn_label_acc",
-    "rel_cube",
-    "rel_grouping_sets",
-    "graph_matching8",
-    "graph_mis8",
-    "graph_coarsen1",
-    "graph_partition_lpa",
-    "graph_edge_cut",
-    "emb_dedup_clusters",
-    "doc_postings",
-    "doc_vocab_kmv_by_lang",
+    # -- group 1: never driver-oracled, cheapest first (measured sf0.01
+    # wall from SELFCHECK.json, so a time-budgeted driver verifies the
+    # most entries; neutral under a count budget) --
     "doc_reservoir_lang",
-    "rel_redact_props",
-    "rel_pivot",
-    "rel_asof_purchase",
-    "rel_range_pairs",
     "rel_rollup",
-    "doc_tfidf_top",
-    "graph_walk_ppmi",
-    "link_predict_adamic",
-    "graph_katz4",
-    "graph_betweenness_seeds",
-    "graph_bowtie",
-    "link_recommend_rwr",
-    "doc_bigram_lm",
-    "emb_kmeans_bcast",
-    "emb_quantize_int8",
-    "doc_decontaminate",
-    "doc_repetition",
-    "doc_vocab_kmv",
-    "rel_kmv_users",
     "doc_sample_stratified",
-    "graph_neighbor_mean",
-    "graph_node2vec_pairs",
-    "doc_dedup_clusters",
-    "emb_kmeans2",
-    "community_louvain_move",
-    "emb_ann_ivf_topk",
-    "community_q_improvement",
-    "graph_spam_mass",
-    "salsa_fixed8",
-    "doc_span_dedup",
-    "graph_eff_diameter",
-    "graph_coreness",
-    "graph_trussness",
-    "emb_logreg_probe",
-    "emb_logreg_acc",
-    "emb_pca_top2",
-    "graph_rich_club",
-    "graph_harmonic_anf",
-    "graph_k4_count",
-    "label_propagation3_weighted",
-    "doc_winnow_fp",
+    "rel_grouping_sets",
+    "rel_pivot",
+    "rel_redact_props",
+    "rel_range_pairs",
+    "rel_asof_purchase",
+    "rel_kmv_users",
+    "rel_cube",
+    "rel_cohort_retention",
+    "doc_postings",
+    "rel_funnel3",
+    "doc_vocab_kmv_by_lang",
+    "doc_vocab_kmv",
+    "doc_tfidf_top",
+    "doc_repetition",
+    "emb_quantize_int8",
+    "doc_bigram_lm",
+    "rel_percentiles",
+    "link_predict_adamic",
+    "doc_decontaminate",
+    "rel_moving_avg",
+    "doc_c4_filter",
     "doc_winnow_pairs",
+    "emb_knn_label_acc",
+    "graph_katz4",
+    "doc_span_dedup",
+    "doc_winnow_fp",
+    "label_propagation3_weighted",
+    "graph_anf3",
+    "graph_neighbor_mean",
+    "graph_contract_brand",
+    "graph_eff_diameter",
+    "graph_partition_lpa",
+    "graph_harmonic_anf",
+    "graph_matching8",
+    "graph_edge_cut",
+    "graph_node2vec_pairs",
+    "graph_trussness",
+    "link_recommend_rwr",
+    "graph_mis8",
+    "graph_walk_ppmi",
+    "graph_coarsen1",
+    "graph_k4_count",
+    "graph_betweenness_seeds",
+    "doc_dedup_clusters",
+    "emb_ann_ivf_topk",
+    "emb_kmeans_bcast",
+    "doc_chunks",
+    "emb_kmeans2",
+    "emb_logreg_acc",
+    "emb_logreg_probe",
+    "graph_rich_club",
+    "graph_coreness",
+    "graph_coloring_jp8",
+    "emb_dedup_clusters",
+    "community_louvain_move",
+    "community_q_improvement",
+    "salsa_fixed8",
+    "graph_spam_mass",
+    "emb_pca_project",
+    "emb_pca_top",
+    "graph_bowtie",
+    "graph_condensation_levels",
+    "emb_pca_top2",
     # -- group 2: last green in round 2 --
     "rel_median",
     "rel_condition_expr",
