@@ -75,6 +75,7 @@ _PRIORITY = [
     "graph_eff_diameter",
     "graph_partition_lpa",
     "graph_harmonic_anf",
+    "graph_ppr_push",
     "graph_matching8",
     "graph_edge_cut",
     "graph_node2vec_pairs",

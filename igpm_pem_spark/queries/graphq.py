@@ -1152,3 +1152,32 @@ _WLPA_SQL = (
 
 
 QUERIES["label_propagation3_weighted"] = (_q_lpa3_weighted, _WLPA_SQL)
+
+
+def _q_ppr_push(spark, sf_dir):
+    """Approximate personalized PageRank by synchronous forward push from
+    the 3 smallest vertex ids — frontier-local work, the engine-native
+    form of the reference's affected-region partial execution
+    (operators/push.py::forward_push_ppr)."""
+    from ..operators.graph import vertex_ids
+    from ..operators.push import forward_push_ppr
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    seeds = [int(r.id) for r in vertex_ids(e).orderBy("id").limit(3).collect()]
+    return forward_push_ppr(
+        spark, e, seeds, alpha=0.15, eps=1e-4, rounds=8,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+
+
+
+
+def _ppr_push_sql():
+    from ..operators.push import forward_push_oracle_sql
+
+    return forward_push_oracle_sql(
+        G_SPARSE_SQL, n_seeds=3, alpha=0.15, eps=1e-4, rounds=8
+    )
+
+
+QUERIES["graph_ppr_push"] = (_q_ppr_push, _ppr_push_sql())

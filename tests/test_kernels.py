@@ -338,3 +338,50 @@ def test_weighted_lpa_prefers_heavy_edge(spark):
     assert labels[1] == labels[2] == labels[3]
     assert labels[4] == labels[5] == labels[6]
     assert labels[1] != labels[4]
+
+
+def test_forward_push_matches_python_replay_and_stays_local(spark):
+    """Synchronous forward push: exact python replay parity, mass
+    conservation, and frontier locality (single seed on a BA graph must
+    not touch the whole vertex set at tight eps)."""
+    from igpm_pem_spark.operators.push import forward_push_ppr
+
+    edges, pairs, _ = _pairs("ba100", spark)
+    alpha, eps, rounds, seeds = 0.15, 1e-2, 4, [0]
+    out = {r.id: (r.p6, r.r6) for r in forward_push_ppr(
+        spark, edges, seeds, alpha=alpha, eps=eps, rounds=rounds
+    ).collect()}
+
+    # python replay of the same recurrence
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b); adj[b].add(a)
+    p = defaultdict(float)
+    r = defaultdict(float, {s: 1.0 / len(seeds) for s in seeds})
+    for _ in range(rounds):
+        active = [v for v in adj if r[v] > eps * len(adj[v])]
+        nr = defaultdict(float)
+        for v in adj:
+            if v not in set(active):
+                nr[v] = r[v]
+        for v in active:
+            p[v] += alpha * r[v]
+            share = (1.0 - alpha) * r[v] / len(adj[v])
+            for u in adj[v]:
+                nr[u] += share
+        r = nr
+    want = {
+        v: (round(p[v], 6), round(r[v], 6))
+        for v in adj
+        if round(p[v], 6) != 0.0 or round(r[v], 6) != 0.0
+    }
+    assert out.keys() == want.keys()
+    for v in want:
+        assert abs(out[v][0] - want[v][0]) < 2e-6
+        assert abs(out[v][1] - want[v][1]) < 2e-6
+    # locality + conservation
+    assert len(out) < len(adj)
+    mass = sum(a + b for a, b in out.values())
+    assert abs(mass - 1.0) < 1e-4
