@@ -31,10 +31,12 @@ from . import (
 )
 
 # Front-to-back driver order (see module docstring). Group 1: never
-# driver-oracled (round-3 stragglers + round-4 additions, ~63 s total at
-# sf0.01). Group 2: last green in round 2 (~25 s). Group 3: green in
-# round 3, cheap first (~209 s; the 49 s converged-PageRank flagship is
-# last — it is independently exercised by entry(), bench.py, and pytest).
+# driver-oracled (round-3 stragglers + round-4 additions; ~6.5 min total
+# at sf0.01 per SELFCHECK.json, cheapest first). Group 2: last green in
+# round 2. Group 3: green in round 3, cheap first (the ~50 s
+# converged-PageRank flagship is last — it is independently exercised by
+# entry(), bench.py, and pytest). Every entry also has a committed green
+# sf0.01 row in SELFCHECK.json regardless of driver budget.
 _PRIORITY = [
     # -- group 1: never driver-oracled, cheapest first (measured sf0.01
     # wall from SELFCHECK.json, so a time-budgeted driver verifies the
