@@ -276,3 +276,52 @@ def rich_club(
     return spark.createDataFrame(
         rows, "k INT, n_nodes BIGINT, n_edges BIGINT, phi6 DOUBLE"
     )
+
+
+def jaccard_sparsify(
+    edges: DataFrame,
+    *,
+    num: int = 1,
+    den: int = 10,
+) -> DataFrame:
+    """(src, dst, sup, jac_num, jac_den, kept): structural sparsifier —
+    keep edge (u,v) when its common-neighbor Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)∖{u,v}| ≥ num/den (Satuluri et al. local
+    sparsification; the preprocessing that thins hairball graphs before
+    community detection while preserving intra-cluster edges).
+
+    The threshold compare is INTEGER cross-multiplication
+    (den·sup ≥ num·(du+dv−2−sup)) so the decision is engine-exact — no
+    float ratio anywhere. Common-neighbor counts reuse the triangle
+    edge-support join (one wedge join + one groupBy); degrees are one
+    aggregate + two map-side joins."""
+    from .ktruss import _edge_support
+
+    if num < 0 or den <= 0:
+        raise ValueError("jaccard_sparsify: need num >= 0 and den > 0")
+    e = canonical_undirected(edges).persist()
+    try:
+        sup = _edge_support(e)  # (src, dst, sup) canonical
+        deg = (
+            symmetrize(e)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("d"))
+        )
+        out = (
+            sup.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+            .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+            .select(
+                "src", "dst", "sup",
+                (F.lit(den) * F.col("sup")).alias("jac_num"),
+                (F.lit(num) * (F.col("du") + F.col("dv") - 2 - F.col("sup"))).alias(
+                    "jac_den"
+                ),
+            )
+            .select(
+                "src", "dst", "sup", "jac_num", "jac_den",
+                (F.col("jac_num") >= F.col("jac_den")).alias("kept"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

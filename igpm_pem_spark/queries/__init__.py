@@ -87,6 +87,7 @@ _PRIORITY = [
     "graph_walk_ppmi",
     "graph_coarsen1",
     "graph_k4_count",
+    "graph_sparsify_jaccard",
     "graph_betweenness_seeds",
     "doc_dedup_clusters",
     "emb_ann_ivf_topk",

@@ -1181,3 +1181,37 @@ def _ppr_push_sql():
 
 
 QUERIES["graph_ppr_push"] = (_q_ppr_push, _ppr_push_sql())
+
+
+def _q_sparsify(spark, sf_dir):
+    """Structural Jaccard sparsifier on the sparse graph at threshold
+    1/10 — integer cross-multiplied decision, engine-exact
+    (operators/metrics.py::jaccard_sparsify)."""
+    from ..operators.metrics import jaccard_sparsify
+
+    return jaccard_sparsify(edges(spark, sf_dir, G_SPARSE_SQL), num=1, den=10)
+
+
+_SPARSIFY_TAIL = """
+, tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM g e1 JOIN g e2 ON e2.src = e1.dst
+  JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+, sup AS MATERIALIZED (
+  SELECT e.src, e.dst, coalesce(t.s, 0) AS sup
+  FROM g e LEFT JOIN (
+    SELECT src, dst, count(*) AS s FROM (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT b, c FROM tri
+      UNION ALL SELECT a, c FROM tri) GROUP BY src, dst) t
+  ON t.src = e.src AND t.dst = e.dst)
+, deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+SELECT s.src, s.dst, s.sup,
+       CAST(10 * s.sup AS BIGINT) AS jac_num,
+       CAST(1 * (d1.d + d2.d - 2 - s.sup) AS BIGINT) AS jac_den,
+       10 * s.sup >= 1 * (d1.d + d2.d - 2 - s.sup) AS kept
+FROM sup s JOIN deg d1 ON d1.id = s.src JOIN deg d2 ON d2.id = s.dst
+"""
+
+
+QUERIES["graph_sparsify_jaccard"] = (_q_sparsify, _with_g(_SPARSIFY_TAIL, G_SPARSE_SQL))

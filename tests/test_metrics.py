@@ -439,3 +439,25 @@ def test_rich_club_matches_networkx(spark):
             assert abs(row.phi6 - round(want[k], 6)) < 2e-6, k
         else:  # k >= max degree: no rich club of size >= 2
             assert row.phi6 is None or row.n_nodes < 2
+
+
+def test_jaccard_sparsify_matches_python(spark):
+    from igpm_pem_spark.operators.metrics import jaccard_sparsify
+
+    import networkx as nx
+
+    _, edges, _ = ba_graph(spark, 50, 4, seed=7)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    out = {(r.src, r.dst): r for r in jaccard_sparsify(edges_df(spark, pairs)).collect()}
+    assert set(out) == {tuple(sorted(e)) for e in g.edges}
+    for (u, v), row in out.items():
+        inter = len(set(g[u]) & set(g[v]))
+        union = len((set(g[u]) | set(g[v])) - {u, v})
+        assert row.sup == inter
+        want_kept = 10 * inter >= union  # threshold 1/10, integer compare
+        assert row.kept == want_kept, (u, v)
+    # the sparsifier keeps a nontrivial strict subset on a BA graph
+    kept = sum(1 for r in out.values() if r.kept)
+    assert 0 < kept
