@@ -88,6 +88,7 @@ _PRIORITY = [
     "graph_coarsen1",
     "graph_k4_count",
     "graph_sparsify_jaccard",
+    "doc_lang_confusion",
     "graph_betweenness_seeds",
     "doc_dedup_clusters",
     "emb_ann_ivf_topk",

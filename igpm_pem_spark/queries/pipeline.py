@@ -600,3 +600,29 @@ FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 """,
 )
+
+
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: corpus truth label vs the n-gram
+    heuristic's guess — the accuracy evidence for the lang-ID gate."""
+    from ..functions.text import lang_id
+
+    d = docs(spark, sf_dir)
+    pred = lang_id(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+QUERIES["doc_lang_confusion"] = (
+    _q_lang_confusion,
+    f"""
+WITH pred AS ({_LANG_SQL})
+SELECT d.lang, p.lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_guess
+""",
+)
