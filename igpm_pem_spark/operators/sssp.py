@@ -148,3 +148,79 @@ def sssp(
     )
     result.stats = log.stats
     return result
+
+
+def _widest_prep(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    # parallel edges: keep the WIDEST (max-weight) representative
+    return e.groupBy("src", "dst").agg(F.max("w").alias("w"))
+
+
+def widest_path(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    *,
+    weight_col: str = "w",
+    directed: bool = False,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> SsspResult:
+    """Bottleneck (widest-path) single source: the max-min fixpoint
+    width(v) = max over edges (u,v) of min(width(u), w) — "what is the
+    fattest pipe from here to everywhere" (capacity routing, dependency
+    bandwidth). Same frontier-restricted superstep as the min-plus
+    kernel with (min, +) swapped for (max, min); widths are input
+    weights verbatim (never sums), so the fixpoint is engine-exact with
+    ANY weights, not just integral ones. The source carries +inf (every
+    path's bottleneck is its narrowest edge). Monotone non-decreasing,
+    bounded by max weight ⇒ converges; unreached vertices are absent."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    adj = (
+        _widest_prep(edges, weight_col, directed)
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    state = spark.createDataFrame(
+        [(int(source), float("inf"), True)], "id BIGINT, width DOUBLE, changed BOOLEAN"
+    ).repartition(num_partitions, "id")
+    converged, step = False, 0
+    while step < max_iter:
+        step += 1
+        frontier = state.where("changed").select(
+            F.col("id").alias("src"), F.col("width").alias("w0")
+        )
+        raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
+            "dst", F.least(F.col("w0"), F.col("w")).alias("cand")
+        )
+        msgs = (
+            raw.repartition(num_partitions, "dst")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max("cand").alias("cand"))
+        )
+        state = (
+            state.join(msgs, "id", "full")
+            .select(
+                "id",
+                F.greatest(
+                    F.coalesce(F.col("width"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("width")),
+                ).alias("width"),
+                (
+                    F.col("width").isNull()
+                    | (F.coalesce(F.col("cand"), F.col("width")) > F.col("width"))
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if state.where("changed").limit(1).count() == 0:
+            converged = True
+            break
+    return SsspResult(state.select("id", F.col("width").alias("width")), step, converged)

@@ -89,6 +89,7 @@ _PRIORITY = [
     "graph_k4_count",
     "graph_sparsify_jaccard",
     "doc_lang_confusion",
+    "widest_path",
     "graph_betweenness_seeds",
     "doc_dedup_clusters",
     "emb_ann_ivf_topk",

@@ -1066,3 +1066,52 @@ SELECT n AS scc, CAST(max(d) AS INT) AS level FROM paths GROUP BY n
 """
 
 QUERIES["graph_condensation_levels"] = (_q_condensation_levels, _CONDENSATION_SQL)
+
+
+WIDEST_ORACLE_ITERS = 50
+
+
+def _q_widest(spark, sf_dir):
+    """Bottleneck widest-path widths from the smallest vertex id over the
+    multiplicity-weighted sparse graph (operators/sssp.py::widest_path);
+    (max, min) sibling of the min-plus kernel — widths are edge weights
+    verbatim, engine-exact with any weights."""
+    from ..operators.graph import vertex_ids
+    from ..operators.sssp import widest_path
+
+    e = edges(spark, sf_dir, _G_WSPARSE_SQL)
+    source = int(vertex_ids(e).agg(F.min("id")).first()[0])
+    res = widest_path(
+        spark, e, source, weight_col="w", directed=False,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    if not (res.converged and res.supersteps < WIDEST_ORACLE_ITERS):
+        raise RuntimeError(
+            f"widest_path took {res.supersteps} supersteps (converged="
+            f"{res.converged}); raise WIDEST_ORACLE_ITERS"
+        )
+    return res.distances.select("id", "width")
+
+
+_WIDEST_SQL = f"""
+WITH RECURSIVE g AS ({_G_WSPARSE_SQL})
+, symw AS (SELECT src, dst, max(w) AS w FROM (
+    SELECT src, dst, w FROM g
+    UNION ALL SELECT dst AS src, src AS dst, w FROM g) GROUP BY src, dst)
+, verts AS (SELECT DISTINCT src AS id FROM symw)
+, src0 AS (SELECT min(id) AS s FROM verts)
+, ep AS (SELECT src, dst, w FROM symw
+         UNION ALL SELECT id, id, CAST('infinity' AS DOUBLE) FROM verts)
+, wp(iter, id, width) AS (
+    SELECT 0, (SELECT s FROM src0), CAST('infinity' AS DOUBLE)
+    UNION ALL
+    SELECT t.iter + 1, e.dst, max(least(t.width, e.w))
+    FROM wp t JOIN ep e ON e.src = t.id
+    WHERE t.iter < {WIDEST_ORACLE_ITERS}
+    GROUP BY t.iter, e.dst
+)
+SELECT id, width FROM wp WHERE iter = {WIDEST_ORACLE_ITERS}
+"""
+
+
+QUERIES["widest_path"] = (_q_widest, _WIDEST_SQL)

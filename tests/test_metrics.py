@@ -461,3 +461,38 @@ def test_jaccard_sparsify_matches_python(spark):
     # the sparsifier keeps a nontrivial strict subset on a BA graph
     kept = sum(1 for r in out.values() if r.kept)
     assert 0 < kept
+
+
+def test_widest_path_matches_networkx(spark):
+    """Bottleneck widths vs a python max-min fixpoint on a weighted BA
+    graph (networkx has no direct widest-path; the replay is simple)."""
+    from igpm_pem_spark.operators.sssp import widest_path
+
+    import random
+
+    rng = random.Random(4)
+    _, edges, _ = ba_graph(spark, 60, 3, seed=4)
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    wpairs = [(a, b, float(rng.randint(1, 9))) for a, b in pairs]
+    e = spark.createDataFrame(wpairs, "src BIGINT, dst BIGINT, w DOUBLE")
+    res = widest_path(spark, e, 0)
+    assert res.converged
+    got = {r.id: r.width for r in res.distances.collect()}
+
+    from collections import defaultdict
+    adj = defaultdict(dict)
+    for a, b, w in wpairs:
+        adj[a][b] = max(adj[a].get(b, 0.0), w)
+        adj[b][a] = max(adj[b].get(a, 0.0), w)
+    width = {0: float("inf")}
+    for _ in range(200):
+        nxt = dict(width)
+        for u, wu in width.items():
+            for v, w in adj[u].items():
+                c = min(wu, w)
+                if c > nxt.get(v, 0.0):
+                    nxt[v] = c
+        if nxt == width:
+            break
+        width = nxt
+    assert got == width
