@@ -90,6 +90,7 @@ _PRIORITY = [
     "graph_sparsify_jaccard",
     "doc_lang_confusion",
     "widest_path",
+    "graph_local_bridges",
     "graph_betweenness_seeds",
     "doc_dedup_clusters",
     "emb_ann_ivf_topk",

@@ -1215,3 +1215,37 @@ FROM sup s JOIN deg d1 ON d1.id = s.src JOIN deg d2 ON d2.id = s.dst
 
 
 QUERIES["graph_sparsify_jaccard"] = (_q_sparsify, _with_g(_SPARSIFY_TAIL, G_SPARSE_SQL))
+
+
+def _q_local_bridges(spark, sf_dir):
+    """Local bridges (Granovetter): edges whose endpoints share NO common
+    neighbor (triangle support 0) — the weak ties whose removal lengthens
+    the shortest path between their endpoints; pure filter over the same
+    edge-support relation the sparsifier uses."""
+    from ..operators.ktruss import _edge_support
+    from ..operators.graph import canonical_undirected
+
+    e = canonical_undirected(edges(spark, sf_dir, G_SPARSE_SQL))
+    return _edge_support(e).where(F.col("sup") == 0).select("src", "dst")
+
+
+_LOCAL_BRIDGES_TAIL = """
+, tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM g e1 JOIN g e2 ON e2.src = e1.dst
+  JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+, supx AS MATERIALIZED (
+  SELECT src, dst, count(*) AS s FROM (
+    SELECT a AS src, b AS dst FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri) GROUP BY src, dst)
+SELECT e.src, e.dst
+FROM g e LEFT JOIN supx t ON t.src = e.src AND t.dst = e.dst
+WHERE coalesce(t.s, 0) = 0
+"""
+
+
+QUERIES["graph_local_bridges"] = (
+    _q_local_bridges,
+    _with_g(_LOCAL_BRIDGES_TAIL, G_SPARSE_SQL),
+)

@@ -496,3 +496,19 @@ def test_widest_path_matches_networkx(spark):
             break
         width = nxt
     assert got == width
+
+
+def test_local_bridges_have_no_common_neighbor(spark):
+    from igpm_pem_spark.operators.ktruss import _edge_support
+    from igpm_pem_spark.operators.graph import canonical_undirected
+
+    import networkx as nx
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    e = canonical_undirected(edges_df(spark, pairs))
+    bridges = {(r.src, r.dst) for r in
+               _edge_support(e).where("sup = 0").select("src", "dst").collect()}
+    g = nx.Graph(); g.add_edges_from(pairs)
+    want = {tuple(sorted((u, v))) for u, v in g.edges
+            if not (set(g[u]) & set(g[v]))}
+    assert bridges == want == {(3, 4)}
