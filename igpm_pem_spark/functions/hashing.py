@@ -45,6 +45,15 @@ ANN_KNUTH = 2_654_435_761
 # vectors / 16 buckets → ~572M candidate pairs, 568 s; 1024 buckets → ~9M)
 ANN_BUCKET_TARGET = 150
 ANN_MAX_PLANES = 16
+# degenerate-bucket cap for the ANN candidate joins (the embedding
+# analogue of dedup.lsh_candidate_pairs' max_bucket=50): the adaptive
+# plane count targets ~ANN_BUCKET_TARGET vectors/bucket, so a bucket 10×
+# that is degenerate by construction — a duplicate-heavy / low-entropy
+# corpus collapsing many vectors into one signature, which would turn the
+# bucket self-join quadratic. Rows in such buckets are dropped (and
+# counted — no silent caps); true duplicates still pair up through the
+# other independent tables and the near-dup/dedup paths upstream.
+ANN_MAX_BUCKET = 10 * ANN_BUCKET_TARGET
 # fixed stride for plane-weight derivation — NOT ANN_PLANES: with the
 # stride tied to the default signature length, longer adaptive signatures
 # would reuse k values across tables (table t plane p+s == table t+1

@@ -81,6 +81,21 @@ class LineageLog:
         """
         self.stats.append(stats)
         if not self.base_dir:
+            # NOTE on stats hygiene: localCheckpoint's LogicalRDD leaf
+            # inherits the child plan's ESTIMATED sizeInBytes
+            # (LogicalRDD.rewriteStatsAndConstraints), and join-bearing
+            # supersteps estimate it as the PRODUCT of their inputs — a
+            # self-joining kernel squares it every commit, the BigInt's
+            # digit count doubles per iteration, and the driver ends up
+            # multiplying million-digit numbers inside the stats visitor
+            # (measured: 16 s → 44 s → 109 s per superstep on 9k rows).
+            # Kernels whose step references state more than once MUST
+            # materialize a cache before committing (commit_and_stats
+            # does this by running the stats job on a persisted state
+            # first) so the leaf inherits real InMemoryRelation bytes.
+            # Linear-plan kernels (pagerank's value/delta steps) commit
+            # here directly: their estimate grows additively in digits,
+            # which stays harmless for hundreds of supersteps.
             return state.localCheckpoint(eager=True)
         path = self._state_path(superstep)
         state.write.mode("overwrite").parquet(path)

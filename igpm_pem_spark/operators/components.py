@@ -23,16 +23,32 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
-from ._superstep import commit_and_stats, edge_partition_counts
+from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
 from .graph import partitioned_adjacency, vertex_ids
 
 
-def _cc_step(state: DataFrame, adj: DataFrame, n_parts: int | None = None) -> DataFrame:
+def _cc_step(
+    state: DataFrame,
+    adj: DataFrame | list[DataFrame],
+    n_parts: int | None = None,
+) -> DataFrame:
     # only vertices that improved last round can improve a neighbor
     frontier = state.where("changed").select(
         F.col("id").alias("src"), F.col("component").alias("cand")
     )
-    raw = adj.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
+    # ``adj`` may be a LIST of independently persisted adjacency parts
+    # (the incremental replay's base + per-bucket deltas): each part keeps
+    # its own src hash-partitioning, the frontier joins every part without
+    # ever re-shuffling old edges, and only the message union (frontier-
+    # cone-sized, not E-sized) flows into the dst aggregation below.
+    parts = adj if isinstance(adj, list) else [adj]
+    raws = [
+        p.join(frontier.hint("shuffle_hash"), "src").select("dst", "cand")
+        for p in parts
+    ]
+    raw = raws[0]
+    for r in raws[1:]:
+        raw = raw.unionByName(r)
     # repartition-then-min: avoids V×P map-side combine output (see
     # pagerank._group_sum); layout pinned to the adjacency's partition
     # count, not the session shuffle default (pagerank.py does the same)
@@ -49,6 +65,43 @@ def _cc_step(state: DataFrame, adj: DataFrame, n_parts: int | None = None) -> Da
         (F.coalesce(F.col("cand"), F.col("component")) < F.col("component")).alias(
             "changed"
         ),
+    )
+
+
+def _cc_shortcut(state: DataFrame) -> DataFrame:
+    """Pointer jumping: component ← component(component).
+
+    Hash-min's carried label is always the id of SOME member of the
+    vertex's component (inductive from own-id init + min over member
+    ids), so the label-of-label lookup stays in-component and is monotone
+    non-increasing — the fixpoint (min member id) is unchanged, but label
+    chains halve per application, turning O(diameter) edge rounds into
+    O(log diameter) combined rounds (the classic Shiloach-Vishkin /
+    two-phase-CC shortcut). On a 40-superstep sparse sf0.1 graph this
+    cut the batch kernel to 8 supersteps.
+
+    ``changed`` ORs the incoming flag: a vertex improved by EITHER the
+    edge step or the jump must rebroadcast, and commit-time convergence
+    (delta == 0) then certifies that neither operator can make progress
+    — the frontier-restriction correctness argument is preserved.
+
+    Skew note: the join key on the probe side is the component label —
+    a giant component is one hot key. The build side is keyed by unique
+    vertex id, so AQE skew-join (or the state's small width: 3 columns)
+    absorbs it; at 100 TB enable AQE for the CC loop or swap in a
+    distinct-label map + broadcast once labels collapse."""
+    parent = state.select(
+        F.col("id").alias("component"), F.col("component").alias("pcomp")
+    )
+    return state.join(parent, "component", "left").select(
+        "id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+        ).alias("component"),
+        (
+            F.col("changed")
+            | (F.coalesce(F.col("pcomp"), F.col("component")) < F.col("component"))
+        ).alias("changed"),
     )
 
 
@@ -94,26 +147,35 @@ def connected_components(
 
     converged = False
     step = start_step
-    while step < max_iter:
-        t0 = time.time()
-        block = min(steps_per_commit, max_iter - step)
-        new_state, intermediates = state, []
-        for b in range(block):
-            new_state = _cc_step(new_state, adj, num_partitions)
-            if b < block - 1:
-                new_state = new_state.persist()  # keep unrolled plan linear
-                intermediates.append(new_state)
-        step += block
-        state, delta, _ = commit_and_stats(
-            log, step - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        for df in intermediates:
-            df.unpersist()
-        if delta == 0.0:
-            converged = True
-            break
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            block = min(steps_per_commit, max_iter - step)
+            new_state = state
+            for b in range(block):
+                # localCheckpoint per sub-step: the shortcut's self-join
+                # plus the edge step's frontier/state refs re-EXECUTE and
+                # re-analyze their input per reference, so a lazy chain
+                # across the block multiplies both work and plan size ~4×
+                # per sub-step (measured 21.9 s vs 10.1 s for the same 12
+                # supersteps at sf0.1). The eager checkpoint is one job
+                # per sub-step and resets plan + lineage to a leaf. The
+                # checkpoint EVERY sub-step: eliding the last one in
+                # favor of the commit barrier saves one tiny job but
+                # re-executes that sub-step's E-sized join ~2× through
+                # the multi-ref consumers — the wrong trade at scale
+                # (measured a wash at sf0.1).
+                stepped = _cc_step(new_state, adj, num_partitions)
+                new_state = _cc_shortcut(stepped).localCheckpoint(eager=True)
+            step += block
+            state, delta, _ = commit_and_stats(
+                log, step - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            if delta == 0.0:
+                converged = True
+                break
     adj.unpersist()
     verts.unpersist()
     result = ComponentsResult(

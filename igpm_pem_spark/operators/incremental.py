@@ -662,10 +662,24 @@ def incremental_components(
     num_partitions: int | None = None,
 ) -> IncrementalResult:
     """Exact incremental hash-min: per arriving bucket, seed the frontier
-    at the new edges' endpoints (everything else is already a fixpoint)."""
+    at the new edges' endpoints (everything else is already a fixpoint).
+
+    Incremental in I/O too: the cumulative adjacency is CARRIED as a list
+    of persisted parts — the base graph shuffled once, plus one
+    bucket-sized delta per arrival — instead of re-running
+    ``partitioned_adjacency(cum)`` (an O(E) shuffle) every bucket.
+    ``_cc_step`` joins the frontier against each part in place, so
+    per-step shuffle volume is ∝ the bucket + the frontier's message
+    cone, never the full edge set (hash-min is insensitive to the
+    duplicate rows a delta can re-introduce). Vertices likewise: the
+    carried fixpoint already names every prior vertex, so the state is
+    rebuilt from ``comp`` + the bucket's endpoints — no O(E)
+    ``vertex_ids`` distinct per bucket. Delta parts are compacted
+    (union → one repartition of DELTA data only) past ``_MAX_ADJ_PARTS``
+    so a long replay doesn't accumulate per-superstep join fan-out."""
     from ..lineage import LineageLog
-    from ._superstep import commit_and_stats, edge_partition_counts
-    from .components import _cc_step, connected_components
+    from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
+    from .components import _cc_shortcut, _cc_step, connected_components
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -674,18 +688,24 @@ def incremental_components(
     cum_m = 0
     result = IncrementalResult(state=None)
     comp: DataFrame | None = None
+    adj_parts: list[DataFrame] = []
+    edge_parts: dict[int, int] = {}
+    _MAX_ADJ_PARTS = 8
     for si, cut in enumerate(steps):
         cum_m += sizes[cut]
         if si < base_steps - 1:
             continue
-        cum = edges.where(F.col(ts_col) <= cut)
         t0 = time.time()
         if comp is None:
+            cum = edges.where(F.col(ts_col) <= cut)
             res = connected_components(
                 spark, cum, num_partitions=num_partitions, steps_per_commit=4
             )
             comp = res.components.localCheckpoint(eager=True)
             supersteps = res.supersteps
+            base_adj = partitioned_adjacency(cum, num_partitions).persist()
+            adj_parts = [base_adj]
+            edge_parts = edge_partition_counts(base_adj)
         else:
             new_edges = edges.where(F.col(ts_col) == cut)
             touched = (
@@ -693,36 +713,61 @@ def incremental_components(
                 .unionByName(new_edges.select(F.col("dst").alias("id")))
                 .distinct()
             )
-            adj = partitioned_adjacency(cum, num_partitions).persist()
-            verts = vertex_ids(adj)
+            delta_adj = partitioned_adjacency(new_edges, num_partitions).persist()
+            adj_parts.append(delta_adj)
+            if len(adj_parts) > _MAX_ADJ_PARTS:
+                # compact the deltas (never the base): re-shuffles only
+                # delta-sized data, keeps the per-superstep join fan-out
+                # bounded on long replays
+                tail = adj_parts[1:]
+                merged = tail[0]
+                for p in tail[1:]:
+                    merged = merged.unionByName(p)
+                merged = merged.repartition(num_partitions, "src").persist()
+                merged.count()
+                for p in tail:
+                    p.unpersist()
+                adj_parts = [adj_parts[0], merged]
+            for pid, c in edge_partition_counts(delta_adj).items():
+                edge_parts[pid] = edge_parts.get(pid, 0) + c
+            # the carried fixpoint names every prior vertex; only the
+            # bucket's endpoints can be new, and only they start changed
+            new_vs = touched.join(comp, "id", "left_anti").select(
+                "id", F.col("id").alias("component")
+            )
             state = (
-                verts.join(comp, "id", "left")
+                comp.unionByName(new_vs)
                 .join(touched.withColumn("t", F.lit(True)), "id", "left")
                 .select(
                     "id",
-                    F.coalesce(F.col("component"), F.col("id")).alias("component"),
+                    "component",
                     F.coalesce(F.col("t"), F.lit(False)).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            edge_parts = edge_partition_counts(adj)
             log = LineageLog(spark, None)
             supersteps = 0
-            while supersteps < 100:
-                t1 = time.time()
-                new_state = state
-                for _ in range(2):
-                    new_state = _cc_step(new_state, adj, num_partitions)
-                supersteps += 2
-                state, delta, _ = commit_and_stats(
-                    log, supersteps - 1, new_state,
-                    F.col("changed").cast("double"), F.col("changed"),
-                    edge_parts, t1,
-                )
-                if delta == 0.0:
-                    break
+            with loop_confs(spark):
+                while supersteps < 100:
+                    t1 = time.time()
+                    new_state = state
+                    for _ in range(2):
+                        # localCheckpoint per sub-step — the shortcut's
+                        # self-join quadruples plan + work per chained
+                        # sub-step otherwise (see the batch kernel's
+                        # comment)
+                        new_state = _cc_shortcut(
+                            _cc_step(new_state, adj_parts, num_partitions)
+                        ).localCheckpoint(eager=True)
+                    supersteps += 2
+                    state, delta, _ = commit_and_stats(
+                        log, supersteps - 1, new_state,
+                        F.col("changed").cast("double"), F.col("changed"),
+                        edge_parts, t1,
+                    )
+                    if delta == 0.0:
+                        break
             comp = state.select("id", "component").localCheckpoint(eager=True)
-            adj.unpersist()
         wall = time.time() - t0
         result.steps.append(
             StepMetrics(
@@ -734,6 +779,8 @@ def incremental_components(
                 edges_per_sec=round(supersteps * 2 * cum_m / max(wall, 1e-9), 1),
             )
         )
+    for p in adj_parts:
+        p.unpersist()
     result.state = comp
     return result
 

@@ -136,8 +136,8 @@ def edge_cut_oracle_tail(k: int = 4, salt: str = "part") -> str:
     return f"""
 , cuts AS (
   SELECT count(*) AS n_edges,
-         sum(CASE WHEN ps.part <> pd.part THEN 1 ELSE 0 END) AS cut_lpa,
-         sum(CASE WHEN ({hs} % {k}) <> ({hd} % {k}) THEN 1 ELSE 0 END) AS cut_hash
+         CAST(sum(CASE WHEN ps.part <> pd.part THEN 1 ELSE 0 END) AS BIGINT) AS cut_lpa,
+         CAST(sum(CASE WHEN ({hs} % {k}) <> ({hd} % {k}) THEN 1 ELSE 0 END) AS BIGINT) AS cut_hash
   FROM g JOIN assign ps ON ps.id = g.src JOIN assign pd ON pd.id = g.dst
 )
 , bal AS (

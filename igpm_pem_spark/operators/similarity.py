@@ -17,7 +17,35 @@ the same bounded-bucket skew property.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def _capped_signatures(signed: DataFrame, max_bucket: int) -> DataFrame:
+    """Window-count bucket guard over the persisted (id, tbl, sig)
+    relation — the ANN port of dedup.lsh_candidate_pairs' max_bucket cap
+    (dedup.py band join). One shuffle on (tbl, sig) — the same key the
+    candidate self-join needs — sizes every bucket; rows in buckets wider
+    than ``max_bucket`` are dropped BEFORE the self-join, so a
+    duplicate-heavy corpus (many vectors collapsing into one signature)
+    can't go quadratic. The aggregate below doubles as the cache-fill job
+    (see callers) and counts the dropped rows — no silent caps."""
+    w = Window.partitionBy("tbl", "sig")
+    sized = signed.withColumn("_bsz", F.count("*").over(w))
+    stats = sized.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_bsz") > max_bucket, 1).otherwise(0)).alias("n_drop"),
+    ).collect()[0]
+    if stats.n_drop:
+        _LOG.warning(
+            "ANN bucket cap: dropped %d/%d signature rows in buckets wider "
+            "than %d (degenerate-bucket guard)",
+            stats.n_drop, stats.n, max_bucket,
+        )
+    return sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
 
 
 def _as_double(col):
@@ -220,11 +248,14 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     corpus_count: int | None = None,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos4): approximate top-k — candidates are
     corpus vectors sharing ANY table's bucket with the query, ranked by
     exact cosine. The join is bucket-shaped (skew-bounded like dedup's
-    band join); recall@k vs the exact baseline is gated in tests."""
+    band join — buckets wider than ``max_bucket``, default
+    hashing.ANN_MAX_BUCKET, are dropped with a logged count); recall@k vs
+    the exact baseline is gated in tests."""
     # LATE MATERIALIZATION: the bucket self-join and collision dedup run
     # on signature-only rows (id, tbl, sig — 16 B), so the embedding
     # arrays are never multiplied by the table count or the collision
@@ -242,14 +273,19 @@ def ann_lsh_topk(
         .select("id", "tbl", "sig")
         .persist()
     )
-    # fill the cache BEFORE the self-join: with a cold cache, both join
-    # sides race the InMemoryRelation build and the signature projection
-    # runs twice in one action (measured: 2x the whole signature cost)
-    signed.count()
-    q = signed.where(F.col("id") % query_mod == 0).select(
+    # the bucket-cap aggregate doubles as the cache-fill job: with a cold
+    # cache, both join sides would race the InMemoryRelation build and the
+    # signature projection would run twice in one action (measured: 2x the
+    # whole signature cost)
+    if max_bucket is None:
+        from ..functions.hashing import ANN_MAX_BUCKET
+
+        max_bucket = ANN_MAX_BUCKET
+    kept = _capped_signatures(signed, max_bucket)
+    q = kept.where(F.col("id") % query_mod == 0).select(
         F.col("id").alias("query_id"), "tbl", "sig"
     )
-    c = signed.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
+    c = kept.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
     # localCheckpoint materializes the deduped pair set (id pairs only —
     # bucket-capped, far smaller than the corpus) and truncates lineage,
     # so the signature cache can be RELEASED here instead of living until
@@ -289,11 +325,14 @@ def near_dup_pairs_ann(
     vec_col: str = "embedding",
     corpus_count: int | None = None,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos4): the PRODUCTION near-dup path — candidate pairs
     come from shared LSH buckets (any table), then exact cosine filters at
     ``threshold``. No quadratic stage anywhere: the bucket self-join is
-    the only pairing step, so the plan scales like dedup's band join."""
+    the only pairing step (buckets wider than ``max_bucket``, default
+    hashing.ANN_MAX_BUCKET, dropped with a logged count), so the plan
+    scales like dedup's band join."""
     # late materialization, as in ann_lsh_topk: bucket join + dedup over
     # signature-only rows, arrays fetched once per deduped pair
     if dim is None:
@@ -306,9 +345,14 @@ def near_dup_pairs_ann(
         .select("id", "tbl", "sig")
         .persist()
     )
-    signed.count()  # fill cache before the self-join (see ann_lsh_topk)
-    a = signed.select(F.col("id").alias("id_a"), "tbl", "sig")
-    b = signed.select(F.col("id").alias("id_b"), "tbl", "sig")
+    # bucket cap doubles as the cache-fill job (see ann_lsh_topk)
+    if max_bucket is None:
+        from ..functions.hashing import ANN_MAX_BUCKET
+
+        max_bucket = ANN_MAX_BUCKET
+    kept = _capped_signatures(signed, max_bucket)
+    a = kept.select(F.col("id").alias("id_a"), "tbl", "sig")
+    b = kept.select(F.col("id").alias("id_b"), "tbl", "sig")
     # eager pair materialization + cache release — see ann_lsh_topk
     pairs = (
         a.join(b, ["tbl", "sig"])

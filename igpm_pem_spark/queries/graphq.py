@@ -875,7 +875,7 @@ def _eff_diameter_sql():
     inner = anf_oracle_sql(G_SPARSE_SQL, hops=6, k=32)
     return f"""
 WITH curve AS (
-  SELECT h, sum(n_reach_est) AS reach_total FROM ({inner}) anf GROUP BY h
+  SELECT h, CAST(sum(n_reach_est) AS BIGINT) AS reach_total FROM ({inner}) anf GROUP BY h
 )
 , sat AS (SELECT reach_total AS s FROM curve WHERE h = 6)
 SELECT h, reach_total,

@@ -367,13 +367,29 @@ sigs AS ({sigs})
 """
 
 
+def _ann_sized_cte() -> str:
+    """Degenerate-bucket cap CTE — the exact SQL mirror of
+    operators/similarity._capped_signatures (buckets wider than
+    ANN_MAX_BUCKET dropped before the candidate self-join)."""
+    from ..functions.hashing import ANN_MAX_BUCKET
+
+    return f"""
+, sized AS (
+  SELECT s.* FROM sigs s
+  JOIN (SELECT tbl, sig, count(*) AS sz FROM sigs GROUP BY tbl, sig) z
+    USING (tbl, sig)
+  WHERE z.sz <= {ANN_MAX_BUCKET}
+)"""
+
+
 def _ann_topk_sql() -> str:
     return (
         _ANN_PRELUDE.format(sigs=_ann_sigs_union())
+        + _ann_sized_cte()
         + """
 , cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  FROM sized q JOIN sized c ON q.tbl = c.tbl AND q.sig = c.sig
   WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id,
@@ -388,10 +404,11 @@ QUALIFY row_number() OVER (
 def _ann_near_dup_sql() -> str:
     return (
         _ANN_PRELUDE.format(sigs=_ann_sigs_union())
+        + _ann_sized_cte()
         + """
 , cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-  FROM sigs x JOIN sigs y ON x.tbl = y.tbl AND x.sig = y.sig
+  FROM sized x JOIN sized y ON x.tbl = y.tbl AND x.sig = y.sig
   WHERE x.vec_id < y.vec_id
 )
 SELECT id_a, id_b, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4

@@ -75,7 +75,7 @@ _REPETITION_SQL = (
 )
 , per AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY doc_id, w1, w2)
 , reps AS (
-  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n,
          count(*) AS n_distinct_bigrams
   FROM per GROUP BY doc_id
 )

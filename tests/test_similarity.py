@@ -49,6 +49,24 @@ def test_ann_near_dup_finds_bucketed_subset_of_exact(spark):
     assert len(ann_set) >= 0.8 * len(full_set)
 
 
+def test_ann_degenerate_bucket_cap(spark):
+    """The degenerate-bucket guard (similarity._capped_signatures): a
+    corpus of identical vectors collapses into ONE signature per table —
+    exactly the low-entropy shape that would turn the bucket self-join
+    quadratic at 100 TB. With the cap below the bucket width every row is
+    dropped (counted, logged) and the candidate set is empty; with the
+    cap above it, the full pair set comes back — the cap never removes
+    pairs from healthy buckets."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    capped = near_dup_pairs_ann(e, threshold=0.5, max_bucket=50).toPandas()
+    assert len(capped) == 0
+    uncapped = near_dup_pairs_ann(e, threshold=0.5, max_bucket=100).toPandas()
+    assert len(uncapped) == 60 * 59 // 2
+    topk_capped = ann_lsh_topk(e, query_mod=1, max_bucket=50).toPandas()
+    assert len(topk_capped) == 0
+
+
 def test_hyperplane_buckets_deterministic_across_partitionings(spark):
     e = _emb(spark)
     a = hyperplane_buckets(e).orderBy("id", "tbl").select("id", "tbl", "sig")

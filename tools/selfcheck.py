@@ -34,17 +34,21 @@ TABLES = [
 ]
 
 
-def value_hash(df, float_cols: set[str]) -> str:
-    """Portable hash of the sorted, column-name-ordered frame. Columns
-    that are floating-point on EITHER side are hashed as float64 rounded
-    to 9 decimals, so engine-epsilon noise and int-vs-float dtype
-    divergence between Spark and DuckDB don't flip the hash."""
+def value_hash(df) -> str:
+    """Dtype-SENSITIVE hash of the sorted, column-name-ordered frame,
+    mirroring the driver's: each frame is hashed with its OWN dtypes, so
+    a column that is int64 on the Spark side but float64 on the oracle
+    side (DuckDB sum() → HUGEINT → float64) flips the hash even when the
+    values are numerically equal — exactly the divergence the r04 judge
+    found masked by the old float-coercing hash. Float columns are still
+    rounded to 9 decimals WITHIN their own frame so engine-epsilon noise
+    doesn't flip it."""
     cols = sorted(df.columns)
     df = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     h = hashlib.sha256()
     for c in cols:
         a = df[c].to_numpy()
-        if c in float_cols:
+        if np.issubdtype(a.dtype, np.floating):
             a = np.round(a.astype(np.float64), 9)
             a = np.where(a == 0.0, 0.0, a)  # -0.0 → 0.0
         h.update(repr(a.tolist()).encode())
@@ -86,7 +90,14 @@ def compare(sdf, odf) -> dict:
         if not ok:
             out["err"] = f"value mismatch in column {c}"
             break
-    out["hash_match"] = ok and value_hash(s, float_cols) == value_hash(o, float_cols)
+    out["hash_match"] = ok and value_hash(s) == value_hash(o)
+    if ok and not out["hash_match"]:
+        dt = [
+            f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
+            for c in cols
+            if s[c].dtype != o[c].dtype
+        ]
+        out["err"] = "dtype divergence (values equal): " + "; ".join(dt)
     return out
 
 
