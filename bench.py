@@ -182,16 +182,75 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
     meta["ann_vectors_per_sec"] = n_vec / timings["ann_topk"]
     emb.unpersist()
 
+    # d-hop halo (ghost overlap, reference subgraph/overlap.py): ONE halo
+    # build buys exchange-free ≤2-hop work; quantify the trade against
+    # the global two-join plan — build wall, local wall, global wall,
+    # edge replication factor, and Exchange-node counts from the plans
+    from igpm_pem_spark.operators.halo import (
+        halo_partitions, halo_replication_factor, halo_two_hop_counts,
+    )
+
+    t0 = time.time()
+    halo = halo_partitions(sparse, num_partitions=cpus, depth=2).persist()
+    halo.count()
+    meta["halo_build_sec"] = time.time() - t0
+    t0 = time.time()
+    local_counts = halo_two_hop_counts(halo)
+    local_counts.count()
+    timings["halo_2hop_local"] = time.time() - t0
+    sym = entry._edges(spark, sf_dir, entry.G_SPARSE_SQL)
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    t0 = time.time()
+    g2 = (
+        sym.alias("a").join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("id"), F.col("b.dst").alias("w"))
+        .unionByName(sym.select(F.col("src").alias("id"), F.col("dst").alias("w")))
+        .where("id <> w").distinct().groupBy("id").count()
+    )
+    g2.count()
+    timings["halo_2hop_global"] = time.time() - t0
+    meta["halo_replication_factor"] = halo_replication_factor(halo, sparse)
+
+    def _n_exchanges(df) -> int:
+        # exchanges the QUERY itself pays: formatted explain inlines the
+        # cached build plan under InMemoryTableScan, so count only the
+        # consumer section above the first cache scan (the build's
+        # exchanges are the one-time halo cost, reported as
+        # halo_build_sec). For the cache-free global plan this counts
+        # every exchange, which is exactly its per-query price.
+        s = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        n = 0
+        for line in s.splitlines():
+            if "InMemoryTableScan" in line or "InMemoryRelation" in line:
+                break
+            if "Exchange" in line and "(" in line:
+                n += 1
+        return n
+
+    meta["halo_local_exchanges"] = _n_exchanges(local_counts)
+    meta["halo_global_exchanges"] = _n_exchanges(g2)
+    halo.unpersist()
+
     dense.unpersist()
     sparse.unpersist()
     # release any cache/checkpoint blocks operators left behind before the
     # per-query manifest below — sections must not inherit memory pressure
     spark.catalog.clearCache()
 
-    if os.environ.get("SPARK_GRAFT_QUERY_MANIFEST", "1") != "0":
-        meta["driver_query_sec_sf001"] = _query_manifest(spark)
     total = sum(timings.values())
-    out = {
+    out: dict = {}
+    # the bulky per-query manifest goes FIRST so the headline metric,
+    # per-section timings, and scaling evidence survive in the LAST 2000
+    # chars of stdout (the driver records only the tail; BENCH_r04 lost
+    # the headline block to exactly this truncation)
+    if os.environ.get("SPARK_GRAFT_QUERY_MANIFEST", "1") != "0":
+        out["driver_query_sec_sf001"] = _query_manifest(spark)
+    out.update({
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in meta.items()},
         "metric": "headline_kernels_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -199,8 +258,7 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
         "sf": sf_dir,
         "cpus": cpus,
         "edges_dense": int(n_edges),
-        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in meta.items()},
-    }
+    })
     # attach the most recent two-cluster-size evidence ONLY with its
     # provenance (commit + timestamp of the --scaling run that measured
     # it) — never as if it were part of this invocation's measurement

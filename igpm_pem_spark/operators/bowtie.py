@@ -29,6 +29,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .graph import kernel_nparts
+
 from .scc import strongly_connected_components
 
 
@@ -81,7 +83,7 @@ def bowtie_decomposition(
     SCC, ties broken toward the smaller SCC label (min member id) —
     deterministic in any engine."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))

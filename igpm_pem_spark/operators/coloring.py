@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import canonical_undirected
+from .graph import canonical_undirected, kernel_nparts
 from .matching import vertex_priority, vertex_priority_sql
 
 
@@ -52,7 +52,7 @@ def jp_coloring(
 ) -> ColoringResult:
     """Proper coloring of the undirected simple graph; see module doc."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = canonical_undirected(edges).repartition(num_partitions, "src")
     # full symmetric adjacency (for used-color lookups against already-
     # colored neighbors) — never shrinks, cached once

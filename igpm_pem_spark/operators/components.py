@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
 from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
-from .graph import partitioned_adjacency, vertex_ids
+from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 
 
 def _cc_step(
@@ -127,7 +127,7 @@ def connected_components(
     """Hash-min WCC. Edge direction is ignored (weak connectivity,
     matching the reference's ``to_directed`` + WCC)."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     adj = partitioned_adjacency(edges, num_partitions, directed=False).persist()
     verts = vertex_ids(adj).repartition(num_partitions, "id").persist()
     edge_parts = edge_partition_counts(adj)
@@ -159,12 +159,12 @@ def connected_components(
                 # across the block multiplies both work and plan size ~4×
                 # per sub-step (measured 21.9 s vs 10.1 s for the same 12
                 # supersteps at sf0.1). The eager checkpoint is one job
-                # per sub-step and resets plan + lineage to a leaf. The
-                # checkpoint EVERY sub-step: eliding the last one in
-                # favor of the commit barrier saves one tiny job but
-                # re-executes that sub-step's E-sized join ~2× through
-                # the multi-ref consumers — the wrong trade at scale
-                # (measured a wash at sf0.1).
+                # per sub-step and resets plan + lineage to a leaf. EVERY
+                # sub-step checkpoints: eliding the last one in favor of
+                # the commit barrier saves one tiny job but re-executes
+                # that sub-step's E-sized join ~2× through the multi-ref
+                # consumers — the wrong trade at scale (measured a wash
+                # at sf0.1).
                 stepped = _cc_step(new_state, adj, num_partitions)
                 new_state = _cc_shortcut(stepped).localCheckpoint(eager=True)
             step += block

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import simple_edges
+from .graph import kernel_nparts, simple_edges
 
 
 @dataclass
@@ -40,7 +40,7 @@ def eigenvector_centrality(
     num_partitions: int | None = None,
 ) -> EigenResult:
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = simple_edges(edges, directed=directed)
     ids = (
         e.select(F.col("src").alias("id"))

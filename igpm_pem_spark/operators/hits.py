@@ -41,7 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import simple_edges
+from .graph import kernel_nparts, simple_edges
 
 
 @dataclass
@@ -88,7 +88,7 @@ def hits(
 ) -> HitsResult:
     """Fixed-iteration HITS over the directed simple graph of ``edges``."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = simple_edges(edges, directed=True)
     bm = _message_graph(e).repartition(num_partitions, "fid").persist()
     state = (
@@ -176,7 +176,7 @@ def salsa(
     ``hits`` — only the static message weights differ, so the scale shape
     (bm partitioned once, repartition-then-sum aggregate) is inherited."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = simple_edges(edges, directed=True)
     bm = _salsa_message_graph(e).repartition(num_partitions, "fid").persist()
     state = (

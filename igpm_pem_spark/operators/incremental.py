@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import partitioned_adjacency, vertex_ids
+from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 from .pagerank import pagerank
 
 
@@ -97,7 +97,7 @@ def incremental_pagerank(
     budget — the deterministic replacement for the reference's DQN
     (entry point 3, ``pem_egqp.py``; SURVEY §3.3 stance)."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     sizes = _bucket_sizes(edges, ts_col)
     steps = sorted(sizes)
     base_cut = steps[min(base_steps, len(steps)) - 1] if steps else 0
@@ -540,7 +540,7 @@ def incremental_labelprop(
     from .labelprop import _lpa_step, label_propagation
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     sizes = _bucket_sizes(edges, ts_col)
     steps = sorted(sizes)
     cum_m = 0
@@ -682,7 +682,7 @@ def incremental_components(
     from .components import _cc_shortcut, _cc_step, connected_components
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     sizes = _bucket_sizes(edges, ts_col)
     steps = sorted(sizes)
     cum_m = 0
@@ -813,7 +813,7 @@ def incremental_sssp(
     from .sssp import _prep, _sssp_step, sssp
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     sizes = _bucket_sizes(edges, ts_col)
     steps = sorted(sizes)
     cum_m = 0

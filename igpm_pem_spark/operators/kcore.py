@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import simple_edges
+from .graph import kernel_nparts, simple_edges
 
 
 @dataclass
@@ -45,7 +45,7 @@ def k_core(
     """Peel vertices with degree < k until stable; equals
     ``networkx.k_core(g, k)`` (tests pin it)."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = (
         simple_edges(edges, directed=False)
         .repartition(num_partitions, "src")
@@ -131,7 +131,7 @@ def coreness_hindex(
     from ._superstep import commit_and_stats, edge_partition_counts
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     # simple_edges(directed=False) already emits both directions
     sym = (
         simple_edges(edges, directed=False)

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import canonical_undirected
+from .graph import canonical_undirected, kernel_nparts
 
 
 def _edge_support(e: DataFrame) -> DataFrame:
@@ -67,7 +67,7 @@ def k_truss(
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = (
         canonical_undirected(edges)
         .repartition(num_partitions, "src")
@@ -143,7 +143,7 @@ def trussness_hindex(
     from ._superstep import commit_and_stats, edge_partition_counts
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = (
         canonical_undirected(edges)
         .repartition(num_partitions, "src", "dst")

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
 from ._superstep import commit_and_stats, edge_partition_counts
-from .graph import partitioned_adjacency, vertex_ids
+from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 
 
 def _lpa_step(state: DataFrame, adj: DataFrame, n_parts: int | None = None) -> DataFrame:
@@ -79,7 +79,7 @@ def label_propagation(
     steps_per_commit: int = 1,
 ) -> LabelPropResult:
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     adj = partitioned_adjacency(edges, num_partitions, directed=False).persist()
     verts = vertex_ids(adj).repartition(num_partitions, "id").persist()
     edge_parts = edge_partition_counts(adj)
@@ -173,7 +173,7 @@ def modularity_local_move(
     from .graph import canonical_undirected, symmetrize
 
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = canonical_undirected(edges).repartition(num_partitions, "src").persist()
     m = e.count() if n_edges is None else n_edges
     if m == 0:
@@ -292,7 +292,7 @@ def label_propagation_weighted(
     the vote sums are exact in float64, so the argmax is engine-portable
     — the fixture graphs keep weights integral for exactly this reason."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     w_ = F.col(weight_col).cast("double")
     sym = (
         edges.select("src", "dst", w_.alias("w"))

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .graph import canonical_undirected
+from .graph import canonical_undirected, kernel_nparts
 
 
 def edge_priority(src=None, dst=None, salt: str = "match"):
@@ -74,7 +74,7 @@ def handshake_matching(
     total order even under hash collisions — so the result is a pure
     function of the edge set, independent of partitioning."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     live = (
         canonical_undirected(edges)
         .withColumn("h", edge_priority(salt=salt))
@@ -274,7 +274,7 @@ def luby_mis(
     field name is shared with the matching kernel; rnd is the round the
     vertex entered the set)."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = canonical_undirected(edges).repartition(num_partitions, "src")
     live_v = (
         e.select(F.col("src").alias("id"))

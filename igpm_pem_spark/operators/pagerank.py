@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
 from ._superstep import commit_and_stats, edge_partition_counts
-from .graph import partitioned_adjacency, vertex_ids
+from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 
 
 @dataclass
@@ -157,7 +157,7 @@ def pagerank(
     the reference's all-pairs proximity dict (``rwr.py:108-129``).
     """
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     adj = _adjacency_with_degree(
         edges, directed, num_partitions, weight_col
     ).persist()

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import simple_edges
+from .graph import kernel_nparts, simple_edges
 
 
 def forward_push_ppr(
@@ -50,7 +50,7 @@ def forward_push_ppr(
     if not (0.0 < alpha < 1.0):
         raise ValueError("forward_push_ppr: alpha must be in (0, 1)")
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     sym = (
         simple_edges(edges, directed=False)
         .select(F.col("src").alias("v"), F.col("dst").alias("nbr"))

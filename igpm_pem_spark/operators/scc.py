@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .graph import kernel_nparts
+
 
 @dataclass
 class SccResult:
@@ -162,7 +164,7 @@ def strongly_connected_components(
     """(id, scc) over the directed simple graph; scc = min member id
     (matching ``nx.strongly_connected_components`` up to labeling)."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -273,7 +275,7 @@ def condensation_levels(
     tiny next to the input graph (the expensive part, the SCC map, is
     the already-scale-shaped kernel above). Sweep count = DAG depth."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     comp = strongly_connected_components(
         spark, edges, num_partitions=num_partitions, **(scc_kwargs or {})
     ).components

@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .graph import kernel_nparts
+
 from ..lineage import LineageLog, SuperstepStats
 from ._superstep import commit_and_stats, edge_partition_counts
 
@@ -100,7 +102,7 @@ def sssp(
     bounds, S6 kill/resume parity with the other kernels).
     """
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     adj = _prep(edges, weight_col, directed).repartition(
         num_partitions, "src"
     ).persist()
@@ -182,7 +184,7 @@ def widest_path(
     path's bottleneck is its narrowest edge). Monotone non-decreasing,
     bounded by max weight ⇒ converges; unreached vertices are absent."""
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = kernel_nparts(edges)
     adj = (
         _widest_prep(edges, weight_col, directed)
         .repartition(num_partitions, "src")

@@ -27,6 +27,7 @@ from . import (
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     relational,
 )
 
@@ -190,7 +191,7 @@ def all_queries():
     merged = {}
     for mod in (
         graphq, metricsq, patternq, pipeline, pipeline2, pipeline3,
-        pipeline4, pipeline5, relational,
+        pipeline4, pipeline5, pipeline6, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

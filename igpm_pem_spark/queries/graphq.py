@@ -1249,3 +1249,34 @@ QUERIES["graph_local_bridges"] = (
     _q_local_bridges,
     _with_g(_LOCAL_BRIDGES_TAIL, G_SPARSE_SQL),
 )
+
+
+def _q_halo_2hop(spark, sf_dir):
+    """d-hop halo partitions (reference overlap.py:8-46 realized as d
+    build-time joins) driving a fully partition-local ≤2-hop neighborhood
+    count: after the ONE halo build there is no exchange — each partition
+    answers for its owned vertices from its replicated induced subgraph.
+    The oracle computes the same statistic globally, so the equality
+    check IS the proof that the replication is complete."""
+    from ..operators.halo import halo_partitions, halo_two_hop_counts
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    halo = halo_partitions(e, num_partitions=graph_nparts(spark, sf_dir), depth=2)
+    return halo_two_hop_counts(halo)
+
+
+_HALO_2HOP_TAIL = """
+, two AS (
+  SELECT src AS id, dst AS w FROM sym
+  UNION
+  SELECT a.src AS id, b.dst AS w FROM sym a JOIN sym b ON b.src = a.dst
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n2
+FROM (SELECT DISTINCT id, w FROM two WHERE w <> id) d
+GROUP BY id
+"""
+
+QUERIES["graph_halo_2hop"] = (
+    _q_halo_2hop,
+    _with_g(_HALO_2HOP_TAIL, G_SPARSE_SQL),
+)
