@@ -31,31 +31,63 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 
+def _centered_expr(dim: int, mu: list[float], vec_col: str):
+    """Mean-centered row vector as ONE array expression (higher-order
+    functions, JVM-side): keeps the logical plan O(dim) nodes instead of
+    the O(dim²) tree the per-dimension unrolled form produced — at 64
+    dims that unrolled tree made each iteration Catalyst-compile-bound
+    (~3-5 s of pure planning per step at ANY data size)."""
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
+    return F.zip_with(
+        xarr, F.array(*[F.lit(m) for m in mu]), lambda a, b: a - b
+    )
+
+
+def _dot_expr(arr_col, vec: list[float]):
+    """⟨arr, vec⟩ with the same left-associative 0..dim-1 accumulation
+    order as the previous unrolled chain — bit-identical results."""
+    return F.aggregate(
+        F.zip_with(arr_col, F.array(*[F.lit(x) for x in vec]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+
+
+def _step_w(emb: DataFrame, dim: int, mu: list[float], v: list[float], vec_col: str):
+    """One power-iteration step: returns the d running sums
+    w_d = Σ_rows c_d·⟨c, v⟩ via a single scan. The centered array and its
+    projection s are materialized as two narrow projection columns so the
+    final aggregate is 64 *small* expressions, not 64 copies of the
+    64-term s tree."""
+    c = _centered_expr(dim, mu, vec_col)
+    staged = emb.select(c.alias("_c")).select("_c", _dot_expr(F.col("_c"), v).alias("_s"))
+    w_row = staged.agg(
+        *[
+            F.sum(F.element_at(F.col("_c"), d + 1) * F.col("_s")).alias(f"w{d}")
+            for d in range(dim)
+        ]
+    ).collect()[0]
+    return [float(w_row[f"w{d}"]) for d in range(dim)]
+
+
 def _power_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
-    """Run the fixed power-iteration recurrence; returns (x exprs, mu, v)
-    where mu/v are plain python float lists (the only driver traffic)."""
+    """Run the fixed power-iteration recurrence; returns (mu, v) as plain
+    python float lists (the only driver traffic)."""
     if iters < 1 or dim < 1:
         raise ValueError("pca: iters and dim must be >= 1")
-    x = [
-        F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)
-    ]
-    mu_row = emb.agg(*[F.avg(x[d]).alias(f"m{d}") for d in range(dim)]).collect()[0]
+    xe = [F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)]
+    mu_row = emb.agg(*[F.avg(xe[d]).alias(f"m{d}") for d in range(dim)]).collect()[0]
     mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iters):
-        # s = <x - mu, v> as one left-associative codegen'd expression
-        s = F.lit(0.0)
-        for d in range(dim):
-            s = s + (x[d] - F.lit(mu[d])) * F.lit(v[d])
-        w_row = emb.agg(
-            *[F.sum((x[d] - F.lit(mu[d])) * s).alias(f"w{d}") for d in range(dim)]
-        ).collect()[0]
-        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        w = _step_w(emb, dim, mu, v, vec_col)
         norm = math.sqrt(sum(wi * wi for wi in w))
         if norm == 0.0:
             raise ValueError("pca: zero covariance — degenerate corpus")
         v = [wi / norm for wi in w]
-    return x, mu, v
+    return mu, v
 
 
 def pca_top_component(
@@ -67,7 +99,7 @@ def pca_top_component(
 ) -> DataFrame:
     """(pos, mu6, loading6): per-dimension corpus mean and the top
     principal direction after ``iters`` power-iteration steps."""
-    _, mu, v = _power_iterate(emb, dim, iters, vec_col)
+    mu, v = _power_iterate(emb, dim, iters, vec_col)
     spark = emb.sparkSession
     rows = [(d + 1, round(mu[d], 6), round(v[d], 6)) for d in range(dim)]
     return spark.createDataFrame(rows, "pos INT, mu6 DOUBLE, loading6 DOUBLE")
@@ -85,10 +117,8 @@ def pca_project(
     direction — the 1-D whitening/feature a curriculum or outlier filter
     sorts on. After the (driver-tiny) iteration, the projection itself is
     a stateless row-local expression: zero shuffle, scan-wide codegen."""
-    x, mu, v = _power_iterate(emb, dim, iters, vec_col)
-    s = F.lit(0.0)
-    for d in range(dim):
-        s = s + (x[d] - F.lit(mu[d])) * F.lit(v[d])
+    mu, v = _power_iterate(emb, dim, iters, vec_col)
+    s = _dot_expr(_centered_expr(dim, mu, vec_col), v)
     return emb.select(F.col(id_col), F.round(s, 6).alias("score6"))
 
 
@@ -160,7 +190,7 @@ def _deflated_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
     job shape — each step ONE scan + a d-value aggregate + driver-side
     d-vector arithmetic; the deflation (w − ⟨w,v₁⟩v₁) is pure python on
     the d-vector, zero extra jobs."""
-    x, mu, v1 = _power_iterate(emb, dim, iters, vec_col)
+    mu, v1 = _power_iterate(emb, dim, iters, vec_col)
     # u0: the all-ones start orthogonalized against v1, then normalized —
     # replayed identically by the SQL oracle
     s0 = 1.0 / math.sqrt(dim)
@@ -171,20 +201,14 @@ def _deflated_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
         raise ValueError("pca: start vector is parallel to v1 — degenerate")
     u = [ui / n0 for ui in u]
     for _ in range(iters):
-        s = F.lit(0.0)
-        for d in range(dim):
-            s = s + (x[d] - F.lit(mu[d])) * F.lit(u[d])
-        w_row = emb.agg(
-            *[F.sum((x[d] - F.lit(mu[d])) * s).alias(f"w{d}") for d in range(dim)]
-        ).collect()[0]
-        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        w = _step_w(emb, dim, mu, u, vec_col)
         dp = sum(w[d] * v1[d] for d in range(dim))
         w = [w[d] - dp * v1[d] for d in range(dim)]
         norm = math.sqrt(sum(wi * wi for wi in w))
         if norm == 0.0:
             raise ValueError("pca: zero deflated covariance — rank-1 corpus")
         u = [wi / norm for wi in w]
-    return x, mu, v1, u
+    return mu, v1, u
 
 
 def pca_second_component(
@@ -198,7 +222,7 @@ def pca_second_component(
     2-D whitening basis a curriculum/visualization step wants. v₂ by
     deflated power iteration; orthogonality to v₁ is enforced every step
     so float drift can't re-admit the dominant direction."""
-    _, _, v1, v2 = _deflated_iterate(emb, dim, iters, vec_col)
+    _, v1, v2 = _deflated_iterate(emb, dim, iters, vec_col)
     spark = emb.sparkSession
     rows = [(d + 1, round(v1[d], 6), round(v2[d], 6)) for d in range(dim)]
     return spark.createDataFrame(rows, "pos INT, loading1_6 DOUBLE, loading2_6 DOUBLE")

@@ -31,159 +31,163 @@ from . import (
     relational,
 )
 
-# Front-to-back driver order (see module docstring). Group 1: never
-# driver-oracled (round-3 stragglers + round-4 additions; ~6.5 min total
-# at sf0.01 per SELFCHECK.json, cheapest first). Group 2: last green in
-# round 2. Group 3: green in round 3, cheap first (the ~50 s
-# converged-PageRank flagship is last — it is independently exercised by
-# entry(), bench.py, and pytest). Every entry also has a committed green
-# sf0.01 row in SELFCHECK.json regardless of driver budget.
+# Front-to-back driver order (see module docstring), regenerated for
+# round 5 by STALENESS: group A = the 23 entries never yet verified by a
+# driver round (r01–r04 union), group B = the three r04 hash-reds whose
+# oracle dtype casts were fixed (prove the fix), then C/D/E = entries
+# last driver-green in rounds 2/3/4 respectively (freshest last — they
+# lose least from being budget-cut). Within each group cheapest-first
+# (sf0.01 walls from SELFCHECK.json) so a time-budgeted driver verifies
+# the most entries. Every entry also has a committed green sf0.01 row in
+# SELFCHECK.json regardless of driver budget.
 _PRIORITY = [
-    # -- group 1: never driver-oracled, cheapest first (measured sf0.01
-    # wall from SELFCHECK.json, so a time-budgeted driver verifies the
-    # most entries; neutral under a count budget) --
-    "doc_reservoir_lang",
-    "rel_rollup",
-    "doc_sample_stratified",
-    "rel_grouping_sets",
-    "rel_pivot",
-    "rel_redact_props",
-    "rel_range_pairs",
-    "rel_asof_purchase",
-    "rel_kmv_users",
-    "rel_cube",
-    "rel_cohort_retention",
-    "doc_postings",
-    "rel_funnel3",
-    "doc_vocab_kmv_by_lang",
-    "doc_vocab_kmv",
-    "doc_tfidf_top",
-    "doc_repetition",
-    "emb_quantize_int8",
-    "doc_bigram_lm",
-    "rel_percentiles",
-    "link_predict_adamic",
-    "doc_decontaminate",
-    "rel_moving_avg",
-    "doc_c4_filter",
-    "doc_winnow_pairs",
-    "emb_knn_label_acc",
-    "graph_katz4",
-    "doc_span_dedup",
-    "doc_winnow_fp",
-    "label_propagation3_weighted",
-    "graph_anf3",
-    "graph_neighbor_mean",
-    "graph_contract_brand",
-    "graph_eff_diameter",
-    "graph_partition_lpa",
-    "graph_harmonic_anf",
-    "graph_ppr_push",
-    "graph_matching8",
-    "graph_edge_cut",
-    "graph_node2vec_pairs",
-    "graph_trussness",
-    "link_recommend_rwr",
-    "graph_mis8",
-    "graph_walk_ppmi",
-    "graph_coarsen1",
-    "graph_k4_count",
-    "graph_sparsify_jaccard",
-    "doc_lang_confusion",
-    "widest_path",
-    "graph_local_bridges",
-    "graph_betweenness_seeds",
-    "doc_dedup_clusters",
-    "emb_ann_ivf_topk",
-    "emb_kmeans_bcast",
+    # -- group A: never driver-oracled (23), cheapest first --
     "doc_chunks",
-    "emb_kmeans2",
-    "emb_logreg_acc",
-    "emb_logreg_probe",
     "graph_rich_club",
-    "graph_coreness",
-    "graph_coloring_jp8",
-    "emb_dedup_clusters",
-    "community_louvain_move",
-    "community_q_improvement",
+    "emb_kmeans2",
+    "emb_kmeans_bcast",
     "salsa_fixed8",
+    "graph_coreness",
+    "doc_dedup_clusters",
+    "graph_betweenness_seeds",
+    "emb_ann_ivf_topk",
+    "community_louvain_move",
+    "graph_coloring_jp8",
+    "community_q_improvement",
+    "emb_logreg_acc",
     "graph_spam_mass",
+    "emb_logreg_probe",
+    "emb_dedup_clusters",
+    "pipeline_end_to_end",
+    "graph_halo_2hop",
     "emb_pca_project",
     "emb_pca_top",
-    "graph_bowtie",
     "graph_condensation_levels",
+    "graph_bowtie",
     "emb_pca_top2",
-    # -- group 2: last green in round 2 --
-    "rel_median",
+    # -- group B: r04 hash-red, dtype-cast fixed this round — prove it --
+    "doc_repetition",
+    "graph_edge_cut",
+    "graph_eff_diameter",
+    # -- group C: last driver-green in round 2, cheapest first --
     "rel_condition_expr",
-    "rel_temporal_bucket",
-    "rel_group_agg",
     "rel_window_topk",
-    "doc_top_tokens",
-    "doc_split_assign",
-    "doc_token_stats_bpe",
     "rel_semi_anti",
+    "rel_group_agg",
+    "doc_token_stats_bpe",
     "rel_join_dims",
-    "rel_sessionize",
-    "rel_argmax_ties",
-    "emb_near_dup_pairs",
-    "rel_setops",
-    "emb_cosine_topk",
+    "rel_median",
+    "doc_split_assign",
+    "rel_temporal_bucket",
     "rel_filter_project",
+    "rel_argmax_ties",
+    "rel_sessionize",
+    "doc_top_tokens",
+    "emb_near_dup_pairs",
+    "emb_cosine_topk",
+    "rel_setops",
     "doc_simhash_near_dup",
     "emb_ann_lsh_topk",
     "emb_ann_near_dup",
-    # -- group 3: green in round 3, cheap first --
-    "doc_token_stats",
-    "doc_lang_id",
+    # -- group D: last driver-green in round 3, cheapest first --
     "doc_fingerprint",
+    "doc_token_stats",
     "doc_exact_dedup",
-    "doc_quality",
+    "doc_lang_id",
     "graph_bipartite_weighted",
-    "doc_minhash_sig",
-    "assortativity",
     "avg_neighbor_degree",
-    "doc_simhash",
+    "doc_quality",
+    "assortativity",
     "star_count",
-    "doc_ngram_jaccard",
-    "square_count",
-    "pattern_topk_ordered",
-    "degree_distribution",
-    "kcore3_vertices",
-    "link_predict_jaccard",
+    "path_hops_histogram",
     "degree",
-    "clustering_coeff",
-    "doc_lsh_pairs",
+    "doc_minhash_sig",
+    "doc_simhash",
+    "kcore3_vertices",
+    "triangle_count",
+    "degree_distribution",
+    "square_count",
+    "doc_ngram_jaccard",
+    "harmonic_centrality_seeds",
     "pattern_wedge_condition",
+    "ktruss4_edges",
+    "clustering_coeff",
+    "link_predict_jaccard",
+    "pattern_wedge_match",
     "pattern_agg_max",
     "pattern_near_miss",
-    "harmonic_centrality_seeds",
     "pattern_triangle_match",
+    "doc_lsh_pairs",
     "pattern_groupby",
-    "pattern_wedge_match",
-    "path_hops_histogram",
-    "doc_lsh_jaccard",
-    "triangle_count",
-    "ktruss4_edges",
     "pagerank_weighted_fixed8",
-    "graph_walk_pairs",
-    "hits_fixed8",
-    "pattern_config_run",
-    "community_modularity",
     "eigencentrality_fixed8",
-    "pagerank_fixed8",
-    "sssp_weighted",
-    "label_propagation3",
-    "component_sizes",
-    "rwr_seeded_fixed8",
+    "hits_fixed8",
+    "pattern_topk_ordered",
+    "graph_walk_pairs",
+    "pattern_config_run",
     "connected_components",
+    "component_sizes",
+    "label_propagation3",
+    "pagerank_fixed8",
+    "doc_lsh_jaccard",
+    "community_modularity",
     "pattern_best_match_rwr",
+    "sssp_weighted",
+    "rwr_seeded_fixed8",
+    "graph_summary",
     "pattern_triangle_incremental",
     "sssp_incremental",
     "incremental_cc_replay",
     "strongly_connected",
-    "graph_summary",
     "pagerank_converged",
+    # -- group E: driver-green in round 4 (freshest), cheapest first --
+    "rel_grouping_sets",
+    "doc_sample_stratified",
+    "rel_cube",
+    "doc_reservoir_lang",
+    "rel_percentiles",
+    "rel_moving_avg",
+    "rel_rollup",
+    "rel_pivot",
+    "doc_vocab_kmv",
+    "doc_span_dedup",
+    "rel_redact_props",
+    "doc_c4_filter",
+    "rel_kmv_users",
+    "rel_range_pairs",
+    "rel_asof_purchase",
+    "emb_quantize_int8",
+    "doc_winnow_fp",
+    "doc_lang_confusion",
+    "graph_local_bridges",
+    "doc_bigram_lm",
+    "rel_funnel3",
+    "doc_tfidf_top",
+    "graph_k4_count",
+    "doc_decontaminate",
+    "emb_knn_label_acc",
+    "rel_cohort_retention",
+    "graph_sparsify_jaccard",
+    "doc_vocab_kmv_by_lang",
+    "doc_winnow_pairs",
+    "doc_postings",
+    "graph_contract_brand",
+    "label_propagation3_weighted",
+    "graph_harmonic_anf",
+    "graph_anf3",
+    "graph_neighbor_mean",
+    "link_predict_adamic",
+    "graph_katz4",
+    "graph_partition_lpa",
+    "graph_node2vec_pairs",
+    "graph_trussness",
+    "graph_matching8",
+    "link_recommend_rwr",
+    "graph_mis8",
+    "widest_path",
+    "graph_ppr_push",
+    "graph_coarsen1",
+    "graph_walk_ppmi",
 ]
 
 

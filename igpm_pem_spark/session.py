@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # stage progress bars interleave \r-frames into stdout/stderr; the
+        # bench driver keeps only a 2000-char tail of it, so keep it clean
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # iterative superstep loops run hundreds of queries per session:
         # keep listener/UI retention minimal and let the context cleaner
