@@ -28,6 +28,7 @@ from . import (
     pipeline4,
     pipeline5,
     pipeline6,
+    pipeline7,
     relational,
 )
 
@@ -42,6 +43,11 @@ from . import (
 # SELFCHECK.json regardless of driver budget.
 _PRIORITY = [
     # -- group A: never driver-oracled (23), cheapest first --
+    # round-5 additions (never verified) lead the never-verified group
+    "doc_mix_temperature",
+    "doc_dsir_weights",
+    "graph_robustness_hubs",
+    "emb_pq_codes",
     "doc_chunks",
     "graph_rich_club",
     "emb_kmeans2",
@@ -195,7 +201,7 @@ def all_queries():
     merged = {}
     for mod in (
         graphq, metricsq, patternq, pipeline, pipeline2, pipeline3,
-        pipeline4, pipeline5, pipeline6, relational,
+        pipeline4, pipeline5, pipeline6, pipeline7, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,260 @@
+"""Round-5 training-data-pipeline additions: product quantization,
+DSIR importance weights, hub-removal robustness, temperature mixing.
+
+Each entry pairs the Spark operator with a DuckDB oracle that replays
+the identical recurrence/arithmetic (portable md5-prefix token hash,
+unrolled Lloyd rounds, bounded hash-min CTE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_id_sql
+from ._common import G_SPARSE_SQL, SYM_SQL, docs, edges, emb, graph_nparts
+
+_MAX_TOKENS = 20000
+
+# ---------------------------------------------------------------- PQ
+_PQ_M, _PQ_K, _PQ_SUB, _PQ_DIM = 4, 8, 16, 64
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantize the embedding corpus: m=4 subspaces × k=8 codes,
+    2 Lloyd rounds per codebook; per-row codes + reconstruction MSE."""
+    from ..operators.pq import pq_encode
+
+    return pq_encode(spark, emb(spark, sf_dir), m=_PQ_M, k=_PQ_K, iters=2).codes
+
+
+def _pq_dist(e: str, c: str, sub: int) -> str:
+    """Squared-L2 over a sub-dim slice (mirrors pipeline2's _km_dist, on
+    subspace tables)."""
+    return (
+        f"SELECT {e}.vec_id, {c}.cid,\n"
+        f"       sum(({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])"
+        f" * ({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])) AS d2\n"
+        f"FROM {e} {e}, {c} {c}, range(1, {sub + 1}) r(i)\n"
+        f"GROUP BY {e}.vec_id, {c}.cid"
+    )
+
+
+def _pq_round(j: int, i: int) -> str:
+    """Lloyd round ``i`` for subspace ``j`` — the pipeline2 _km_round
+    chain with per-subspace CTE names."""
+    p, e = f"p{j}c{i - 1}", f"e{j}"
+    return f"""
+, p{j}d{i} AS ({_pq_dist(e, p, _PQ_SUB)})
+, p{j}a{i} AS (SELECT vec_id, cid AS cluster FROM p{j}d{i}
+           QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cid) = 1)
+, p{j}m{i} AS (
+    SELECT a.cluster AS cid, CAST(r.i AS INT) AS pos,
+           avg(e.v[CAST(r.i AS INT)]) AS m
+    FROM p{j}a{i} a JOIN {e} e USING (vec_id), range(1, {_PQ_SUB + 1}) r(i)
+    GROUP BY a.cluster, r.i
+)
+, p{j}c{i} AS (
+    SELECT cid, list(m ORDER BY pos) AS v FROM p{j}m{i} GROUP BY cid
+    UNION ALL
+    SELECT c.cid, c.v FROM {p} c
+    WHERE c.cid NOT IN (SELECT DISTINCT cluster FROM p{j}a{i})
+)
+"""
+
+
+def _pq_sql() -> str:
+    parts = ["WITH e00 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        parts.append(f"""
+, e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e00)
+, p{j}c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM (SELECT vec_id, v FROM e{j} ORDER BY vec_id LIMIT {_PQ_K})
+)
+{_pq_round(j, 1)}
+{_pq_round(j, 2)}
+, p{j}d3 AS ({_pq_dist(f'e{j}', f'p{j}c2', _PQ_SUB)})
+, p{j}fin AS (
+    SELECT vec_id, CAST(cid AS INT) AS code, d2 FROM p{j}d3
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)""")
+    sel = ", ".join(f"p{j}fin.code AS code_{j}" for j in range(_PQ_M))
+    d2s = " + ".join(f"p{j}fin.d2" for j in range(_PQ_M))
+    joins = " ".join(
+        f"JOIN p{j}fin ON p{j}fin.vec_id = p0fin.vec_id" for j in range(1, _PQ_M)
+    )
+    parts.append(f"""
+SELECT p0fin.vec_id, {sel},
+       round(({d2s}) / {_PQ_DIM}.0, 4) AS mse4
+FROM p0fin {joins}""")
+    return "".join(parts)
+
+
+# ------------------------------------------------------------- DSIR
+_DSIR_BUCKETS = 256
+
+
+def _q_dsir(spark, sf_dir):
+    """DSIR importance weights: target = English docs, 256 hashed-unigram
+    buckets; ratio-of-sums weight (exact-integer sums, one division)."""
+    from ..operators.importance import dsir_weights
+
+    return dsir_weights(
+        docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks_raw AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents
+),
+tok AS (
+  SELECT t.doc_id, t.xs[CAST(r.i AS INT)] AS token
+  FROM toks_raw t JOIN range(1, {_MAX_TOKENS + 1}) r(i) ON r.i <= len(t.xs)
+  WHERE t.xs[CAST(r.i AS INT)] <> ''
+),
+tb AS (SELECT doc_id, {token_id_sql('token')} % {_DSIR_BUCKETS} AS bucket FROM tok),
+rc AS (SELECT bucket, count(*) AS rc FROM tb GROUP BY bucket),
+tids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tc AS (SELECT bucket, count(*) AS tc FROM tb JOIN tids USING (doc_id) GROUP BY bucket),
+b AS (SELECT rc.bucket, rc.rc, coalesce(tc.tc, 0) AS tc
+      FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket)
+SELECT tb.doc_id,
+       CAST(sum(b.tc) AS BIGINT) AS t_hits,
+       CAST(sum(b.rc) AS BIGINT) AS r_hits,
+       count(*) AS n_tokens,
+       round(CAST(CAST(sum(b.tc) AS BIGINT) + 1 AS DOUBLE)
+             / CAST(CAST(sum(b.rc) AS BIGINT) + 1 AS DOUBLE), 6) AS ratio6
+FROM tb JOIN b USING (bucket)
+GROUP BY tb.doc_id
+"""
+
+
+# ------------------------------------------- hub-removal robustness
+_ROBUST_HUBS = 20
+_ROBUST_CC_ITERS = 50
+
+
+def _q_robustness(spark, sf_dir):
+    """Attack-robustness report: remove the top-20 degree hubs (ties →
+    lower id) from the sparse co-occurrence graph, re-run hash-min CC on
+    the survivors, report (n_vertices, n_components, giant_size,
+    giant_share6). The 100 TB story: hub removal is a broadcast
+    anti-join (20 ids), CC re-runs only on the filtered edge set."""
+    from ..operators.components import component_sizes, connected_components
+    from ..operators.graph import symmetrize
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    deg = (
+        symmetrize(e).groupBy("src").agg(F.count("*").alias("d"))
+        .select(F.col("src").alias("id"), "d")
+    )
+    hubs = deg.orderBy(F.desc("d"), F.asc("id")).limit(_ROBUST_HUBS)
+    e2 = (
+        e.join(F.broadcast(hubs.select(F.col("id").alias("src"))), "src", "left_anti")
+        .join(F.broadcast(hubs.select(F.col("id").alias("dst"))), "dst", "left_anti")
+    )
+    res = connected_components(
+        spark, e2, num_partitions=graph_nparts(spark, sf_dir)
+    )
+    sizes = component_sizes(res.components)
+    return (
+        sizes.agg(
+            F.sum("size").alias("_nv"),
+            F.count("*").alias("n_components"),
+            F.max("size").alias("giant_size"),
+        )
+        .select(
+            F.col("_nv").cast("bigint").alias("n_vertices"),
+            "n_components",
+            "giant_size",
+            F.round(
+                F.col("giant_size").cast("double") / F.col("_nv").cast("double"), 6
+            ).alias("giant_share6"),
+        )
+    )
+
+
+_ROBUST_SQL = f"""
+WITH RECURSIVE g AS ({G_SPARSE_SQL})
+, sym0 AS ({SYM_SQL})
+, deg AS (SELECT src AS id, count(*) AS d FROM sym0 GROUP BY src)
+, hubs AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT {_ROBUST_HUBS})
+, g2 AS (
+    SELECT src, dst FROM g
+    WHERE src NOT IN (SELECT id FROM hubs) AND dst NOT IN (SELECT id FROM hubs)
+)
+, sym AS (SELECT src, dst FROM g2 UNION ALL SELECT dst AS src, src AS dst FROM g2)
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, ep AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM verts)
+, cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.dst, min(c.comp)
+    FROM cc c JOIN ep e ON e.src = c.id
+    WHERE c.iter < {_ROBUST_CC_ITERS}
+    GROUP BY c.iter, e.dst
+)
+, canon AS (SELECT id, comp FROM cc WHERE iter = {_ROBUST_CC_ITERS})
+, sizes AS (SELECT comp, count(*) AS size FROM canon GROUP BY comp)
+SELECT CAST(sum(size) AS BIGINT) AS n_vertices,
+       count(*) AS n_components,
+       CAST(max(size) AS BIGINT) AS giant_size,
+       round(CAST(max(size) AS DOUBLE) / CAST(sum(size) AS DOUBLE), 6) AS giant_share6
+FROM sizes
+"""
+
+
+# ------------------------------------------- temperature mixing plan
+_MIX_ALPHA_SQRT = True  # α = 0.5 — sqrt is IEEE-correctly-rounded, so the
+# per-stratum weight is bit-identical across engines (0.7 would hinge on
+# each engine's pow libm)
+_MIX_BUDGET = 1000
+
+
+def _q_mix_temperature(spark, sf_dir):
+    """Multilingual temperature-mixing plan (α=0.5): per-language doc
+    counts → temperature-flattened sampling shares → planned docs for a
+    1000-doc budget. One tiny aggregate + two scalar cross joins —
+    O(|langs|) state regardless of corpus size."""
+    d = docs(spark, sf_dir)
+    lc = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = lc.agg(F.sum("n_docs").cast("bigint").alias("_t"))
+    w = lc.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        F.sqrt(F.col("n_docs").cast("double") / F.col("_t").cast("double")).alias("_w"),
+    )
+    z = w.agg(F.sum("_w").alias("_z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("_w") / F.col("_z"), 6).alias("share6"),
+            F.round(F.lit(_MIX_BUDGET) * F.col("_w") / F.col("_z"), 0)
+            .cast("bigint")
+            .alias("planned_docs"),
+        )
+    )
+
+
+_MIX_SQL = f"""
+WITH lc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+, tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM lc)
+, w AS (SELECT lang, n_docs,
+               sqrt(CAST(n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS w
+        FROM lc, tot)
+, z AS (SELECT sum(w) AS z FROM w)
+SELECT lang, n_docs, round(w.w / z.z, 6) AS share6,
+       CAST(round({_MIX_BUDGET} * w.w / z.z, 0) AS BIGINT) AS planned_docs
+FROM w, z
+"""
+
+
+QUERIES = {
+    "emb_pq_codes": (_q_pq_codes, _pq_sql()),
+    "doc_dsir_weights": (_q_dsir, _DSIR_SQL),
+    "graph_robustness_hubs": (_q_robustness, _ROBUST_SQL),
+    "doc_mix_temperature": (_q_mix_temperature, _MIX_SQL),
+}
