@@ -111,3 +111,107 @@ def pq_encode(
         )
     )
     return PqResult(embeddings.select(*cols), codebooks)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    query_mod: int = 25,
+    m: int = 4,
+    pq_k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the production vector-store
+    plan: a coarse k-means quantizer restricts each query to ``nprobe``
+    inverted lists, and candidates are ranked by the PQ asymmetric
+    distance (ADC), never by their full vectors.
+
+    Scale shape (the reason IVF-PQ wins at 10^9 vectors): the candidate
+    join carries (vec_id, cluster, m small int codes) — ~8 bytes of
+    payload instead of d×4 — and the query side precomputes one
+    m×k distance lookup table per query row (a pure Catalyst array
+    expression), so scoring a candidate is m array lookups + m-1 adds,
+    zero joins against the float vectors. The cluster join is the only
+    shuffle and it is keyed/bucketed by the coarse assignment.
+
+    Output: (query_id, neighbor_id, adc4) — top-``k`` by ADC (rounded to
+    4 before ranking so the order is reproducible cross-engine), ties to
+    the lower neighbor id. Queries: ``id % query_mod == 0``.
+    """
+    from .clustering import kmeans_assign
+
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("ivfpq_topk: input is empty")
+    dim = int(first["d"])
+    sub = dim // m
+
+    coarse = kmeans_assign(
+        spark, embeddings, k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pq = pq_encode(
+        spark, embeddings, m=m, k=pq_k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    inv = coarse.assignments.join(
+        pq.codes.select("vec_id", *[f"code_{j}" for j in range(m)]), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        *[f"code_{j}" for j in range(m)],
+    )
+
+    vec = F.col(vec_col)
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _sub_d2(vec, 0, dim, c).alias("d2"), F.lit(ci).alias("cid")
+            )
+            for ci, c in enumerate(coarse.centroids)
+        ]
+    )
+    luts = [
+        F.array(
+            *[_sub_d2(vec, j * sub, sub, c) for c in pq.codebooks[j]]
+        ).alias(f"_lut_{j}")
+        for j in range(m)
+    ]
+    q = (
+        embeddings.where((F.col(id_col) % query_mod) == 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, nprobe)
+            ).alias("_p"),
+            *luts,
+        )
+        .select(
+            "query_id", F.col("_p.cid").alias("cluster"),
+            *[f"_lut_{j}" for j in range(m)],
+        )
+    )
+    # element_at is 1-based; codes are 0-based → +1
+    adc = F.element_at(F.col("_lut_0"), F.col("code_0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"_lut_{j}"), F.col(f"code_{j}") + 1)
+    scored = (
+        q.join(inv, "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 4).alias("adc4"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc4"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -48,6 +48,7 @@ _PRIORITY = [
     "doc_dsir_weights",
     "graph_robustness_hubs",
     "emb_pq_codes",
+    "emb_ann_ivfpq_topk",
     "doc_chunks",
     "graph_rich_club",
     "emb_kmeans2",

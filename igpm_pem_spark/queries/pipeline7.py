@@ -26,59 +26,74 @@ def _q_pq_codes(spark, sf_dir):
     return pq_encode(spark, emb(spark, sf_dir), m=_PQ_M, k=_PQ_K, iters=2).codes
 
 
-def _pq_dist(e: str, c: str, sub: int) -> str:
-    """Squared-L2 over a sub-dim slice (mirrors pipeline2's _km_dist, on
-    subspace tables)."""
+def _pq_dist(e: str, c: str, dims: int) -> str:
+    """Squared-L2 over ``dims``-long vectors (mirrors pipeline2's
+    _km_dist, parameterized for subspace/coarse tables)."""
     return (
         f"SELECT {e}.vec_id, {c}.cid,\n"
         f"       sum(({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])"
         f" * ({e}.v[CAST(r.i AS INT)] - {c}.v[CAST(r.i AS INT)])) AS d2\n"
-        f"FROM {e} {e}, {c} {c}, range(1, {sub + 1}) r(i)\n"
+        f"FROM {e} {e}, {c} {c}, range(1, {dims + 1}) r(i)\n"
         f"GROUP BY {e}.vec_id, {c}.cid"
     )
 
 
-def _pq_round(j: int, i: int) -> str:
-    """Lloyd round ``i`` for subspace ``j`` — the pipeline2 _km_round
-    chain with per-subspace CTE names."""
-    p, e = f"p{j}c{i - 1}", f"e{j}"
+def _lloyd_round(pfx: str, e: str, i: int, dims: int) -> str:
+    """Lloyd round ``i`` over table ``e`` with CTE prefix ``pfx`` — the
+    pipeline2 _km_round chain, parameterized."""
+    p = f"{pfx}c{i - 1}"
     return f"""
-, p{j}d{i} AS ({_pq_dist(e, p, _PQ_SUB)})
-, p{j}a{i} AS (SELECT vec_id, cid AS cluster FROM p{j}d{i}
+, {pfx}d{i} AS ({_pq_dist(e, p, dims)})
+, {pfx}a{i} AS (SELECT vec_id, cid AS cluster FROM {pfx}d{i}
            QUALIFY row_number() OVER (
                PARTITION BY vec_id ORDER BY d2, cid) = 1)
-, p{j}m{i} AS (
+, {pfx}m{i} AS (
     SELECT a.cluster AS cid, CAST(r.i AS INT) AS pos,
            avg(e.v[CAST(r.i AS INT)]) AS m
-    FROM p{j}a{i} a JOIN {e} e USING (vec_id), range(1, {_PQ_SUB + 1}) r(i)
+    FROM {pfx}a{i} a JOIN {e} e USING (vec_id), range(1, {dims + 1}) r(i)
     GROUP BY a.cluster, r.i
 )
-, p{j}c{i} AS (
-    SELECT cid, list(m ORDER BY pos) AS v FROM p{j}m{i} GROUP BY cid
+, {pfx}c{i} AS (
+    SELECT cid, list(m ORDER BY pos) AS v FROM {pfx}m{i} GROUP BY cid
     UNION ALL
     SELECT c.cid, c.v FROM {p} c
-    WHERE c.cid NOT IN (SELECT DISTINCT cluster FROM p{j}a{i})
+    WHERE c.cid NOT IN (SELECT DISTINCT cluster FROM {pfx}a{i})
 )
 """
 
 
-def _pq_sql() -> str:
-    parts = ["WITH e00 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+def _lloyd_chain(pfx: str, e: str, dims: int, k: int) -> str:
+    """Seeds (k lowest vec_ids) + 2 Lloyd rounds + final distances
+    ``{pfx}d3`` and argmin codes ``{pfx}fin``."""
+    return f"""
+, {pfx}c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM (SELECT vec_id, v FROM {e} ORDER BY vec_id LIMIT {k})
+)
+{_lloyd_round(pfx, e, 1, dims)}
+{_lloyd_round(pfx, e, 2, dims)}
+, {pfx}d3 AS ({_pq_dist(e, f'{pfx}c2', dims)})
+, {pfx}fin AS (
+    SELECT vec_id, CAST(cid AS INT) AS code, d2 FROM {pfx}d3
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)"""
+
+
+def _pq_subspace_ctes() -> str:
+    parts = []
     for j in range(_PQ_M):
         lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
         parts.append(f"""
 , e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e00)
-, p{j}c0 AS (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-    FROM (SELECT vec_id, v FROM e{j} ORDER BY vec_id LIMIT {_PQ_K})
-)
-{_pq_round(j, 1)}
-{_pq_round(j, 2)}
-, p{j}d3 AS ({_pq_dist(f'e{j}', f'p{j}c2', _PQ_SUB)})
-, p{j}fin AS (
-    SELECT vec_id, CAST(cid AS INT) AS code, d2 FROM p{j}d3
-    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
-)""")
+{_lloyd_chain(f'p{j}', f'e{j}', _PQ_SUB, _PQ_K)}""")
+    return "".join(parts)
+
+
+def _pq_sql() -> str:
+    parts = [
+        "WITH e00 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _pq_subspace_ctes(),
+    ]
     sel = ", ".join(f"p{j}fin.code AS code_{j}" for j in range(_PQ_M))
     d2s = " + ".join(f"p{j}fin.d2" for j in range(_PQ_M))
     joins = " ".join(
@@ -88,6 +103,59 @@ def _pq_sql() -> str:
 SELECT p0fin.vec_id, {sel},
        round(({d2s}) / {_PQ_DIM}.0, 4) AS mse4
 FROM p0fin {joins}""")
+    return "".join(parts)
+
+
+# ----------------------------------------------------------- IVF-PQ
+_IVFPQ_K, _IVFPQ_NPROBE, _IVFPQ_QMOD, _IVFPQ_NC = 3, 2, 25, 8
+
+
+def _q_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN: coarse 8-means inverted lists (nprobe=2) ranked by PQ
+    asymmetric distance — candidates carry 4 int codes, never vectors."""
+    from ..operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        spark, emb(spark, sf_dir), k=_IVFPQ_K, n_clusters=_IVFPQ_NC,
+        iters=2, nprobe=_IVFPQ_NPROBE, query_mod=_IVFPQ_QMOD,
+        m=_PQ_M, pq_k=_PQ_K,
+    )
+
+
+def _ivfpq_sql() -> str:
+    parts = [
+        "WITH e00 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _pq_subspace_ctes(),
+        _lloyd_chain("g", "e00", _PQ_DIM, _IVFPQ_NC),
+    ]
+    for j in range(_PQ_M):
+        parts.append(f"""
+, qe{j} AS (SELECT vec_id, v FROM e{j} WHERE vec_id % {_IVFPQ_QMOD} = 0)
+, l{j} AS ({_pq_dist(f'qe{j}', f'p{j}c2', _PQ_SUB)})""")
+    adc = " + ".join(f"l{j}.d2" for j in range(_PQ_M))
+    fjoins = " ".join(
+        f"JOIN p{j}fin f{j} ON f{j}.vec_id = c.neighbor_id" for j in range(_PQ_M)
+    )
+    ljoins = " ".join(
+        f"JOIN l{j} ON l{j}.vec_id = c.query_id AND l{j}.cid = f{j}.code"
+        for j in range(_PQ_M)
+    )
+    parts.append(f"""
+, qp AS (SELECT vec_id AS query_id, cid AS cluster FROM gd3
+         WHERE vec_id % {_IVFPQ_QMOD} = 0
+         QUALIFY row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2, cid) <= {_IVFPQ_NPROBE})
+, afin AS (SELECT vec_id, code AS cluster FROM gfin)
+, cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+           FROM qp q JOIN afin a USING (cluster)
+           WHERE a.vec_id <> q.query_id)
+, scored AS (
+    SELECT c.query_id, c.neighbor_id, round({adc}, 4) AS adc4
+    FROM cand c {fjoins} {ljoins}
+)
+SELECT query_id, neighbor_id, adc4 FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY adc4 ASC, neighbor_id ASC) <= {_IVFPQ_K}""")
     return "".join(parts)
 
 
@@ -254,6 +322,7 @@ FROM w, z
 
 QUERIES = {
     "emb_pq_codes": (_q_pq_codes, _pq_sql()),
+    "emb_ann_ivfpq_topk": (_q_ivfpq, _ivfpq_sql()),
     "doc_dsir_weights": (_q_dsir, _DSIR_SQL),
     "graph_robustness_hubs": (_q_robustness, _ROBUST_SQL),
     "doc_mix_temperature": (_q_mix_temperature, _MIX_SQL),

@@ -88,6 +88,38 @@ def test_pq_guards(spark):
         pq_encode(spark, empty, m=3)
 
 
+def test_ivfpq_topk_recall_and_shape(spark):
+    from igpm_pem_spark.operators.pq import ivfpq_topk
+
+    # 3 well-separated gaussian blobs: IVF-PQ must recover same-blob
+    # neighbors for every query
+    rng = np.random.RandomState(3)
+    centers = np.array([[6.0] * 8, [-6.0] * 8, [6.0, -6.0] * 4])
+    vecs = np.concatenate(
+        [c + 0.3 * rng.randn(30, 8) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = ivfpq_topk(
+        spark, df, k=3, n_clusters=3, iters=2, nprobe=1, query_mod=10,
+        m=2, pq_k=8,
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert r.adc4 >= 0.0
+        by_q.setdefault(int(r.query_id), []).append(r)
+    assert set(by_q) == {i for i in range(90) if i % 10 == 0}
+    blob = lambda i: i // 30
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        # every retrieved neighbor comes from the query's blob
+        assert all(blob(int(r.neighbor_id)) == blob(qid) for r in rows), (
+            qid, [(r.neighbor_id, r.adc4) for r in rows])
+
+
 def _tid(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % 1_000_000_007
 
