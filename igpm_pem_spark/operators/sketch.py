@@ -261,3 +261,87 @@ FROM (
         )
     parts.append("\nUNION ALL".join(hop_selects))
     return "".join(parts)
+
+
+# ----------------------------------------------------------------- CMS
+# count-min sketch: D independent W-wide integer counter rows; the
+# estimate for a key is the min over its D counters. Overcounts only
+# (collisions add), never undercounts — the classic heavy-hitter sketch
+# (Cormode & Muthukrishnan 2005, public method; implementation original).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# permutation ids 100.. keep the CMS row hashes disjoint from the
+# minhash family's 0..NUM_PERM
+_CMS_PERM_BASE = 100
+
+
+def cms_bucket_exprs(tid: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """List of D bucket columns for a portable token id."""
+    from ..functions.hashing import P, perm_coeffs
+
+    out = []
+    for d in range(depth):
+        a, b = perm_coeffs(_CMS_PERM_BASE + d)
+        out.append(((F.lit(a) * tid + F.lit(b)) % F.lit(P)) % F.lit(width))
+    return out
+
+
+def cms_bucket_sql(d: int, tid: str = "tid", width: int = CMS_WIDTH) -> str:
+    from ..functions.hashing import P, perm_coeffs
+
+    a, b = perm_coeffs(_CMS_PERM_BASE + d)
+    return f"((({a} * {tid} + {b}) % {P}) % {width})"
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    topn: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, est, exact): top-``topn`` corpus tokens by count-min
+    estimate (ties → lexicographically smaller token), with the exact
+    count alongside — the sketch guarantees est >= exact, and the gap is
+    the collision overcount a D×W budget buys.
+
+    Scale shape: the counter table is depth×width rows TOTAL regardless
+    of corpus size — the token stream aggregates straight into it (one
+    explode×D + one shuffle of (d, bucket) keys, i.e. bounded
+    cardinality, perfectly combinable map-side). Estimates then need
+    only the DISTINCT tokens joined (broadcast) against the tiny counter
+    relation. At 10^12 tokens the exact per-token count this query also
+    emits is the expensive half; a production run drops it and keeps
+    the sketch half, which never shuffles more than D·W counters.
+    """
+    from ..functions.text import token_id, tokens
+
+    toks = tokens(docs, id_col=id_col, text_col=text_col).select(
+        "token", token_id("token").alias("tid")
+    )
+    buckets = cms_bucket_exprs(F.col("tid"), depth, width)
+    counters = (
+        toks.select(
+            F.posexplode(F.array(*buckets)).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cand = toks.groupBy("token", "tid").agg(F.count("*").alias("exact"))
+    est = None
+    joined = cand
+    for d in range(depth):
+        cd = counters.where(F.col("d") == d).select(
+            F.col("bucket").alias(f"_b{d}"), F.col("c").alias(f"_c{d}")
+        )
+        joined = joined.join(
+            F.broadcast(cd), buckets[d] == F.col(f"_b{d}"), "left"
+        )
+        e = F.coalesce(F.col(f"_c{d}"), F.lit(0))
+        est = e if est is None else F.least(est, e)
+    scored = joined.select("token", est.alias("est"), "exact")
+    # TakeOrdered (per-partition top-n + driver-side n-row merge), not a
+    # single-partition row_number window — the distinct-token relation
+    # is corpus-vocabulary-sized
+    return scored.orderBy(F.desc("est"), F.asc("token")).limit(topn)

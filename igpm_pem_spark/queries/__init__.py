@@ -49,6 +49,7 @@ _PRIORITY = [
     "graph_robustness_hubs",
     "emb_pq_codes",
     "emb_ann_ivfpq_topk",
+    "doc_cms_heavy_hitters",
     "doc_chunks",
     "graph_rich_club",
     "emb_kmeans2",

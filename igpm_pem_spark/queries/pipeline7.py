@@ -199,6 +199,57 @@ GROUP BY tb.doc_id
 """
 
 
+# ------------------------------------------------- CMS heavy hitters
+_CMS_TOPN = 20
+
+
+def _q_cms(spark, sf_dir):
+    """Count-min heavy hitters: top-20 corpus tokens by CMS estimate
+    (4×256 integer counters, portable hashes) with exact counts
+    alongside — est >= exact always."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(docs(spark, sf_dir), topn=_CMS_TOPN)
+
+
+def _cms_sql() -> str:
+    from ..operators.sketch import CMS_DEPTH, cms_bucket_sql
+
+    bucket_cols = ", ".join(
+        f"{cms_bucket_sql(d)} AS b{d}" for d in range(CMS_DEPTH)
+    )
+    counter_units = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, b{d} AS bucket FROM tb" for d in range(CMS_DEPTH)
+    )
+    cjoins = " ".join(
+        f"LEFT JOIN cnt c{d} ON c{d}.d = {d} AND c{d}.bucket = cand.b{d}"
+        for d in range(CMS_DEPTH)
+    )
+    est = "least(" + ", ".join(
+        f"coalesce(c{d}.c, 0)" for d in range(CMS_DEPTH)
+    ) + ")"
+    return f"""
+WITH toks_raw AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents
+),
+tok AS (
+  SELECT t.xs[CAST(r.i AS INT)] AS token
+  FROM toks_raw t JOIN range(1, {_MAX_TOKENS + 1}) r(i) ON r.i <= len(t.xs)
+  WHERE t.xs[CAST(r.i AS INT)] <> ''
+),
+tt AS (SELECT token, {token_id_sql('token')} AS tid FROM tok),
+tb AS (SELECT token, tid, {bucket_cols} FROM tt),
+cnt AS (SELECT d, bucket, count(*) AS c FROM ({counter_units}) GROUP BY d, bucket),
+cand AS (SELECT token, tid, count(*) AS exact,
+                {", ".join(f"min(b{d}) AS b{d}" for d in range(CMS_DEPTH))}
+         FROM tb GROUP BY token, tid)
+SELECT cand.token, CAST({est} AS BIGINT) AS est, cand.exact
+FROM cand {cjoins}
+ORDER BY est DESC, cand.token ASC
+LIMIT {_CMS_TOPN}
+"""
+
+
 # ------------------------------------------- hub-removal robustness
 _ROBUST_HUBS = 20
 _ROBUST_CC_ITERS = 50
@@ -323,6 +374,7 @@ FROM w, z
 QUERIES = {
     "emb_pq_codes": (_q_pq_codes, _pq_sql()),
     "emb_ann_ivfpq_topk": (_q_ivfpq, _ivfpq_sql()),
+    "doc_cms_heavy_hitters": (_q_cms, _cms_sql()),
     "doc_dsir_weights": (_q_dsir, _DSIR_SQL),
     "graph_robustness_hubs": (_q_robustness, _ROBUST_SQL),
     "doc_mix_temperature": (_q_mix_temperature, _MIX_SQL),

@@ -120,6 +120,27 @@ def test_ivfpq_topk_recall_and_shape(spark):
             qid, [(r.neighbor_id, r.adc4) for r in rows])
 
 
+def test_cms_heavy_hitters(spark):
+    from igpm_pem_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [
+        (0, "apple apple apple banana"),
+        (1, "apple banana cherry"),
+        (2, "apple date cherry cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = cms_heavy_hitters(df, topn=10).collect()
+    by_tok = {r.token: (r.est, r.exact) for r in out}
+    assert by_tok["apple"][1] == 5
+    assert by_tok["cherry"][1] == 3
+    assert by_tok["banana"][1] == 2
+    assert by_tok["date"][1] == 1
+    for est, exact in by_tok.values():
+        assert est >= exact  # CMS never undercounts
+    # ranked by estimate desc then token — apple must lead
+    assert out[0].token == "apple"
+
+
 def _tid(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % 1_000_000_007
 
