@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from igpm_pem_spark.operators.pagerank import pagerank
 
     e = _edges(spark, "/root/testdata/sf0.001")
-    res = pagerank(spark, e, tol=1e-6, max_iter=100, mode="delta", steps_per_commit=5)
+    res = pagerank(spark, e, tol=1e-6, max_iter=100, mode="delta", steps_per_commit=10)
     return res.ranks.orderBy(F.desc("rank"), F.asc("id")).limit(100)
 
 

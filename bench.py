@@ -90,7 +90,7 @@ def _run_workload(sf_dir: str, cpus: int) -> dict:
     n_edges = dense.count()  # materialize outside the timed region
 
     t0 = time.time()
-    pr = pagerank(spark, dense, tol=1e-6, max_iter=200, mode="delta", steps_per_commit=5)
+    pr = pagerank(spark, dense, tol=1e-6, max_iter=200, mode="delta", steps_per_commit=10)
     timings["pagerank_conv"] = time.time() - t0
     meta["pagerank_supersteps"] = pr.supersteps
     # edges-processed/sec: supersteps × symmetrized edge count / wall

@@ -106,7 +106,10 @@ def label_propagation(
         for b in range(block):
             new_state = _lpa_step(new_state, adj, num_partitions)
             if b < block - 1:
-                new_state = new_state.persist()  # keep unrolled plan linear
+                # lazy localCheckpoint truncates the LOGICAL plan (lazy
+                # persist only dedupes physically; analysis stays
+                # exponential in block — see pagerank's block loop)
+                new_state = new_state.localCheckpoint(eager=False)
                 intermediates.append(new_state)
         step += block
         state, delta, _ = commit_and_stats(

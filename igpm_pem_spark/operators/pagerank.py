@@ -295,10 +295,15 @@ def pagerank(
                 num_partitions,
             )
             if b < block - 1:
-                # lazy persist: each sub-step's state is referenced by
-                # several operators of the next one — caching keeps the
-                # unrolled physical plan linear instead of exponential
-                new_state = new_state.persist()
+                # lazy LOCAL CHECKPOINT, not lazy persist: a persisted
+                # plan is only deduplicated physically — the analyzer
+                # still walks the full unrolled tree, and _delta_step
+                # references state ~3× per sub-step, so analysis cost
+                # grew ~3^block per commit (measured: block=10 hung the
+                # driver outright). checkpoint(eager=False) truncates
+                # the LOGICAL plan to a LogicalRDD leaf immediately while
+                # still materializing lazily in the commit's single job.
+                new_state = new_state.localCheckpoint(eager=False)
                 intermediates.append(new_state)
         step += block
         if tol <= 0.0 and not checkpoint_dir and step < max_iter:

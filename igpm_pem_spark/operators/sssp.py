@@ -131,7 +131,11 @@ def sssp(
         for b in range(block):
             new_state = _sssp_step(new_state, adj, num_partitions)
             if b < block - 1:
-                new_state = new_state.persist()
+                # lazy localCheckpoint, not lazy persist: truncates the
+                # LOGICAL plan to a leaf (persist only dedupes the
+                # physical plan — the analyzer still walks the full
+                # unrolled tree, ~3^block; see pagerank's block loop)
+                new_state = new_state.localCheckpoint(eager=False)
                 intermediates.append(new_state)
         step += block
         state, delta, _ = commit_and_stats(

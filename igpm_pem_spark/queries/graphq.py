@@ -223,7 +223,7 @@ def _q_pagerank_converged(spark, sf_dir):
 
     res = pagerank(
         spark, edges(spark, sf_dir), tol=1e-9, max_iter=300, mode="delta",
-        steps_per_commit=5, num_partitions=graph_nparts(spark, sf_dir),
+        steps_per_commit=10, num_partitions=graph_nparts(spark, sf_dir),
     )
     return res.ranks.select("id", F.round("rank", 6).alias("rank6"))
 
