@@ -50,6 +50,7 @@ _PRIORITY = [
     "emb_pq_codes",
     "emb_ann_ivfpq_topk",
     "doc_cms_heavy_hitters",
+    "doc_split_leakage",
     "doc_chunks",
     "graph_rich_club",
     "emb_kmeans2",

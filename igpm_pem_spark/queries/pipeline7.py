@@ -199,6 +199,75 @@ GROUP BY tb.doc_id
 """
 
 
+# ---------------------------------------------- split-leakage audit
+def _q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: train/test doc pairs sharing >= 2
+    winnowing fingerprints — the leak a hash-split cannot prevent when
+    near-duplicate documents land on opposite sides of the cut. Composes
+    the tested winnow_pairs (fingerprint-bucketed, stop-shingle-capped —
+    never all-pairs) with split_by_hash, so the audit scales exactly as
+    the MOSS match step does."""
+    from ..functions.text import winnow_pairs
+    from ..operators.sampling import split_by_hash
+
+    d = docs(spark, sf_dir)
+    pairs = winnow_pairs(d, k=4, w=4, min_shared=2)
+    sp = split_by_hash(d, "doc_id").select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .where(
+            ((F.col("sa") == "train") & (F.col("sb") == "test"))
+            | ((F.col("sa") == "test") & (F.col("sb") == "train"))
+        )
+    )
+    return j.select(
+        F.when(F.col("sa") == "train", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_id"),
+        F.when(F.col("sa") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("test_id"),
+        "shared",
+    )
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.sampling import split_case_sql
+
+    from .pipeline import _winnow_ctes
+
+    return (
+        _winnow_ctes()
+        + f"""
+, fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wfp)
+, szs AS MATERIALIZED (SELECT fp, count(*) AS sz FROM fps GROUP BY fp)
+, small AS MATERIALIZED (
+  SELECT f.doc_id, f.fp FROM fps f JOIN szs ON szs.fp = f.fp AND szs.sz <= 200
+)
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+)
+, sp AS (SELECT doc_id, {split_case_sql('doc_id')} AS split FROM documents)
+SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END AS train_id,
+       CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END AS test_id,
+       p.shared
+FROM pairs p JOIN sp sa ON sa.doc_id = p.doc_a
+             JOIN sp sb ON sb.doc_id = p.doc_b
+WHERE (sa.split = 'train' AND sb.split = 'test')
+   OR (sa.split = 'test' AND sb.split = 'train')
+"""
+    )
+
+
 # ------------------------------------------------- CMS heavy hitters
 _CMS_TOPN = 20
 
@@ -375,6 +444,7 @@ QUERIES = {
     "emb_pq_codes": (_q_pq_codes, _pq_sql()),
     "emb_ann_ivfpq_topk": (_q_ivfpq, _ivfpq_sql()),
     "doc_cms_heavy_hitters": (_q_cms, _cms_sql()),
+    "doc_split_leakage": (_q_split_leakage, _split_leakage_sql()),
     "doc_dsir_weights": (_q_dsir, _DSIR_SQL),
     "graph_robustness_hubs": (_q_robustness, _ROBUST_SQL),
     "doc_mix_temperature": (_q_mix_temperature, _MIX_SQL),
