@@ -694,3 +694,57 @@ def interval_join_stream(
         "delta_s",
         F.unix_timestamp(f"{prefix}{right_ts}") - F.unix_timestamp(left_ts),
     )
+
+
+def cms_counters_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id BIGINT, text STRING",
+    depth: int | None = None,
+    width: int | None = None,
+    queryName: str = "cms_counters",
+) -> "object":
+    """Streaming count-min sketch: tokens of arriving documents fold into
+    the depth×width counter table, maintained in COMPLETE output mode to
+    an in-memory sink (the sketch IS the bounded state — D·W rows
+    regardless of stream length, which is why a sketch is the canonical
+    streaming aggregate where an exact per-token count would grow
+    without bound). Restart-safe via the aggregation state in the
+    checkpoint. Returns the StreamingQuery; read the current counters
+    from ``spark.table(queryName)``.
+
+    Batch equality: after availableNow drains N files, the sink table
+    equals ``operators.sketch``'s batch counters over the union of those
+    files (pinned in tests/test_streaming.py)."""
+    from ..functions.text import token_id
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket_exprs
+
+    d = depth or CMS_DEPTH
+    w = width or CMS_WIDTH
+    s = spark.readStream.schema(schema).parquet(source_dir)
+    toks = (
+        s.select(
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "token")
+        )
+        .where(F.col("token") != "")
+        .select(token_id("token").alias("tid"))
+    )
+    counters = (
+        toks.select(
+            F.posexplode(F.array(*cms_bucket_exprs(F.col("tid"), d, w))).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counters.writeStream.format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

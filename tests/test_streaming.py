@@ -347,3 +347,51 @@ def test_interval_join_stream_matches_batch_pairs(spark, tmp_path):
         if c[1] == b[1] and abs((b[2] - c[2]).total_seconds()) <= 300
     }
     assert got == want and (1, 10, 250) in got and (2, 10, -150) in got
+
+
+def test_cms_counters_stream_matches_batch(spark, tmp_path):
+    """The streaming CMS counter table equals the batch sketch counters
+    over the same corpus — including across a restart (checkpointed
+    aggregation state + the second file)."""
+    import os
+
+    from igpm_pem_spark.functions.text import token_id, tokens
+    from igpm_pem_spark.operators.sketch import cms_bucket_exprs
+    from igpm_pem_spark.streaming.stream import cms_counters_stream
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = cms_counters_stream(spark, src, ckpt, queryName="cms_t1")
+    q.awaitTermination(120)
+    q.stop()
+    b2 = spark.createDataFrame(
+        [(3, "cherry date apple")], "doc_id BIGINT, text STRING"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = cms_counters_stream(spark, src, ckpt, queryName="cms_t1")
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.d, r.bucket): r.c for r in spark.table("cms_t1").collect()
+    }
+    batch = spark.read.parquet(src)
+    toks = tokens(batch).select(token_id("token").alias("tid"))
+    expected = {
+        (r.d, r.bucket): r.c
+        for r in toks.select(
+            F.posexplode(F.array(*cms_bucket_exprs(F.col("tid")))).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == expected and sum(got.values()) == 4 * 8  # 8 tokens × depth 4
