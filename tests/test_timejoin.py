@@ -99,3 +99,36 @@ def test_range_join_no_crossjoin_in_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_null_right_column_carried_atomically(spark):
+    """A NULL in a right column of the matched row must surface as NULL —
+    never back-filled from an OLDER right row (the torn-row bug: carrying
+    each column independently with last(ignorenulls) mixes two rows)."""
+    left = _events(spark, [(1, 7, _ts("2024-01-01 12:00:00"), 0.0)])
+    right = spark.createDataFrame(
+        [
+            (100, 7, _ts("2024-01-01 09:00:00"), 1.0),
+            (101, 7, _ts("2024-01-01 11:00:00"), None),  # matched row, NULL value
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    row = asof_join(
+        left, right, keys=["user_id"], right_cols=["event_id", "value"]
+    ).collect()[0]
+    assert row.r_event_id == 101
+    assert row.r_value is None  # NOT 1.0 from the older row
+
+
+def test_asof_guards(spark):
+    import pytest
+
+    left = _events(spark, [(1, 7, _ts("2024-01-01 12:00:00"), 0.0)])
+    right = left.select("user_id", "ts")
+    with pytest.raises(ValueError, match="right_cols is empty"):
+        asof_join(left, right, keys=["user_id"])
+    # prefixed output collides with an existing left column
+    right2 = _events(spark, [(9, 7, _ts("2024-01-01 09:00:00"), 1.0)])
+    left2 = left.withColumn("r_value", F.lit(5.0))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right2, keys=["user_id"], right_cols=["value"])
