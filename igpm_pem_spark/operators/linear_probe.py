@@ -38,32 +38,55 @@ def _fit(
     label_col: str,
     corpus_count: int | None,
 ):
-    """Run the fixed GD recurrence; returns (x exprs, w, b) with w/b as
-    plain python floats (the only driver traffic, 65 doubles/step)."""
+    """Run the fixed GD recurrence; returns (margin_expr_fn, w, b) with
+    w/b as plain python floats (the only driver traffic, 65 doubles per
+    step). Expressions are array-native (zip_with/aggregate with the
+    same left-associative order as the old per-dimension unrolled chain
+    — bit-identical) and the sigmoid residual is staged as a projection
+    column, so the per-iteration logical plan is O(dim) nodes instead of
+    the O(dim²) tree that made each step Catalyst-compile-bound."""
     if iters < 1 or dim < 1:
         raise ValueError("linear_probe: iters and dim must be >= 1")
-    x = [
-        F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)
-    ]
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
     y = (F.col(label_col) == F.lit(target_label)).cast("double")
     # visible one-stats-job count unless the caller already knows it
     n = emb.count() if corpus_count is None else corpus_count
     if n == 0:
         raise ValueError("linear_probe: empty corpus")
+
+    def margin(arr, w: list[float], b: float):
+        # b + Σ_d x_d·w_d, accumulated 0..dim-1 from b — the same order
+        # as the previous unrolled chain
+        return F.aggregate(
+            F.zip_with(
+                arr, F.array(*[F.lit(wd) for wd in w]), lambda a, c: a * c
+            ),
+            F.lit(b),
+            lambda acc, t: acc + t,
+        )
+
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        m = F.lit(b)
-        for d in range(dim):
-            m = m + x[d] * F.lit(w[d])
-        g = F.lit(1.0) / (F.lit(1.0) + F.exp(-m)) - y
-        row = emb.agg(
-            *[F.sum(g * x[d]).alias(f"g{d}") for d in range(dim)],
-            F.sum(g).alias("gb"),
+        staged = emb.select(xarr.alias("_x"), y.alias("_y")).select(
+            "_x",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(F.col("_x"), w, b)))
+                - F.col("_y")
+            ).alias("_g"),
+        )
+        row = staged.agg(
+            *[
+                F.sum(F.col("_g") * F.element_at(F.col("_x"), d + 1)).alias(f"g{d}")
+                for d in range(dim)
+            ],
+            F.sum("_g").alias("gb"),
         ).collect()[0]
         w = [w[d] - lr / n * float(row[f"g{d}"]) for d in range(dim)]
         b = b - lr / n * float(row["gb"])
-    return x, w, b
+    return margin, w, b
 
 
 def logreg_probe_weights(
@@ -98,10 +121,11 @@ def logreg_probe_accuracy(
     """One row (n_rows, n_pos, n_correct): train-set accuracy of the
     fitted probe at threshold 0.5 (margin > 0). After the driver-tiny
     fit, scoring is a stateless row-local expression — zero shuffle."""
-    x, w, b = _fit(emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count)
-    m = F.lit(b)
-    for d in range(dim):
-        m = m + x[d] * F.lit(w[d])
+    margin, w, b = _fit(emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count)
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
+    m = margin(xarr, w, b)
     y = (F.col(label_col) == F.lit(target_label)).cast("int")
     pred = (m > 0).cast("int")
     return emb.agg(
