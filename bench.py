@@ -513,6 +513,20 @@ def _scaling(n_low: int, n_high: int) -> None:
         "(→ off for the loop); localCheckpoint each commit truncates",
         "iterative lineage.",
         "",
+        "Round-5 finding: a lazily persist()ed block intermediate only",
+        "dedupes the PHYSICAL plan — the analyzer still walks the full",
+        "unrolled logical tree, and the delta/sssp/lpa steps reference",
+        "state 2-3× per superstep, so per-commit ANALYSIS cost grew",
+        "~3^block (block=10 hung the driver outright). Fix: lazy",
+        "localCheckpoint(eager=False) per intermediate — truncates the",
+        "logical plan to a LogicalRDD leaf immediately, still one job",
+        "per commit. Measured same-host, same hash: sf0.01 tol-1e-9",
+        "converged PageRank 95.5 s → 28.9 s (block 10), sf0.1 flagship",
+        "61.2 s → 45.6 s (block 10). The same O(dim²)-expression-tree",
+        "trap was then found and fixed in the PCA power-iteration and",
+        "logistic-probe steps (zip_with/aggregate array expressions with",
+        "identical accumulation order; 2-4× at sf0.01, values exact).",
+        "",
         "Round-4 regression audit (same-host A/B, fresh JVM per run, sf0.1",
         "workload sizes): the round-3 'regressions' in ingest (4.75→12.6 s)",
         "and dedup_lsh (7.1→21.6 s) are HOST-SPEED variance between rounds,",
