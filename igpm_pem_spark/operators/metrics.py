@@ -325,3 +325,39 @@ def jaccard_sparsify(
         return out.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_recip, reciprocity): the fraction of directed
+    edges whose reverse edge also exists — the standard digraph
+    reciprocity statistic (mutual-link density, a first-order spam /
+    citation-ring signal on a link graph).
+
+    Plan: dedupe, left-join the edge relation against its own transpose
+    on (src, dst), and fold both counts out of ONE aggregate — a single
+    self-equi-join + global agg, no window, no second pass. The ratio is
+    one integer division performed once, so the double is bit-identical
+    cross-engine. Self loops are excluded (a loop is trivially its own
+    reverse)."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_r", F.lit(1))
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count("_r").alias("n_recip"),
+        )
+        .select(
+            "n_edges",
+            "n_recip",
+            (F.col("n_recip").cast("double") / F.col("n_edges")).alias(
+                "reciprocity"
+            ),
+        )
+    )

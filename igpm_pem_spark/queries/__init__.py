@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from . import (
     graphq,
+    graphq2,
     metricsq,
     patternq,
     pipeline,
@@ -203,7 +204,7 @@ _PRIORITY = [
 def all_queries():
     merged = {}
     for mod in (
-        graphq, metricsq, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()

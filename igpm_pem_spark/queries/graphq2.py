@@ -1,0 +1,222 @@
+"""Round-5 structural additions: directed triad census, digraph
+reciprocity, temporal graph growth, and char-entropy document quality.
+
+The census/reciprocity pair completes the orientation-aware ring around
+the triangle kernel (the reference's flagship pattern ``gray.ini:9`` is
+orientation-blind); the growth curve is the vertex/edge-arrival report a
+temporal link graph is monitored by; char entropy is the classic cheap
+garbage/binary-text gate of a training-data pipeline. Every oracle
+replays the identical integer/one-division arithmetic, so the driver's
+dtype-sensitive value hash matches bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ._common import G_SPARSE_SQL, docs, edges, register
+
+# directed co-occurrence by in-order line sequence: part a → part b when
+# a ships on an earlier line of the same order. Unlike the parity-mixed
+# digraph this produces genuinely reciprocated pairs (the same two parts
+# in opposite sequence across orders), which is what reciprocity and the
+# mutual triad class need to be non-degenerate.
+_G_SEQ_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.l_partkey <> b.l_partkey
+"""
+
+# the SCC queries' parity-oriented digraph (metricsq._G_DIRMIX_SQL):
+# orientation-deterministic and reciprocal-free, so the closed-triad
+# census splits cleanly into cyclic vs transitive
+_G_DIRMIX_SQL = f"""
+SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS src,
+       CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS dst
+FROM ({G_SPARSE_SQL})
+"""
+
+
+# ---- directed triad census ------------------------------------------
+def _q_triad_census(spark, sf_dir):
+    """Closed-triad census (cyclic / transitive / mutual) of the
+    parity-oriented sparse digraph — one orientation-folding pass, then
+    the canonical two-join wedge plan with the flags carried inline."""
+    from ..operators.triangles import directed_triad_census
+
+    return directed_triad_census(edges(spark, sf_dir, _G_DIRMIX_SQL))
+
+
+_TRIAD_SQL = f"""
+WITH g AS ({_G_DIRMIX_SQL})
+, e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst)
+, pair AS (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+           CAST(count(*) AS BIGINT) AS ndir, max(src < dst) AS fwd
+    FROM e GROUP BY 1, 2
+)
+, tri AS (
+    SELECT p1.ndir AS n_ab, p1.fwd AS d_ab,
+           p2.ndir AS n_ac, p2.fwd AS d_ac,
+           p3.ndir AS n_bc, p3.fwd AS d_bc
+    FROM pair p1
+    JOIN pair p2 ON p2.lo = p1.lo AND p2.hi > p1.hi
+    JOIN pair p3 ON p3.lo = p1.hi AND p3.hi = p2.hi
+)
+SELECT CASE
+         WHEN n_ab > 1 OR n_ac > 1 OR n_bc > 1 THEN 'mutual'
+         WHEN (d_ab AND d_bc AND NOT d_ac)
+           OR (NOT d_ab AND NOT d_bc AND d_ac) THEN 'cyclic'
+         ELSE 'transitive'
+       END AS motif,
+       CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY 1
+"""
+
+
+# ---- digraph reciprocity --------------------------------------------
+def _q_reciprocity(spark, sf_dir):
+    """Reciprocity of the line-sequence digraph: one self-transpose
+    equi-join + one global aggregate; the ratio is a single integer
+    division so the double is bit-identical cross-engine."""
+    from ..operators.metrics import reciprocity
+
+    return reciprocity(edges(spark, sf_dir, _G_SEQ_SQL))
+
+
+_RECIP_SQL = f"""
+WITH g AS ({_G_SEQ_SQL})
+, e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(r.src) AS BIGINT) AS n_recip,
+       CAST(count(r.src) AS DOUBLE) / count(*) AS reciprocity
+FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
+  USING (src, dst)
+"""
+
+
+# ---- temporal graph growth ------------------------------------------
+def _q_growth_monthly(spark, sf_dir):
+    """Vertex/edge-arrival curve of the temporal order graph: per month
+    (integer year·12+month index, engine-portable) the new-customer
+    count (first-seen vertices), order count, and the cumulative totals.
+    Two keyed aggregates over the fact table; the cumulative window runs
+    over month-cardinality rows only (~72 at any scale), never the
+    facts — the state a 100 TB growth dashboard keeps is one row per
+    month."""
+    register(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("mi"),
+    )
+    pm = o.groupBy("mi").agg(F.count("*").alias("n_orders"))
+    nc = (
+        o.groupBy("o_custkey")
+        .agg(F.min("mi").alias("mi"))
+        .groupBy("mi")
+        .agg(F.count("*").alias("new_customers"))
+    )
+    w = Window.orderBy("mi").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        pm.join(nc, "mi", "left")
+        .select(
+            "mi",
+            "n_orders",
+            F.coalesce("new_customers", F.lit(0))
+            .cast("long")
+            .alias("new_customers"),
+        )
+        .select(
+            "mi",
+            "n_orders",
+            "new_customers",
+            F.sum("n_orders").over(w).cast("long").alias("cum_orders"),
+            F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
+        )
+    )
+
+
+_GROWTH_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi
+  FROM orders
+), pm AS (
+  SELECT mi, CAST(count(*) AS BIGINT) AS n_orders FROM om GROUP BY mi
+), nc AS (
+  SELECT mi, CAST(count(*) AS BIGINT) AS new_customers
+  FROM (SELECT o_custkey, min(mi) AS mi FROM om GROUP BY o_custkey)
+  GROUP BY mi
+)
+SELECT pm.mi, pm.n_orders,
+       coalesce(nc.new_customers, 0) AS new_customers,
+       CAST(sum(pm.n_orders) OVER w AS BIGINT) AS cum_orders,
+       CAST(sum(coalesce(nc.new_customers, 0)) OVER w AS BIGINT)
+         AS cum_customers
+FROM pm LEFT JOIN nc ON nc.mi = pm.mi
+WINDOW w AS (ORDER BY pm.mi ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+# ---- char-entropy document quality ----------------------------------
+def _q_char_entropy(spark, sf_dir):
+    """Per-document Shannon entropy over characters (bits/char) — the
+    cheap garbage/binary gate (natural text sits ~3.5-4.5 bits/char;
+    repeated filler and base64 blobs fall far outside). Entirely
+    ROW-LOCAL Catalyst array expressions: split → distinct → per-char
+    counts → one fold. Zero exchanges, zero Python — the ideal shape for
+    a 100 TB scan. Entropy is computed as log2(n) − Σ c·log2(c) / n over
+    integer counts so both engines sum the same ~40 finite terms."""
+    d = docs(spark, sf_dir).where(F.length("text") > 0)
+    return (
+        d.withColumn("_cs", F.expr("filter(split(text, ''), x -> x <> '')"))
+        .withColumn(
+            "_cnt",
+            F.expr(
+                "transform(array_sort(array_distinct(_cs)),"
+                " c -> size(filter(_cs, x -> x = c)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("_cs").cast("long").alias("n_chars"),
+            F.size("_cnt").cast("long").alias("distinct_chars"),
+            F.round(
+                F.log2(F.size("_cs"))
+                - F.expr(
+                    "aggregate(_cnt, CAST(0.0 AS DOUBLE),"
+                    " (acc, c) -> acc + c * log2(c))"
+                )
+                / F.size("_cs"),
+                6,
+            ).alias("ent6"),
+        )
+    )
+
+
+_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), cnt AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS distinct_chars,
+       round(log2(CAST(sum(k) AS BIGINT)) - sum(k * log2(k)) / sum(k), 6)
+         AS ent6
+FROM cnt GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "graph_triad_census": (_q_triad_census, _TRIAD_SQL),
+    "graph_reciprocity": (_q_reciprocity, _RECIP_SQL),
+    "graph_growth_monthly": (_q_growth_monthly, _GROWTH_SQL),
+    "doc_char_entropy": (_q_char_entropy, _ENTROPY_SQL),
+}
