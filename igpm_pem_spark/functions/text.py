@@ -614,3 +614,69 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_pos, n_tokens, chunk_fp): content-defined
+    chunking at token granularity — a chunk boundary opens wherever the
+    k-token rolling hash ≡ 0 (mod ``divisor``), so boundaries are decided
+    by CONTENT, not offsets (the Rabin/FastCDC property that makes chunk
+    hashes stable under insertions: an edit only re-chunks its own
+    neighborhood, unlike fixed-size chunking where one inserted token
+    shifts every later chunk). ``divisor`` sets the expected chunk length
+    in tokens. ``chunk_fp`` is a position-weighted polynomial of the
+    chunk's token ids reduced mod P — order-sensitive but computed as a
+    plain integer SUM, so any engine aggregates it identically.
+
+    Plan: token explode is row-local; the shingle hash and the boundary
+    cumulative count are two frames over the SAME doc_id-partitioned
+    window (one exchange); the per-chunk fold is one groupBy. Per-doc
+    state is the k-row lookahead, never the document."""
+    if k < 1 or divisor < 2:
+        raise ValueError("cdc_chunks: need k >= 1 and divisor >= 2")
+    t = tokens(docs, id_col, text_col).select(
+        "doc_id", "pos", token_id().alias("tid")
+    )
+    ow = Window.partitionBy("doc_id").orderBy("pos")
+    kh = F.lit(0).cast("long")
+    for j in range(k):
+        c = pow(FP_A, j, P)
+        tj = F.col("tid") if j == 0 else F.lead("tid", j).over(ow)
+        kh = kh + (F.lit(c) * tj) % F.lit(P)
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boundary = F.when(
+        ((kh % F.lit(P)) % F.lit(divisor) == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    cb = t.select(
+        "doc_id", "pos", "tid",
+        F.sum(boundary).over(cum).alias("chunk_raw"),
+    )
+    w2 = Window.partitionBy("doc_id", "chunk_raw")
+    cl = cb.select(
+        "doc_id", "chunk_raw", "pos", "tid",
+        (F.col("pos") - F.min("pos").over(w2) + 1).alias("local"),
+    )
+    ch = cl.groupBy("doc_id", "chunk_raw").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count("*").alias("n_tokens"),
+        (F.sum((F.col("local") * F.col("tid")) % F.lit(P)) % F.lit(P))
+        .cast("long")
+        .alias("chunk_fp"),
+    )
+    wi = Window.partitionBy("doc_id").orderBy("start_pos")
+    return ch.select(
+        "doc_id",
+        (F.row_number().over(wi) - 1).cast("long").alias("chunk_idx"),
+        "start_pos",
+        "n_tokens",
+        "chunk_fp",
+    )

@@ -220,3 +220,106 @@ QUERIES = {
     "graph_growth_monthly": (_q_growth_monthly, _GROWTH_SQL),
     "doc_char_entropy": (_q_char_entropy, _ENTROPY_SQL),
 }
+
+
+# ---- content-defined chunking ---------------------------------------
+_CDC_K, _CDC_DIV = 4, 16
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined (Rabin-style) chunk table of the corpus: boundary
+    where the k-token rolling hash ≡ 0 mod 16 — edit-stable chunk
+    fingerprints, the dedup-grade chunker (fixed-size ``doc_chunks``
+    shifts every chunk after an insertion; CDC re-chunks only the edit's
+    neighborhood)."""
+    from ..functions.text import cdc_chunks
+
+    return cdc_chunks(docs(spark, sf_dir), k=_CDC_K, divisor=_CDC_DIV)
+
+
+def _q_cdc_dedup(spark, sf_dir):
+    """One-row chunk-level dedup summary over the CDC table: total vs
+    distinct chunk fingerprints and the duplicated share — the number a
+    chunk-store sizing decision reads. Ratio is one integer division."""
+    from ..functions.text import cdc_chunks
+
+    ch = cdc_chunks(docs(spark, sf_dir), k=_CDC_K, divisor=_CDC_DIV)
+    return ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_fp").alias("n_distinct_fp"),
+    ).select(
+        "n_chunks",
+        "n_distinct_fp",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_fp").cast("double") / F.col("n_chunks")
+        ).alias("dup_ratio"),
+    )
+
+
+def _cdc_ctes() -> str:
+    from ..functions.hashing import FP_A, P, token_id_sql
+    from .pipeline import _TOK_CTE
+
+    terms = " + ".join(
+        f"({pow(FP_A, j, P)} * "
+        + ("tid" if j == 0 else f"lead(tid, {j}) OVER wdoc")
+        + f") % {P}"
+        for j in range(_CDC_K)
+    )
+    return (
+        _TOK_CTE
+        + f"""
+, kt AS MATERIALIZED (
+  SELECT doc_id, pos, {token_id_sql("token")} AS tid FROM tok
+)
+, kg AS MATERIALIZED (
+  SELECT doc_id, pos, tid, ({terms}) % {P} AS kh
+  FROM kt WINDOW wdoc AS (PARTITION BY doc_id ORDER BY pos)
+)
+, cb AS MATERIALIZED (
+  SELECT doc_id, pos, tid,
+         sum(CASE WHEN kh IS NOT NULL AND (kh % {P}) % {_CDC_DIV} = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_raw
+  FROM kg
+)
+, cl AS MATERIALIZED (
+  SELECT doc_id, chunk_raw, pos, tid,
+         pos - min(pos) OVER (PARTITION BY doc_id, chunk_raw) + 1 AS local
+  FROM cb
+)
+, ch AS MATERIALIZED (
+  SELECT doc_id, chunk_raw,
+         CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((local * tid) % {P}) % {P} AS BIGINT) AS chunk_fp
+  FROM cl GROUP BY doc_id, chunk_raw
+)"""
+    )
+
+
+QUERIES["doc_cdc_chunks"] = (
+    _q_cdc_chunks,
+    _cdc_ctes()
+    + """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+            AS BIGINT) AS chunk_idx,
+       start_pos, n_tokens, chunk_fp
+FROM ch
+""",
+)
+
+QUERIES["doc_cdc_dedup"] = (
+    _q_cdc_dedup,
+    _cdc_ctes()
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_fp) AS BIGINT) AS n_distinct_fp,
+       1.0 - CAST(count(DISTINCT chunk_fp) AS DOUBLE) / count(*) AS dup_ratio
+FROM ch
+""",
+)
