@@ -220,3 +220,105 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          AS n_correct
 FROM margin m JOIN y ON y.vec_id = m.vec_id"""
     )
+
+
+def logreg_probe_auc(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """One row (n_pos, n_neg, auc6): exact ROC-AUC of the fitted probe by
+    the tie-aware Mann-Whitney rank-sum — threshold-free separability,
+    the eval a probe-based quality gate is actually judged by (accuracy
+    at 0.5 hides a miscalibrated-but-well-ordered probe).
+
+    Margins are rounded to 6 decimals BEFORE ranking so both engines
+    form identical tie groups (the two sides accumulate the dot product
+    in different orders; last-ulp drift must not flip a rank). The rank
+    sum is computed per DISTINCT rounded margin — one groupBy + one
+    ordered window whose state is the distinct-score table (bounded by
+    the 1e-6 grid over the margin range, not the corpus), then
+    U = Σ_s pos_s·avgrank_s − n_pos(n_pos+1)/2 and AUC = U/(n_pos·n_neg).
+    """
+    from pyspark.sql import Window
+
+    margin, w, b = _fit(
+        emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count
+    )
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
+    y = (F.col(label_col) == F.lit(target_label)).cast("int")
+    scored = emb.select(
+        F.round(margin(xarr, w, b), 6).alias("s6"), y.alias("y")
+    )
+    g = scored.groupBy("s6").agg(
+        F.count("*").alias("c"), F.sum("y").alias("cp")
+    )
+    ow = Window.orderBy("s6").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "s6", "c", "cp",
+        (
+            F.coalesce(F.sum("c").over(ow), F.lit(0))
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("avgrank"),
+    )
+    return ranked.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("n_neg"),
+        F.sum(F.col("cp") * F.col("avgrank")).alias("_rs"),
+        F.sum("cp").alias("_np"),
+        (F.sum("c") - F.sum("cp")).alias("_nn"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("_rs") - F.col("_np") * (F.col("_np") + 1) / F.lit(2.0))
+            / (F.col("_np") * F.col("_nn")),
+            6,
+        ).alias("auc6"),
+    )
+
+
+def logreg_auc_oracle_sql(
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """(n_pos, n_neg, auc6) oracle: identical recurrence, identical
+    rounded-margin tie groups, identical rank-sum arithmetic."""
+    return (
+        _recurrence_ctes(dim, iters, lr, target_label, table)
+        + f"""
+, margin AS MATERIALIZED (
+  SELECT x.vec_id, (SELECT b FROM b{iters}) + sum(x.val * w.w) AS m
+  FROM x JOIN w{iters} w ON w.pos = x.pos GROUP BY x.vec_id
+)
+, scored AS MATERIALIZED (
+  SELECT round(m.m, 6) AS s6, CAST(y.y AS INT) AS y
+  FROM margin m JOIN y ON y.vec_id = m.vec_id
+)
+, grp AS MATERIALIZED (
+  SELECT s6, count(*) AS c, sum(y) AS cp FROM scored GROUP BY s6
+)
+, ranked AS MATERIALIZED (
+  SELECT s6, c, cp,
+         coalesce(sum(c) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS avgrank
+  FROM grp
+)
+SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+       CAST(sum(c) - sum(cp) AS BIGINT) AS n_neg,
+       round((sum(cp * avgrank) - sum(cp) * (sum(cp) + 1) / 2.0)
+             / (sum(cp) * (sum(c) - sum(cp))), 6) AS auc6
+FROM ranked"""
+    )

@@ -323,3 +323,23 @@ SELECT CAST(count(*) AS BIGINT) AS n_chunks,
 FROM ch
 """,
 )
+
+
+# ---- probe ROC-AUC ---------------------------------------------------
+def _q_logreg_auc(spark, sf_dir):
+    """Exact tie-aware ROC-AUC of the linear probe — the threshold-free
+    separability eval next to emb_logreg_acc (margins rounded to 1e-6
+    before ranking so both engines form identical tie groups)."""
+    from ..operators.linear_probe import logreg_probe_auc
+
+    register(spark, sf_dir)
+    return logreg_probe_auc(spark.table("embeddings"))
+
+
+def _logreg_auc_sql():
+    from ..operators.linear_probe import logreg_auc_oracle_sql
+
+    return logreg_auc_oracle_sql()
+
+
+QUERIES["emb_logreg_auc"] = (_q_logreg_auc, _logreg_auc_sql())

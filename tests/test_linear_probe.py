@@ -79,3 +79,43 @@ def test_rejects_bad_args(spark):
         logreg_probe_weights(df, dim=0)
     with pytest.raises(ValueError):
         logreg_probe_weights(df.where("vec_id < 0"), dim=6)
+
+
+def _auc_bruteforce(scores, y):
+    """Pair-counting AUC with half credit for ties (the definition the
+    rank-sum formula must reproduce)."""
+    pos = [s for s, t in zip(scores, y) if t == 1]
+    neg = [s for s, t in zip(scores, y) if t == 0]
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    return u / (len(pos) * len(neg))
+
+
+def test_auc_matches_pair_counting(spark):
+    from igpm_pem_spark.operators.linear_probe import logreg_probe_auc
+
+    x, labels = _corpus()
+    df = _df(spark, x, labels)
+    row = logreg_probe_auc(df, dim=6, iters=4).collect()[0]
+    # replicate the engine's scoring (numpy replay gives the same w/b),
+    # round to the same 1e-6 grid, then brute-force pair counting
+    w, b = _numpy_fit(x, labels, iters=4, lr=1.0, target_label=0)
+    scores = np.round(b + x @ w, 6)
+    y = (labels == 0).astype(int)
+    want = _auc_bruteforce(scores.tolist(), y.tolist())
+    assert row.n_pos == int(y.sum())
+    assert row.n_neg == int((1 - y).sum())
+    assert abs(row.auc6 - round(want, 6)) <= 1e-6
+    # the probe orders a separable-ish corpus well above chance
+    assert row.auc6 > 0.8
+
+
+def test_auc_tie_group_half_credit(spark):
+    from igpm_pem_spark.operators.linear_probe import logreg_probe_auc
+
+    # all-zero vectors → every margin identical → one tie group → 0.5
+    x = np.zeros((40, 6))
+    labels = np.array([0, 1] * 20)
+    row = logreg_probe_auc(_df(spark, x, labels), dim=6, iters=2).collect()[0]
+    assert row.auc6 == 0.5
