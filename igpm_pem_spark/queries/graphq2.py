@@ -343,3 +343,55 @@ def _logreg_auc_sql():
 
 
 QUERIES["emb_logreg_auc"] = (_q_logreg_auc, _logreg_auc_sql())
+
+
+# ---- incremental PageRank replay (the PEM headline, driver-oracled) --
+def _q_pagerank_incremental(spark, sf_dir):
+    """Warm-start PageRank replay over 3 synthetic arrival buckets
+    (ts = src % 3) — the reference's partial-execution headline
+    (``incremental/gray_incremental.py``, entry point 3): each bucket
+    re-converges from the previous fixpoint with delta-restricted
+    supersteps instead of recomputing from scratch. With tol=1e-9 the
+    final warm-started fixpoint and the batch fixpoint are both ≪ the
+    round-6 grid away from the true solution, so the SAME deep
+    recursive-CTE oracle as ``pagerank_converged`` checks the entire
+    warm-start/replay machinery end-to-end."""
+    from ..operators.incremental import incremental_pagerank
+    from ._common import graph_nparts
+
+    e = edges(spark, sf_dir).withColumn("ts", (F.col("src") % 3).cast("int"))
+    res = incremental_pagerank(
+        spark, e, base_steps=1, tol=1e-9,
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    return res.state.select("id", F.round("rank", 6).alias("rank6"))
+
+
+def _pagerank_incremental_sql() -> str:
+    from .graphq import _with_g
+    from ._common import G_PARTS_SQL
+
+    return _with_g(
+        """
+        , verts AS (SELECT DISTINCT src AS id FROM sym)
+        , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+        , nn AS (SELECT count(*) AS c FROM verts)
+        , pr(iter, id, r) AS (
+            SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+            UNION ALL
+            SELECT p.iter + 1, e.dst,
+                   0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r / d.d)
+            FROM pr p JOIN sym e ON e.src = p.id JOIN deg d ON d.src = p.id
+            WHERE p.iter < 160
+            GROUP BY p.iter, e.dst
+        )
+        SELECT id, round(r, 6) AS rank6 FROM pr WHERE iter = 160
+        """,
+        G_PARTS_SQL,
+        recursive=True,
+    )
+
+
+QUERIES["pagerank_incremental_replay"] = (
+    _q_pagerank_incremental, _pagerank_incremental_sql()
+)
