@@ -395,3 +395,36 @@ def _pagerank_incremental_sql() -> str:
 QUERIES["pagerank_incremental_replay"] = (
     _q_pagerank_incremental, _pagerank_incremental_sql()
 )
+
+
+# ---- co-citation / bibliographic coupling ----------------------------
+def _q_cocitation(spark, sf_dir):
+    """Directed common-neighbor statistics of the line-sequence digraph:
+    co-citation (parts that later lines of the same orders both follow)
+    and bibliographic coupling (parts both followed by the same later
+    parts) — the Small/Kessler pair, exact-integer oracled."""
+    from ..operators.metrics import cocitation_coupling
+
+    return cocitation_coupling(edges(spark, sf_dir, _G_SEQ_SQL), min_count=2)
+
+
+QUERIES["graph_cocitation"] = (
+    _q_cocitation,
+    f"""
+WITH g AS ({_G_SEQ_SQL})
+, e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst)
+, cocit AS (
+    SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS cocitation
+    FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2
+)
+, coup AS (
+    SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS coupling
+    FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src GROUP BY 1, 2
+)
+SELECT coalesce(c.a, k.a) AS a, coalesce(c.b, k.b) AS b,
+       CAST(coalesce(c.cocitation, 0) AS BIGINT) AS cocitation,
+       CAST(coalesce(k.coupling, 0) AS BIGINT) AS coupling
+FROM cocit c FULL OUTER JOIN coup k ON c.a = k.a AND c.b = k.b
+WHERE coalesce(c.cocitation, 0) >= 2 OR coalesce(k.coupling, 0) >= 2
+""",
+)

@@ -512,3 +512,33 @@ def test_local_bridges_have_no_common_neighbor(spark):
     want = {tuple(sorted((u, v))) for u, v in g.edges
             if not (set(g[u]) & set(g[v]))}
     assert bridges == want == {(3, 4)}
+
+
+def test_cocitation_coupling_matches_bruteforce(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from igpm_pem_spark.operators.metrics import cocitation_coupling
+
+    dir_pairs = [
+        (1, 2), (1, 3), (4, 2), (4, 3), (2, 5), (3, 5), (2, 6), (3, 6),
+        (7, 2), (5, 1), (6, 7), (1, 6),
+    ]
+    got = {
+        (r.a, r.b): (r.cocitation, r.coupling)
+        for r in cocitation_coupling(
+            edges_df(spark, dir_pairs), min_count=2
+        ).collect()
+    }
+    ins, outs = defaultdict(set), defaultdict(set)
+    for s, d in dir_pairs:
+        ins[d].add(s)
+        outs[s].add(d)
+    verts = sorted(ins.keys() | outs.keys())
+    want = {}
+    for a, b in combinations(verts, 2):
+        cc = len(ins[a] & ins[b])
+        bc = len(outs[a] & outs[b])
+        if cc >= 2 or bc >= 2:
+            want[(a, b)] = (cc, bc)
+    assert got == want
