@@ -428,3 +428,58 @@ FROM cocit c FULL OUTER JOIN coup k ON c.a = k.a AND c.b = k.b
 WHERE coalesce(c.cocitation, 0) >= 2 OR coalesce(k.coupling, 0) >= 2
 """,
 )
+
+
+# ---- time-respecting earliest arrival --------------------------------
+# temporal edge instances: the line-sequence digraph stamped with the
+# order's month index — every (src, dst, month) occurrence is kept
+# (repeat co-occurrences at later months are new traversal windows)
+_G_TEMPORAL_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+       CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS ts
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber < b.l_linenumber
+               AND a.l_partkey <> b.l_partkey
+JOIN orders o ON o.o_orderkey = a.l_orderkey
+"""
+
+_EA_ORACLE_ITERS = 40  # kernel converges in ≪ this on every test graph
+                       # (dense co-occurrence: temporal diameter ~ a few)
+
+
+def _q_earliest_arrival(spark, sf_dir):
+    """Earliest-arrival times from the 3 smallest source parts over the
+    month-stamped sequence digraph — time-respecting reachability (an
+    edge is traversable only at-or-after the walker's arrival), the
+    temporal-graph analogue of SSSP the snapshot replay ring can't
+    express. Oracled by a bounded per-level min-merge recursive CTE
+    (same dominance argument as the kernel's frontier restriction)."""
+    from ..operators.temporal import earliest_arrival
+
+    te = edges(spark, sf_dir, _G_TEMPORAL_SQL)
+    seeds = [
+        r.src for r in
+        te.select("src").distinct().orderBy("src").limit(3).collect()
+    ]
+    res = earliest_arrival(spark, te, seeds, num_partitions=8)
+    assert res.converged and res.supersteps < _EA_ORACLE_ITERS
+    return res.arrivals.select("id", "arrival")
+
+
+QUERIES["graph_earliest_arrival"] = (
+    _q_earliest_arrival,
+    f"""
+WITH RECURSIVE te AS ({_G_TEMPORAL_SQL})
+, seeds AS (SELECT DISTINCT src AS id FROM te ORDER BY id LIMIT 3)
+, ea(iter, id, t) AS (
+    SELECT 0, id, CAST(0 AS BIGINT) FROM seeds
+    UNION ALL
+    SELECT s.iter + 1, e.dst, min(e.ts)
+    FROM ea s JOIN te e ON e.src = s.id AND e.ts >= s.t
+    WHERE s.iter < {_EA_ORACLE_ITERS}
+    GROUP BY s.iter, e.dst
+)
+SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM ea GROUP BY id
+""",
+)
