@@ -483,3 +483,78 @@ WITH RECURSIVE te AS ({_G_TEMPORAL_SQL})
 SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM ea GROUP BY id
 """,
 )
+
+
+# ---- month-over-month edge churn -------------------------------------
+def _q_monthly_churn(spark, sf_dir):
+    """Snapshot churn of the temporal sequence digraph: for each pair of
+    consecutive observed months, the edge-set overlap (exact counts +
+    Jaccard) — the month-over-month drift report a temporal link graph
+    is monitored by (crawl-to-crawl link stability). The per-month edge
+    sets stay distributed; only the month-cardinality summary (≤ ~72
+    rows) passes through the ordering window, and the common-edge count
+    is one self-equi-join on (src, dst, next-month)."""
+    te = edges(spark, sf_dir, _G_TEMPORAL_SQL)
+    per_m = te.groupBy("ts").agg(F.count("*").alias("n_edges"))
+    w = Window.orderBy("ts")
+    pairs = per_m.select(
+        "ts",
+        "n_edges",
+        F.lead("ts").over(w).alias("ts2"),
+        F.lead("n_edges").over(w).alias("n_edges2"),
+    ).where(F.col("ts2").isNotNull())
+    nxt = pairs.select("ts", "ts2")
+    common = (
+        te.join(nxt, "ts")
+        .join(
+            te.select(
+                F.col("src"), F.col("dst"), F.col("ts").alias("ts2")
+            ),
+            ["src", "dst", "ts2"],
+        )
+        .groupBy("ts")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(common, "ts", "left")
+        .select(
+            "ts",
+            "ts2",
+            "n_edges",
+            "n_edges2",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("n_edges") + F.col("n_edges2") - F.coalesce("n_common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES["graph_monthly_churn"] = (
+    _q_monthly_churn,
+    f"""
+WITH te AS ({_G_TEMPORAL_SQL})
+, per_m AS (
+    SELECT ts, CAST(count(*) AS BIGINT) AS n_edges FROM te GROUP BY ts
+)
+, pairs AS (
+    SELECT ts, n_edges,
+           lead(ts) OVER (ORDER BY ts) AS ts2,
+           lead(n_edges) OVER (ORDER BY ts) AS n_edges2
+    FROM per_m QUALIFY ts2 IS NOT NULL
+)
+, common AS (
+    SELECT p.ts, CAST(count(*) AS BIGINT) AS n_common
+    FROM pairs p
+    JOIN te a ON a.ts = p.ts
+    JOIN te b ON b.ts = p.ts2 AND b.src = a.src AND b.dst = a.dst
+    GROUP BY p.ts
+)
+SELECT p.ts, p.ts2, p.n_edges, p.n_edges2,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(c.n_common, 0) AS DOUBLE)
+         / (p.n_edges + p.n_edges2 - coalesce(c.n_common, 0)) AS jaccard
+FROM pairs p LEFT JOIN common c ON c.ts = p.ts
+""",
+)
