@@ -456,13 +456,16 @@ def _q_earliest_arrival(spark, sf_dir):
     express. Oracled by a bounded per-level min-merge recursive CTE
     (same dominance argument as the kernel's frontier restriction)."""
     from ..operators.temporal import earliest_arrival
+    from ._common import graph_nparts
 
     te = edges(spark, sf_dir, _G_TEMPORAL_SQL)
     seeds = [
         r.src for r in
         te.select("src").distinct().orderBy("src").limit(3).collect()
     ]
-    res = earliest_arrival(spark, te, seeds, num_partitions=8)
+    res = earliest_arrival(
+        spark, te, seeds, num_partitions=graph_nparts(spark, sf_dir)
+    )
     assert res.converged and res.supersteps < _EA_ORACLE_ITERS
     return res.arrivals.select("id", "arrival")
 
