@@ -30,6 +30,7 @@ from . import (
     pipeline5,
     pipeline6,
     pipeline7,
+    pipeline8,
     relational,
 )
 
@@ -205,7 +206,7 @@ def all_queries():
     merged = {}
     for mod in (
         graphq, graphq2, metricsq, patternq, pipeline, pipeline2, pipeline3,
-        pipeline4, pipeline5, pipeline6, pipeline7, relational,
+        pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
