@@ -561,3 +561,54 @@ SELECT p.ts, p.ts2, p.n_edges, p.n_edges2,
 FROM pairs p LEFT JOIN common c ON c.ts = p.ts
 """,
 )
+
+
+# ---- SimRank (second iteration, seed pairs) ---------------------------
+def _q_simrank2(spark, sf_dir):
+    """Second-iteration SimRank for all pairs over the 8 top-in-degree
+    vertices of the line-sequence digraph — the recursive "referenced by
+    similar pages" measure, computed through the exact inner-product
+    factorization in operators/simrank.py (no neighborhood cross
+    product, no O(V^2) state)."""
+    from ..operators.simrank import simrank_pairs
+
+    return simrank_pairs(edges(spark, sf_dir, _G_SEQ_SQL), n_seeds=8)
+
+
+QUERIES["graph_simrank2"] = (
+    _q_simrank2,
+    f"""
+WITH g0 AS ({_G_SEQ_SQL})
+, e AS (SELECT DISTINCT src, dst FROM g0 WHERE src <> dst)
+, indeg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst)
+, seeds AS (SELECT id FROM indeg ORDER BY d DESC, id LIMIT 8)
+, ia AS (SELECT e.dst AS a, e.src AS u FROM e JOIN seeds s ON s.id = e.dst)
+, na AS (SELECT a, count(*) AS n FROM ia GROUP BY a)
+, wu AS (SELECT ia.a, ia.u, CAST(1 AS DOUBLE) / indeg.d AS inv_d
+         FROM ia JOIN indeg ON indeg.id = ia.u)
+, pr AS (SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS common
+         FROM ia x JOIN ia y ON x.u = y.u AND x.a < y.a GROUP BY 1, 2)
+, dg AS (SELECT x.a AS a, y.a AS b, sum(x.inv_d) AS diag
+         FROM wu x JOIN ia y ON x.u = y.u AND x.a < y.a GROUP BY 1, 2)
+, gt AS (SELECT w.a, e.src AS w, sum(w.inv_d) AS g
+         FROM wu w JOIN e ON e.dst = w.u GROUP BY 1, 2)
+, dt AS (SELECT x.a AS a, y.a AS b, sum(x.g * y.g) AS dot
+         FROM gt x JOIN gt y ON x.w = y.w AND x.a < y.a GROUP BY 1, 2)
+, ap AS (SELECT s1.id AS a, s2.id AS b FROM seeds s1 JOIN seeds s2 ON s1.id < s2.id)
+SELECT ap.a, ap.b,
+       CAST(xa.n AS BIGINT) AS na, CAST(xb.n AS BIGINT) AS nb,
+       CAST(coalesce(pr.common, 0) AS BIGINT) AS common,
+       round(CAST(0.8 AS DOUBLE) * coalesce(pr.common, 0) / (xa.n * xb.n), 6) AS s1,
+       round(CAST(0.8 AS DOUBLE) / (xa.n * xb.n)
+             * (coalesce(pr.common, 0)
+                + CAST(0.8 AS DOUBLE)
+                  * (coalesce(dt.dot, CAST(0 AS DOUBLE))
+                     - coalesce(dg.diag, CAST(0 AS DOUBLE)))), 6) AS s2
+FROM ap
+JOIN na xa ON xa.a = ap.a
+JOIN na xb ON xb.a = ap.b
+LEFT JOIN pr ON pr.a = ap.a AND pr.b = ap.b
+LEFT JOIN dg ON dg.a = ap.a AND dg.b = ap.b
+LEFT JOIN dt ON dt.a = ap.a AND dt.b = ap.b
+""",
+)
