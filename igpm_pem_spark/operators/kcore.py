@@ -194,3 +194,90 @@ def coreness_hindex(
     )
     result.stats = log.stats
     return result
+
+
+@dataclass
+class OnionResult:
+    layers: DataFrame  # (id, layer, onion_core) — layer >= 1, core at peel time
+    rounds: int
+    converged: bool
+    peeled_per_round: list[int] = field(default_factory=list)
+
+
+def onion_layers(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 500,
+    num_partitions: int | None = None,
+) -> OnionResult:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci. Rep.
+    6:31708, 2016): the layer index of the k-core peeling process, a
+    strict refinement of coreness that separates a core's periphery from
+    its center.
+
+    Bulk-synchronous peel: each round computes degrees over the
+    surviving subgraph, raises the running core threshold k to the
+    current minimum degree, and peels ALL vertices with degree <= k
+    simultaneously as one layer (the simultaneous rule NetworkX's
+    ``onion_layers`` also uses — tests pin parity). ``onion_core`` is
+    the threshold at peel time, i.e. exactly the vertex's core number,
+    so the result cross-checks against ``coreness_hindex`` for free.
+
+    Scale: identical round shape to ``k_core`` — one O(E_alive) degree
+    aggregation + semi-join shrink — plus one scalar min per round; the
+    alive set is tracked explicitly so vertices whose last neighbor was
+    peeled (degree 0) still receive a layer. Rounds = number of layers
+    (tens on real graphs; the sequential depth is the peeling process
+    itself, not an artifact)."""
+    if num_partitions is None:
+        num_partitions = kernel_nparts(edges)
+    e = (
+        simple_edges(edges, directed=False)
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    alive = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    peeled: list[int] = []
+    k = 0
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        deg = (
+            alive.join(
+                e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .persist()
+        )
+        row = deg.agg(F.min("deg").alias("m"), F.count("*").alias("n")).collect()[0]
+        if row["n"] == 0:
+            deg.unpersist()
+            converged = True
+            break
+        rounds += 1
+        k = max(k, int(row["m"]))
+        layer_df = deg.where(F.col("deg") <= k).select(
+            "id",
+            F.lit(rounds).cast("bigint").alias("layer"),
+            F.lit(k).cast("bigint").alias("onion_core"),
+        )
+        peeled.append(layer_df.count())
+        out = layer_df if out is None else out.unionByName(layer_df)
+        out = out.localCheckpoint(eager=False)
+        alive = (
+            deg.where(F.col("deg") > k).select("id").localCheckpoint(eager=True)
+        )
+        deg.unpersist()
+        e = (
+            e.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    if out is None:
+        out = spark.createDataFrame([], "id BIGINT, layer BIGINT, onion_core BIGINT")
+    return OnionResult(out, rounds, converged, peeled)

@@ -1280,3 +1280,65 @@ QUERIES["graph_halo_2hop"] = (
     _q_halo_2hop,
     _with_g(_HALO_2HOP_TAIL, G_SPARSE_SQL),
 )
+
+
+# ---- onion decomposition (peel-layer index) ---------------------------
+ONION_ORACLE_ROUNDS = 24
+
+
+def _q_onion(spark, sf_dir):
+    """Onion decomposition of the sparse graph: peel-layer index plus
+    the core threshold at peel time (== coreness, cross-checked in
+    tests). Bulk-synchronous peeling — operators/kcore.py::onion_layers."""
+    from ..operators.kcore import onion_layers
+
+    res = onion_layers(
+        spark, edges(spark, sf_dir, G_SPARSE_SQL),
+        num_partitions=graph_nparts(spark, sf_dir),
+    )
+    if not (res.converged and res.rounds <= ONION_ORACLE_ROUNDS):
+        raise RuntimeError(
+            f"onion peeling took {res.rounds} rounds (converged="
+            f"{res.converged}); raise ONION_ORACLE_ROUNDS past "
+            f"{ONION_ORACLE_ROUNDS} to keep the unrolled oracle valid"
+        )
+    return res.layers
+
+
+def _onion_round(r: int) -> str:
+    # MATERIALIZED per round: the alive/edge CTEs are each referenced
+    # multiple times per round (coreness-oracle pattern)
+    p = r - 1
+    return f"""
+, d{r} AS MATERIALIZED (
+    SELECT a.id, CAST(count(s.src) AS BIGINT) AS deg
+    FROM a{p} a LEFT JOIN s{p} s ON s.src = a.id GROUP BY a.id)
+, k{r} AS MATERIALIZED (
+    SELECT greatest((SELECT k FROM k{p}),
+                    coalesce((SELECT min(deg) FROM d{r}), CAST(0 AS BIGINT))) AS k)
+, p{r} AS MATERIALIZED (
+    SELECT id, CAST({r} AS BIGINT) AS layer,
+           (SELECT k FROM k{r}) AS onion_core
+    FROM d{r} WHERE deg <= (SELECT k FROM k{r}))
+, a{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg > (SELECT k FROM k{r}))
+, s{r} AS MATERIALIZED (
+    SELECT s.src, s.dst FROM s{p} s
+    JOIN a{r} x ON x.id = s.src JOIN a{r} y ON y.id = s.dst)
+"""
+
+
+QUERIES["graph_onion"] = (
+    _q_onion,
+    _with_g(
+        ", a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"
+        ", s0 AS MATERIALIZED (SELECT src, dst FROM sym)"
+        ", k0 AS (SELECT CAST(0 AS BIGINT) AS k)"
+        + "".join(_onion_round(r) for r in range(1, ONION_ORACLE_ROUNDS + 1))
+        + "SELECT id, layer, onion_core FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM p{r}" for r in range(1, ONION_ORACLE_ROUNDS + 1)
+        )
+        + ")",
+        G_SPARSE_SQL,
+    ),
+)
