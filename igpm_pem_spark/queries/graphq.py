@@ -1342,3 +1342,81 @@ QUERIES["graph_onion"] = (
         G_SPARSE_SQL,
     ),
 )
+
+
+# ---- two-sweep diameter lower bound -----------------------------------
+_SWEEP_ORACLE_ITERS = 32
+
+
+def _q_diameter_2sweep(spark, sf_dir):
+    """Double-BFS diameter lower bound (the 2-sweep of iFUB, Crescenzi
+    et al. TCS'13): BFS from the max-degree vertex, then BFS from the
+    farthest vertex found; that second eccentricity lower-bounds the
+    true diameter and is exact on many real topologies. Two runs of the
+    unweighted SSSP kernel + two scalar argmax probes — the whole-graph
+    analogue the ANF effective-diameter estimate is sanity-checked by."""
+    from ..operators.sssp import sssp
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL).withColumn("w", F.lit(1.0))
+    seed_row = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("id")).limit(1).collect()[0]
+    )
+    seed = int(seed_row["id"])
+    b1 = sssp(spark, e, seed, directed=False,
+              num_partitions=graph_nparts(spark, sf_dir))
+    assert b1.converged and b1.supersteps <= _SWEEP_ORACLE_ITERS
+    far_row = (
+        b1.distances.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    )
+    far, ecc_seed = int(far_row["id"]), int(far_row["dist"])
+    n_reach = b1.distances.count()
+    b2 = sssp(spark, e, far, directed=False,
+              num_partitions=graph_nparts(spark, sf_dir))
+    assert b2.converged and b2.supersteps <= _SWEEP_ORACLE_ITERS
+    return b2.distances.agg(
+        F.lit(seed).cast("bigint").alias("seed"),
+        F.lit(ecc_seed).cast("bigint").alias("ecc_seed"),
+        F.lit(far).cast("bigint").alias("far"),
+        F.max(F.col("dist").cast("bigint")).alias("diameter_lb"),
+        F.lit(n_reach).cast("bigint").alias("n_reach"),
+    )
+
+
+def _bfs_cte(name: str, src_sql: str, iters: int) -> str:
+    """Bounded min-merge BFS levels from a scalar-subquery source —
+    the graph_earliest_arrival dominance pattern on the static graph."""
+    return f"""
+, {name}(iter, id, d) AS (
+    SELECT 0, ({src_sql}), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT s.iter + 1, e.dst, min(s.d + 1)
+    FROM {name} s JOIN sym e ON e.src = s.id
+    WHERE s.iter < {iters}
+    GROUP BY s.iter, e.dst
+)
+, {name}_d AS (SELECT id, min(d) AS d FROM {name} GROUP BY id)
+"""
+
+
+QUERIES["graph_diameter_2sweep"] = (
+    _q_diameter_2sweep,
+    _with_g(
+        ", deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)"
+        ", seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1)"
+        + _bfs_cte("b1", "SELECT id FROM seed", _SWEEP_ORACLE_ITERS)
+        + ", far AS (SELECT id, d FROM b1_d ORDER BY d DESC, id LIMIT 1)"
+        + _bfs_cte("b2", "SELECT id FROM far", _SWEEP_ORACLE_ITERS)
+        + """
+SELECT (SELECT id FROM seed) AS seed,
+       (SELECT d FROM far) AS ecc_seed,
+       (SELECT id FROM far) AS far,
+       (SELECT max(d) FROM b2_d) AS diameter_lb,
+       (SELECT CAST(count(*) AS BIGINT) FROM b1_d) AS n_reach
+""",
+        G_SPARSE_SQL,
+        recursive=True,
+    ),
+)
