@@ -46,3 +46,159 @@ SELECT lang, doc_id, n_tok, bin, fill FROM pack
 QUERIES = {
     "doc_seq_packing": (_q_seq_packing, _PACK_SQL),
 }
+
+
+# ------------------------------------------ random-failure robustness
+_FAIL_SHARE = 0.2  # fraction of vertices removed by portable hash
+_FAIL_CUT = int(_FAIL_SHARE * 1_000_000)
+_FAIL_CC_ITERS = 50
+
+
+def _q_robustness_random(spark, sf_dir):
+    """Random-failure robustness: remove a deterministic 20% hash sample
+    of vertices (portable md5 bucket, the split_by_hash construction)
+    from the sparse graph, re-run hash-min CC, report the same
+    (n_vertices, n_components, giant_size, giant_share6) row as
+    graph_robustness_hubs — the classic scale-free contrast: random
+    failure barely dents the giant component that targeted hub removal
+    shatters. Removal is a row-local filter (no degree pass, no
+    broadcast); CC runs only on surviving edges."""
+    from pyspark.sql import functions as F
+
+    from ..operators.components import component_sizes, connected_components
+    from ..operators.sampling import SPLIT_BUCKETS, split_bucket
+    from ._common import G_SPARSE_SQL, edges, graph_nparts
+
+    assert SPLIT_BUCKETS == 1_000_000
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    keep_src = split_bucket(F.col("src"), "fail") >= _FAIL_CUT
+    keep_dst = split_bucket(F.col("dst"), "fail") >= _FAIL_CUT
+    e2 = e.where(keep_src & keep_dst)
+    res = connected_components(
+        spark, e2, num_partitions=graph_nparts(spark, sf_dir)
+    )
+    sizes = component_sizes(res.components)
+    return (
+        sizes.agg(
+            F.sum("size").alias("_nv"),
+            F.count("*").alias("n_components"),
+            F.max("size").alias("giant_size"),
+        )
+        .select(
+            F.col("_nv").cast("bigint").alias("n_vertices"),
+            "n_components",
+            "giant_size",
+            F.round(
+                F.col("giant_size").cast("double") / F.col("_nv").cast("double"), 6
+            ).alias("giant_share6"),
+        )
+    )
+
+
+def _fail_random_sql() -> str:
+    from ..operators.sampling import split_bucket_sql
+    from ._common import G_SPARSE_SQL, SYM_SQL
+
+    bs = split_bucket_sql("src", "fail")
+    bd = split_bucket_sql("dst", "fail")
+    return f"""
+WITH RECURSIVE g0 AS ({G_SPARSE_SQL})
+, g AS (SELECT src, dst FROM g0 WHERE {bs} >= {_FAIL_CUT} AND {bd} >= {_FAIL_CUT})
+, sym AS ({SYM_SQL})
+, verts AS (SELECT DISTINCT src AS id FROM sym)
+, ep AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM verts)
+, cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.dst, min(c.comp)
+    FROM cc c JOIN ep e ON e.src = c.id
+    WHERE c.iter < {_FAIL_CC_ITERS}
+    GROUP BY c.iter, e.dst
+)
+, canon AS (SELECT id, comp FROM cc WHERE iter = {_FAIL_CC_ITERS})
+, sizes AS (SELECT comp, count(*) AS size FROM canon GROUP BY comp)
+SELECT CAST(sum(size) AS BIGINT) AS n_vertices,
+       count(*) AS n_components,
+       CAST(max(size) AS BIGINT) AS giant_size,
+       round(CAST(max(size) AS DOUBLE) / CAST(sum(size) AS DOUBLE), 6) AS giant_share6
+FROM sizes
+"""
+
+
+QUERIES["graph_robustness_random"] = (_q_robustness_random, _fail_random_sql())
+
+
+# ------------------------------------------ PMI word associations
+_PMI_TOP_TOKENS = 100
+_PMI_MIN_SUPPORT = 5
+_PMI_TOP_PAIRS = 20
+
+
+def _q_pmi_top(spark, sf_dir):
+    """Top word associations by pointwise mutual information: PMI of
+    token pairs over document co-occurrence, restricted to the 100 most
+    frequent tokens — the restriction that bounds the per-doc pair
+    expansion to a constant at corpus scale (the unrestricted pair join
+    is quadratic in per-doc vocabulary). Exact integer counts, ONE
+    division inside the log, rounded-before-rank so both engines order
+    identically."""
+    from pyspark.sql import functions as F
+
+    from ._common import docs
+
+    d = docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != F.lit(""))
+            )
+        ).alias("token"),
+    )
+    dfs = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    top = dfs.orderBy(F.desc("df"), F.asc("token")).limit(_PMI_TOP_TOKENS)
+    tt = toks.join(F.broadcast(top), "token")
+    a = tt.select("doc_id", F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    b = tt.select("doc_id", F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    pr = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+    )
+    pmi6 = F.round(
+        F.log((F.col("n_ab") * F.lit(n_docs)) / (F.col("df_a") * F.col("df_b"))), 6
+    ).alias("pmi6")
+    return (
+        pr.select("tok_a", "tok_b", "n_ab", "df_a", "df_b", pmi6)
+        .orderBy(F.desc("pmi6"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(_PMI_TOP_PAIRS)
+    )
+
+
+_PMI_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS token
+  FROM documents
+), dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY token)
+, top AS (SELECT token, df FROM dfs ORDER BY df DESC, token LIMIT {_PMI_TOP_TOKENS})
+, tt AS (SELECT t.doc_id, t.token, top.df FROM t JOIN top USING (token))
+, pr AS (
+    SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a, b.df AS df_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2, 3, 4
+)
+SELECT tok_a, tok_b, n_ab, df_a, df_b,
+       round(ln((n_ab * (SELECT CAST(count(*) AS BIGINT) FROM documents))
+                / (df_a * df_b)), 6) AS pmi6
+FROM pr WHERE n_ab >= {_PMI_MIN_SUPPORT}
+ORDER BY pmi6 DESC, tok_a, tok_b LIMIT {_PMI_TOP_PAIRS}
+"""
+
+
+QUERIES["doc_pmi_top"] = (_q_pmi_top, _PMI_SQL)

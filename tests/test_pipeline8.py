@@ -1,0 +1,67 @@
+"""pipeline8 query semantics pinned against pure-python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import networkx as nx
+
+from igpm_pem_spark.queries._common import G_SPARSE_SQL, edges
+from igpm_pem_spark.queries.pipeline8 import (
+    _FAIL_CUT,
+    _PMI_MIN_SUPPORT,
+    _PMI_TOP_PAIRS,
+    _q_pmi_top,
+    _q_robustness_random,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bucket(v: int, salt: str = "fail") -> int:
+    return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+def test_robustness_random_vs_networkx(spark):
+    row = _q_robustness_random(spark, SF).collect()[0]
+    e = edges(spark, SF, G_SPARSE_SQL).collect()
+    g = nx.Graph()
+    for r in e:
+        if _bucket(r["src"]) >= _FAIL_CUT and _bucket(r["dst"]) >= _FAIL_CUT:
+            g.add_edge(r["src"], r["dst"])
+    comps = sorted((len(c) for c in nx.connected_components(g)), reverse=True)
+    assert row["n_vertices"] == sum(comps)
+    assert row["n_components"] == len(comps)
+    assert row["giant_size"] == comps[0]
+    assert abs(row["giant_share6"] - round(comps[0] / sum(comps), 6)) < 2e-6
+
+
+def test_pmi_vs_pure_python(spark):
+    got = _q_pmi_top(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n = len(docs)
+    per_doc = [set(t for t in d["text"].lower().split(" ") if t) for d in docs]
+    df: dict[str, int] = {}
+    for s in per_doc:
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    top = set(sorted(df, key=lambda t: (-df[t], t))[:100])
+    co: dict[tuple, int] = {}
+    for s in per_doc:
+        keep = sorted(s & top)
+        for i, a in enumerate(keep):
+            for b in keep[i + 1:]:
+                co[(a, b)] = co.get((a, b), 0) + 1
+    cand = [
+        (round(math.log((c * n) / (df[a] * df[b])), 6), a, b, c)
+        for (a, b), c in co.items()
+        if c >= _PMI_MIN_SUPPORT
+    ]
+    cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = cand[:_PMI_TOP_PAIRS]
+    assert len(got) == len(want)
+    for r, (pmi, a, b, c) in zip(got, want):
+        assert (r["tok_a"], r["tok_b"], r["n_ab"]) == (a, b, c)
+        assert abs(r["pmi6"] - pmi) < 2e-6
+        assert r["df_a"] == df[a] and r["df_b"] == df[b]
