@@ -1420,3 +1420,95 @@ SELECT (SELECT id FROM seed) AS seed,
         recursive=True,
     ),
 )
+
+
+# ---- per-community conductance over the LPA partition ------------------
+_COND_TOP = 10
+
+
+def _q_conductance_lpa(spark, sf_dir):
+    """Conductance of the 10 largest 3-round-LPA communities on the dense
+    co-occurrence graph: phi(C) = cut(C) / min(vol(C), 2m - vol(C)) —
+    the community-quality metric modularity doesn't see (a community can
+    score well on Q yet leak badly at its boundary). Exact integer
+    cut/volume counts, one guarded division, rounded for cross-engine
+    rank; boundary accounting is one labeled-edge pass (each crossing
+    edge charges both sides)."""
+    from ..operators.graph import symmetrize
+    from ..operators.labelprop import label_propagation
+
+    e = edges(spark, sf_dir)
+    m = e.count()
+    lab = label_propagation(
+        spark, e, max_iter=3, num_partitions=graph_nparts(spark, sf_dir)
+    ).labels
+    el = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("label").alias("la")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("lb")), "dst")
+    )
+    cut = (
+        el.where(F.col("la") != F.col("lb"))
+        .select(F.explode(F.array("la", "lb")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("cut"))
+    )
+    deg = symmetrize(e).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("d").cast("bigint").alias("vol"))
+    )
+    size = lab.groupBy("label").agg(F.count("*").cast("bigint").alias("size"))
+    den = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
+    phi6 = F.when(den <= 0, F.lit(0.0)).otherwise(
+        F.round(F.col("cut").cast("double") / den, 6)
+    )
+    return (
+        size.join(vol, "label")
+        .join(cut, "label", "left")
+        .select(
+            "label", "size", "vol",
+            F.coalesce("cut", F.lit(0)).cast("bigint").alias("cut"),
+            phi6.alias("phi6"),
+        )
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(_COND_TOP)
+    )
+
+
+QUERIES["graph_conductance_lpa"] = (
+    _q_conductance_lpa,
+    _with_g(
+        ", l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"
+        + _LPA_ROUND.format(k=1, p=0)
+        + _LPA_ROUND.format(k=2, p=1)
+        + _LPA_ROUND.format(k=3, p=2)
+        + f"""
+, m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g)
+, el AS (
+    SELECT la.label AS la, lb.label AS lb
+    FROM g e JOIN l3 la ON la.id = e.src JOIN l3 lb ON lb.id = e.dst
+)
+, cut AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS cut
+    FROM (SELECT unnest([la, lb]) AS label FROM el WHERE la <> lb)
+    GROUP BY label
+)
+, deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+, vol AS (
+    SELECT l.label, CAST(sum(d.d) AS BIGINT) AS vol
+    FROM deg d JOIN l3 l ON l.id = d.id GROUP BY l.label
+)
+, sz AS (SELECT label, CAST(count(*) AS BIGINT) AS size FROM l3 GROUP BY label)
+SELECT sz.label, sz.size, vol.vol,
+       CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN least(vol.vol, 2 * (SELECT m FROM m) - vol.vol) <= 0 THEN 0.0
+            ELSE round(CAST(coalesce(cut.cut, 0) AS DOUBLE)
+                       / least(vol.vol, 2 * (SELECT m FROM m) - vol.vol), 6)
+       END AS phi6
+FROM sz JOIN vol ON vol.label = sz.label
+LEFT JOIN cut ON cut.label = sz.label
+ORDER BY sz.size DESC, sz.label LIMIT {_COND_TOP}
+"""
+    ),
+)

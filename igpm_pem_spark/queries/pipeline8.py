@@ -202,3 +202,89 @@ ORDER BY pmi6 DESC, tok_a, tok_b LIMIT {_PMI_TOP_PAIRS}
 
 
 QUERIES["doc_pmi_top"] = (_q_pmi_top, _PMI_SQL)
+
+
+# ------------------------------------------ Heaps-law vocabulary growth
+_VOCAB_DECILES = 10
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law audit): cumulative distinct
+    vocabulary vs cumulative token volume after each corpus decile (by
+    doc id). All-integer outputs: per-token first-seen doc is one
+    min-aggregate, deciles are a row-local expression off one max scalar,
+    and the cumulative window runs over exactly 10 rows — the shape that
+    holds at any corpus size (the per-token state is the vocabulary
+    table a tokenizer-training run keeps anyway)."""
+    from pyspark.sql import Window, functions as F
+
+    from ._common import docs
+
+    d = docs(spark, sf_dir)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    n = int(max_id) + 1
+    dec = lambda c: F.least(
+        F.floor(c * _VOCAB_DECILES / F.lit(n)), F.lit(_VOCAB_DECILES - 1)
+    ).cast("bigint")
+    toks = d.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != F.lit(""))
+        ).alias("token"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    per_tok = (
+        toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+        .select(dec(F.col("first_doc")).alias("decile"))
+        .groupBy("decile").agg(F.count("*").alias("new_vocab"))
+    )
+    per_dec = (
+        toks.select(dec(F.col("doc_id")).alias("decile"))
+        .groupBy("decile").agg(F.count("*").alias("toks"))
+        .join(per_tok, "decile", "left")
+        .join(
+            d.select(dec(F.col("doc_id")).alias("decile"))
+            .groupBy("decile").agg(F.count("*").alias("n_docs")),
+            "decile",
+        )
+    )
+    return per_dec.select(
+        "decile",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+        F.sum("toks").over(w).cast("bigint").alias("tokens_cum"),
+        F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).cast("bigint").alias("vocab_cum"),
+    )
+
+
+_VOCAB_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(least(floor(doc_id * {_VOCAB_DECILES}
+                          / (SELECT max(doc_id) + 1 FROM documents)),
+                    {_VOCAB_DECILES - 1}) AS BIGINT) AS decile,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), toks AS (SELECT doc_id, decile, unnest(l) AS token FROM d)
+, pt AS (
+    SELECT token, min(decile) AS decile FROM (
+      SELECT token,
+             CAST(least(floor(first_doc * {_VOCAB_DECILES}
+                              / (SELECT max(doc_id) + 1 FROM documents)),
+                        {_VOCAB_DECILES - 1}) AS BIGINT) AS decile
+      FROM (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token)
+    ) GROUP BY token
+)
+, nv AS (SELECT decile, count(*) AS new_vocab FROM pt GROUP BY decile)
+, td AS (SELECT decile, count(*) AS toks FROM toks GROUP BY decile)
+, nd AS (SELECT decile, count(*) AS n_docs FROM d GROUP BY decile)
+SELECT nd.decile,
+       CAST(sum(nd.n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(sum(td.toks) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(coalesce(nv.new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM nd JOIN td ON td.decile = nd.decile
+LEFT JOIN nv ON nv.decile = nd.decile
+WINDOW w AS (ORDER BY nd.decile ROWS UNBOUNDED PRECEDING)
+"""
+
+
+QUERIES["doc_vocab_growth"] = (_q_vocab_growth, _VOCAB_SQL)

@@ -65,3 +65,65 @@ def test_pmi_vs_pure_python(spark):
         assert (r["tok_a"], r["tok_b"], r["n_ab"]) == (a, b, c)
         assert abs(r["pmi6"] - pmi) < 2e-6
         assert r["df_a"] == df[a] and r["df_b"] == df[b]
+
+
+def test_vocab_growth_vs_pure_python(spark):
+    from igpm_pem_spark.queries.pipeline8 import _q_vocab_growth
+
+    got = {r["decile"]: r for r in _q_vocab_growth(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n = max(d["doc_id"] for d in docs) + 1
+    dec = lambda i: min(i * 10 // n, 9)
+    seen: set = set()
+    docs_c = toks_c = 0
+    want = {}
+    for k in range(10):
+        for d in sorted(docs, key=lambda r: r["doc_id"]):
+            if dec(d["doc_id"]) == k:
+                toks = [t for t in d["text"].lower().split(" ") if t]
+                docs_c += 1
+                toks_c += len(toks)
+                seen.update(toks)
+        want[k] = (docs_c, toks_c, len(seen))
+    for k in range(10):
+        r = got[k]
+        assert (r["docs_cum"], r["tokens_cum"], r["vocab_cum"]) == want[k]
+    # Heaps: vocabulary grows monotonically and sublinearly vs tokens
+    assert all(got[k]["vocab_cum"] <= got[k + 1]["vocab_cum"] for k in range(9))
+
+
+def test_conductance_arithmetic_from_labels(spark):
+    from igpm_pem_spark.queries._common import graph_nparts
+    from igpm_pem_spark.queries.graphq import _q_conductance_lpa
+    from igpm_pem_spark.operators.labelprop import label_propagation
+
+    got = {r["label"]: r for r in _q_conductance_lpa(spark, SF).collect()}
+    e = [(r["src"], r["dst"]) for r in edges(spark, SF).collect()]
+    lab = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            spark, edges(spark, SF), max_iter=3,
+            num_partitions=graph_nparts(spark, SF),
+        ).labels.collect()
+    }
+    m = len(e)
+    vol: dict = {}
+    cut: dict = {}
+    size: dict = {}
+    for v, l in lab.items():
+        size[l] = size.get(l, 0) + 1
+    for a, b in e:
+        vol[lab[a]] = vol.get(lab[a], 0) + 1
+        vol[lab[b]] = vol.get(lab[b], 0) + 1
+        if lab[a] != lab[b]:
+            cut[lab[a]] = cut.get(lab[a], 0) + 1
+            cut[lab[b]] = cut.get(lab[b], 0) + 1
+    top = sorted(size, key=lambda l: (-size[l], l))[:10]
+    assert set(got) == set(top)
+    for l in top:
+        r = got[l]
+        assert r["size"] == size[l] and r["vol"] == vol.get(l, 0)
+        assert r["cut"] == cut.get(l, 0)
+        den = min(vol[l], 2 * m - vol[l])
+        want = 0.0 if den <= 0 else round(cut.get(l, 0) / den, 6)
+        assert abs(r["phi6"] - want) < 2e-6
