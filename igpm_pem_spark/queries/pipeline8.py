@@ -288,3 +288,144 @@ WINDOW w AS (ORDER BY nd.decile ROWS UNBOUNDED PRECEDING)
 
 
 QUERIES["doc_vocab_growth"] = (_q_vocab_growth, _VOCAB_SQL)
+
+
+# ------------------------------------------ dimension-truncation recall
+_TRUNC_DIMS = 32
+_TRUNC_K = 10
+_TRUNC_QUERY_MOD = 25
+
+
+def _q_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka-style audit: for each query vector, the overlap between
+    its exact top-10 cosine neighbors under the full 64 dims and under
+    the first 32 dims — the measurement that decides whether truncated
+    embeddings are safe for coarse retrieval. Query side is a fixed
+    hash-free subset (vec_id % 25), so the scan is seeds × corpus
+    (linear, broadcastable), never corpus²."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine_topk
+    from ._common import emb
+
+    e = emb(spark, sf_dir)
+    full = cosine_topk(e, k=_TRUNC_K, query_mod=_TRUNC_QUERY_MOD)
+    tr = cosine_topk(
+        e.select(
+            "vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("embedding")
+        ),
+        k=_TRUNC_K,
+        query_mod=_TRUNC_QUERY_MOD,
+    )
+    hits = (
+        full.join(tr, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double") / _TRUNC_K, 6
+            ).alias("recall6"),
+        )
+    )
+
+
+_TRUNC_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e1
+  FROM embeddings WHERE vec_id % {_TRUNC_QUERY_MOD} = 0
+), full_top AS (
+  SELECT query_id, c.vec_id AS neighbor_id
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_cosine_similarity(q.e1, c.embedding::DOUBLE[]), 4) DESC,
+             c.vec_id ASC) <= {_TRUNC_K}
+), tr_top AS (
+  SELECT query_id, c.vec_id AS neighbor_id
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_cosine_similarity(
+               q.e1[1:{_TRUNC_DIMS}],
+               (c.embedding::DOUBLE[])[1:{_TRUNC_DIMS}]), 4) DESC,
+             c.vec_id ASC) <= {_TRUNC_K}
+), hits AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM full_top f JOIN tr_top t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+       round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / {_TRUNC_K}, 6) AS recall6
+FROM (SELECT DISTINCT query_id FROM full_top) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+QUERIES["emb_dim_truncation_recall"] = (_q_dim_truncation_recall, _TRUNC_SQL)
+
+
+# ------------------------------------------ daily event-count anomaly
+_ANOM_TOP = 5
+
+
+def _q_daily_anomaly(spark, sf_dir):
+    """Daily event-count anomalies: population z-score of each day's
+    event count, computed in EXACT integer sums — z = (n·N − Sx) /
+    sqrt(N·Sxx − Sx²), one division and one sqrt over exact bigint
+    terms, so the double is bit-identical cross-engine (no stddev_pop
+    library variance). Top 5 days by |z|. The daily table is
+    day-cardinality; the global sums are one tiny aggregate."""
+    from pyspark.sql import functions as F
+
+    from ._common import register
+
+    register(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"),
+    )
+    z = (
+        (F.col("n") * F.col("nn") - F.col("sx")).cast("double")
+        / F.sqrt((F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(F.col("day").cast("string").alias("day"), "n", F.round(z, 6).alias("z6"))
+        .orderBy(F.abs(F.col("z6")).desc(), F.asc("day"))
+        .limit(_ANOM_TOP)
+    )
+
+
+_ANOM_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day, n,
+       round(CAST(n * st.nn - st.sx AS DOUBLE)
+             / sqrt(CAST(st.nn * st.sxx - st.sx * st.sx AS DOUBLE)), 6) AS z6
+FROM daily, st
+ORDER BY abs(z6) DESC, day ASC LIMIT {_ANOM_TOP}
+"""
+
+
+QUERIES["rel_daily_anomaly"] = (_q_daily_anomaly, _ANOM_SQL)

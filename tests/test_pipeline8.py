@@ -127,3 +127,41 @@ def test_conductance_arithmetic_from_labels(spark):
         den = min(vol[l], 2 * m - vol[l])
         want = 0.0 if den <= 0 else round(cut.get(l, 0) / den, 6)
         assert abs(r["phi6"] - want) < 2e-6
+
+
+def test_dim_truncation_recall_bounds_and_self(spark):
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.operators.similarity import cosine_topk
+    from igpm_pem_spark.queries.pipeline8 import _q_dim_truncation_recall
+
+    rows = _q_dim_truncation_recall(spark, SF).collect()
+    assert rows and all(0 <= r["n_common"] <= 10 for r in rows)
+    for r in rows:
+        assert abs(r["recall6"] - round(r["n_common"] / 10, 6)) < 1e-9
+    # degenerate truncation (all 64 dims) must be identical to full
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = cosine_topk(e, k=10, query_mod=25)
+    tr = cosine_topk(
+        e.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+        k=10, query_mod=25,
+    )
+    assert full.exceptAll(tr).count() == 0 and tr.exceptAll(full).count() == 0
+
+
+def test_daily_anomaly_vs_pure_python(spark):
+    import math
+    from collections import Counter
+
+    from igpm_pem_spark.queries.pipeline8 import _q_daily_anomaly
+
+    got = _q_daily_anomaly(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    daily = Counter(str(r["ts"].date()) for r in ev)
+    nn = len(daily)
+    sx = sum(daily.values())
+    sxx = sum(v * v for v in daily.values())
+    z = {d: round((v * nn - sx) / math.sqrt(nn * sxx - sx * sx), 6) for d, v in daily.items()}
+    want = sorted(z.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    assert [(r["day"], r["z6"]) for r in got] == want
+    assert all(r["n"] == daily[r["day"]] for r in got)
