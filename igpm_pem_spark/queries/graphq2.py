@@ -612,3 +612,100 @@ LEFT JOIN dg ON dg.a = ap.a AND dg.b = ap.b
 LEFT JOIN dt ON dt.a = ap.a AND dt.b = ap.b
 """,
 )
+
+
+# ---- minimum spanning forest (Borůvka) --------------------------------
+# weighted sparse co-occurrence graph: w = number of shared orders
+_G_SPARSE_W_SQL = """
+SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.l_orderkey % 50 = 0
+GROUP BY 1, 2
+"""
+
+_MSF_CC_ITERS = 50
+
+
+def _q_msf(spark, sf_dir):
+    """Per-component minimum-spanning-forest summary of the weighted
+    sparse graph: component (min vertex id), vertex count, forest edge
+    count (= n-1), and total forest weight — tie-independent because
+    every MSF shares the same weight multiset. Borůvka rounds
+    (operators/msf.py); the oracle recovers the same totals through the
+    percolation identity Σ w_i (c_{i-1} - c_i) over the dataset's two
+    weight levels, so the Spark side guards that precondition."""
+    from pyspark.sql import functions as F
+
+    from ..operators.msf import minimum_spanning_forest
+    from ._common import graph_nparts
+
+    e = edges(spark, sf_dir, _G_SPARSE_W_SQL)
+    mx = e.agg(F.max("w")).collect()[0][0]
+    if mx > 2:
+        raise RuntimeError(
+            f"graph_msf oracle assumes weight levels {{1,2}}; found max w={mx} "
+            "— extend the oracle's percolation levels"
+        )
+    res = minimum_spanning_forest(
+        spark, e, num_partitions=graph_nparts(spark, sf_dir)
+    )
+    assert res.converged
+    sizes = res.components.groupBy("comp").agg(
+        F.count("*").cast("bigint").alias("n_vertices")
+    )
+    fe = (
+        res.forest.join(
+            res.components.withColumnRenamed("id", "a"), "a"
+        )
+        .groupBy("comp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum("w").cast("bigint").alias("total_weight"),
+        )
+    )
+    return sizes.join(fe, "comp").select(
+        "comp", "n_vertices", "n_edges", "total_weight"
+    )
+
+
+QUERIES["graph_msf"] = (
+    _q_msf,
+    f"""
+WITH RECURSIVE g AS ({_G_SPARSE_W_SQL})
+, sym AS (SELECT src AS u, dst AS v, w FROM g
+          UNION ALL SELECT dst, src, w FROM g)
+, verts AS (SELECT DISTINCT u AS id FROM sym)
+, ep AS (SELECT u, v FROM sym UNION ALL SELECT id, id FROM verts)
+, cc(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.v, min(c.comp)
+    FROM cc c JOIN ep e ON e.u = c.id
+    WHERE c.iter < {_MSF_CC_ITERS}
+    GROUP BY c.iter, e.v
+)
+, canon AS (SELECT id, comp FROM cc WHERE iter = {_MSF_CC_ITERS})
+, ep1 AS (SELECT u, v FROM sym WHERE w = 1
+          UNION ALL SELECT id, id FROM verts)
+, cc1(iter, id, comp) AS (
+    SELECT 0, id, id FROM verts
+    UNION ALL
+    SELECT c.iter + 1, e.v, min(c.comp)
+    FROM cc1 c JOIN ep1 e ON e.u = c.id
+    WHERE c.iter < {_MSF_CC_ITERS}
+    GROUP BY c.iter, e.v
+)
+, canon1 AS (SELECT id, comp AS comp1 FROM cc1 WHERE iter = {_MSF_CC_ITERS})
+, per AS (
+    SELECT c.comp, CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(count(DISTINCT c1.comp1) AS BIGINT) AS c1
+    FROM canon c JOIN canon1 c1 ON c1.id = c.id
+    GROUP BY c.comp
+)
+SELECT comp, n_vertices,
+       n_vertices - 1 AS n_edges,
+       n_vertices + c1 - 2 AS total_weight
+FROM per
+""",
+)
