@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
     tn = kernel_parser("trussness", "full truss decomposition (local h-index)")
     tn.add_argument("--checkpoint-dir")
 
+    on = kernel_parser("onion", "onion decomposition (peel-layer index)")
+    on.add_argument("--checkpoint-dir")
+
+    mf = kernel_parser("msf", "Boruvka minimum spanning forest")
+    mf.add_argument("--weight-col", default="w")
+    mf.add_argument("--checkpoint-dir")
+
     kernel_parser("triangles", "exact triangle count (adaptive plan)")
 
     mt = kernel_parser("matching", "handshake maximal matching")
@@ -190,6 +197,25 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
         )
         _emit(res.trussness, args.output)
+        print(f"rounds={res.rounds} converged={res.converged}", file=sys.stderr)
+    elif args.cmd == "onion":
+        from igpm_pem_spark.operators.kcore import onion_layers
+
+        res = onion_layers(
+            spark, edges, num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        _emit(res.layers, args.output)
+        print(f"rounds={res.rounds} converged={res.converged}", file=sys.stderr)
+    elif args.cmd == "msf":
+        from igpm_pem_spark.operators.msf import minimum_spanning_forest
+
+        res = minimum_spanning_forest(
+            spark, edges, weight_col=args.weight_col,
+            num_partitions=args.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        _emit(res.forest, args.output)
         print(f"rounds={res.rounds} converged={res.converged}", file=sys.stderr)
     elif args.cmd == "triangles":
         from igpm_pem_spark.operators.triangles import triangle_count

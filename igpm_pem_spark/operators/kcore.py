@@ -202,6 +202,7 @@ class OnionResult:
     rounds: int
     converged: bool
     peeled_per_round: list[int] = field(default_factory=list)
+    resumed_from: int | None = None
 
 
 def onion_layers(
@@ -210,6 +211,8 @@ def onion_layers(
     *,
     max_rounds: int = 500,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> OnionResult:
     """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci. Rep.
     6:31708, 2016): the layer index of the k-core peeling process, a
@@ -229,21 +232,66 @@ def onion_layers(
     alive set is tracked explicitly so vertices whose last neighbor was
     peeled (degree 0) still receive a layer. Rounds = number of layers
     (tens on real graphs; the sequential depth is the peeling process
-    itself, not an artifact)."""
+    itself, not an artifact).
+
+    With ``checkpoint_dir`` each peel round commits the full
+    (id, layer, onion_core, changed) table — peeled vertices carry
+    their layer, still-alive vertices a NULL — plus per-partition
+    lineage rows (S6 discipline): a killed run resumes at the next
+    unpeeled layer; the running threshold k and the layer counter are
+    both recovered from the committed state itself."""
+    from ..lineage import LineageLog
+    from ._superstep import commit_and_stats, edge_partition_counts
+
     if num_partitions is None:
         num_partitions = kernel_nparts(edges)
-    e = (
+    e0 = (
         simple_edges(edges, directed=False)
         .repartition(num_partitions, "src")
         .localCheckpoint(eager=True)
     )
-    alive = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
-    out: DataFrame | None = None
+    edge_parts = edge_partition_counts(e0)
+    log = LineageLog(spark, checkpoint_dir)
+
+    state: DataFrame | None = None
+    resumed_from, rounds, k = None, 0, 0
+    if resume and checkpoint_dir:
+        last = log.last_committed()
+        if last is not None:
+            state = log.load_state(last)
+            resumed_from = last
+            rounds = last + 1
+            row = state.agg(
+                F.max("layer").alias("r"), F.max("onion_core").alias("k")
+            ).collect()[0]
+            rounds = int(row["r"] or 0)
+            k = int(row["k"] or 0)
+    if state is None:
+        state = (
+            e0.select(F.col("src").alias("id")).distinct()
+            .select(
+                "id",
+                F.lit(None).cast("bigint").alias("layer"),
+                F.lit(None).cast("bigint").alias("onion_core"),
+                F.lit(False).alias("changed"),
+            )
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+    # surviving subgraph rebuilt from the pristine edges once, then
+    # carried shrunk across rounds (same discipline as k_core)
+    alive0 = state.where(F.col("layer").isNull()).select("id")
+    e = (
+        e0.join(alive0.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(alive0.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     peeled: list[int] = []
-    k = 0
-    rounds = 0
     converged = False
     while rounds < max_rounds:
+        t0 = time.time()
+        alive = state.where(F.col("layer").isNull()).select("id")
         deg = (
             alive.join(
                 e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
@@ -260,24 +308,53 @@ def onion_layers(
             break
         rounds += 1
         k = max(k, int(row["m"]))
-        layer_df = deg.where(F.col("deg") <= k).select(
+        layer_rows = deg.where(F.col("deg") <= k).select(
             "id",
             F.lit(rounds).cast("bigint").alias("layer"),
             F.lit(k).cast("bigint").alias("onion_core"),
+            F.lit(True).alias("changed"),
         )
-        peeled.append(layer_df.count())
-        out = layer_df if out is None else out.unionByName(layer_df)
-        out = out.localCheckpoint(eager=False)
-        alive = (
-            deg.where(F.col("deg") > k).select("id").localCheckpoint(eager=True)
+        new_state = (
+            state.where(F.col("layer").isNotNull())
+            .select("id", "layer", "onion_core", F.lit(False).alias("changed"))
+            .unionByName(layer_rows)
+            .unionByName(
+                deg.where(F.col("deg") > k).select(
+                    "id",
+                    F.lit(None).cast("bigint").alias("layer"),
+                    F.lit(None).cast("bigint").alias("onion_core"),
+                    F.lit(False).alias("changed"),
+                )
+            )
         )
+        if log.base_dir:
+            state, delta, _ = commit_and_stats(
+                log, rounds - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            peeled.append(int(delta))
+        else:
+            # in-memory: skip the full-state stats job AND the per-round
+            # peeled count (both measured against the peel loop); the
+            # per-round counts are recovered post-loop from the final
+            # state's layer column in one aggregate
+            state = new_state.localCheckpoint(eager=False)
+        alive_next = state.where(F.col("layer").isNull()).select("id")
         deg.unpersist()
         e = (
-            e.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            e.join(alive_next.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive_next.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-    if out is None:
-        out = spark.createDataFrame([], "id BIGINT, layer BIGINT, onion_core BIGINT")
-    return OnionResult(out, rounds, converged, peeled)
+    out = state.where(F.col("layer").isNotNull()).select("id", "layer", "onion_core")
+    if not log.base_dir and rounds:
+        counts = {
+            int(r["layer"]): r["n"]
+            for r in out.groupBy("layer").agg(F.count("*").alias("n")).collect()
+        }
+        peeled = [counts.get(i, 0) for i in range(1, rounds + 1)]
+    res = OnionResult(out, rounds, converged, peeled)
+    res.resumed_from = resumed_from
+    return res

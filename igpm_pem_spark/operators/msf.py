@@ -43,6 +43,7 @@ class MsfResult:
     rounds: int
     converged: bool
     chosen_per_round: list[int] = field(default_factory=list)
+    resumed_from: int | None = None
 
 
 def minimum_spanning_forest(
@@ -52,10 +53,23 @@ def minimum_spanning_forest(
     weight_col: str = "w",
     max_rounds: int = 32,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> MsfResult:
     """Borůvka minimum spanning forest over an undirected weighted edge
     list (``src``, ``dst``, ``weight_col``); parallel edges collapse to
-    their minimum weight, self-loops drop."""
+    their minimum weight, self-loops drop.
+
+    With ``checkpoint_dir`` each Borůvka round commits BOTH state tables
+    under the same root — the accumulated forest parquet first, then the
+    component labels through the lineage log whose commit marker is
+    written last, so a crash between the two leaves a cleanly resumable
+    prefix (the S6 torn-superstep rule). A killed run resumes with the
+    merged components and the forest chosen so far."""
+    import time as _time
+
+    from ..lineage import LineageLog, SuperstepStats
+    from ._superstep import commit_and_stats, edge_partition_counts
     from .components import connected_components
 
     if num_partitions is None:
@@ -79,16 +93,31 @@ def minimum_spanning_forest(
         .repartition(num_partitions, "u")
         .localCheckpoint(eager=True)
     )
-    comp = (
-        sym.select(F.col("u").alias("id")).distinct()
-        .select("id", F.col("id").alias("comp"))
-        .repartition(num_partitions, "id")
-        .localCheckpoint(eager=True)
-    )
+    edge_parts = edge_partition_counts(sym)
+    comp_log = LineageLog(spark, checkpoint_dir and f"{checkpoint_dir}/components")
+    forest_log = LineageLog(spark, checkpoint_dir and f"{checkpoint_dir}/forest")
+
+    comp: DataFrame | None = None
     forest: DataFrame | None = None
+    resumed_from, rounds = None, 0
+    if resume and checkpoint_dir:
+        last = comp_log.last_committed()
+        if last is not None:
+            comp = comp_log.load_state(last).select("id", "comp")
+            f = forest_log.load_state(last)
+            forest = f if f.limit(1).count() > 0 else None
+            resumed_from, rounds = last, last + 1
+    if comp is None:
+        comp = (
+            sym.select(F.col("u").alias("id")).distinct()
+            .select("id", F.col("id").alias("comp"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
     chosen_counts: list[int] = []
-    rounds, converged = 0, False
+    converged = False
     while rounds < max_rounds:
+        t0 = _time.time()
         labeled = (
             sym.join(comp.withColumnRenamed("id", "u").withColumnRenamed("comp", "cu"), "u")
             .join(comp.withColumnRenamed("id", "v").withColumnRenamed("comp", "cv"), "v")
@@ -124,13 +153,27 @@ def minimum_spanning_forest(
         ).components.withColumnRenamed("id", "comp").withColumnRenamed(
             "component", "new_comp"
         )
-        comp = (
+        new_comp = (
             comp.join(merge, "comp", "left")
-            .select("id", F.coalesce("new_comp", "comp").alias("comp"))
-            .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
+            .select(
+                "id",
+                F.coalesce("new_comp", "comp").alias("comp"),
+                F.col("new_comp").isNotNull().alias("changed"),
+            )
         )
+        if checkpoint_dir:
+            # forest parquet FIRST, components marker LAST (torn-round rule)
+            forest = forest_log.commit_state(
+                rounds - 1, forest,
+                SuperstepStats(rounds - 1, -1.0, -1, 0.0),
+            )
+        comp, _, _ = commit_and_stats(
+            comp_log, rounds - 1, new_comp,
+            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+            num_partitions=num_partitions,
+        )
+        comp = comp.select("id", "comp")
         sel.unpersist()
     if forest is None:
         forest = spark.createDataFrame([], "a BIGINT, b BIGINT, w BIGINT")
-    return MsfResult(forest, comp, rounds, converged, chosen_counts)
+    return MsfResult(forest, comp, rounds, converged, chosen_counts, resumed_from)

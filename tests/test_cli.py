@@ -103,3 +103,22 @@ def test_cli_coreness_trussness(spark, tmp_path):
     assert main(["trussness", "--edges", p, "--output", outt]) == 0
     truss = spark.read.parquet(outt)
     assert set(truss.columns) == {"src", "dst", "trussness"} and truss.count() > 0
+
+
+def test_cli_onion_msf(spark, tmp_path):
+    p = _edges_parquet(spark, tmp_path, weighted=True)
+    outo = str(tmp_path / "onion")
+    assert main(["onion", "--edges", p, "--output", outo]) == 0
+    onion = spark.read.parquet(outo)
+    assert set(onion.columns) == {"id", "layer", "onion_core"} and onion.count() == 60
+    outm = str(tmp_path / "msf")
+    assert main([
+        "msf", "--edges", p, "--weight-col", "wt", "--output", outm,
+        "--checkpoint-dir", str(tmp_path / "msf_ckpt"),
+    ]) == 0
+    forest = spark.read.parquet(outm)
+    assert set(forest.columns) == {"a", "b", "w"}
+    # one component (BA graph is connected): |forest| = V - 1
+    assert forest.count() == 59
+    # checkpoint left lineage + state behind
+    assert os.path.isdir(str(tmp_path / "msf_ckpt" / "components" / "lineage"))

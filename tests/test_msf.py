@@ -90,3 +90,32 @@ def test_chain_needs_multiple_rounds(spark):
     res = minimum_spanning_forest(spark, _df(spark, triples))
     assert res.converged and res.rounds <= 6
     _check(spark, triples)
+
+
+def test_msf_resume_matches_uninterrupted(spark, tmp_path):
+    import random
+
+    rng = random.Random(9)
+    triples = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 9))
+        for _ in range(100)
+    ]
+    triples = [(a, b, w) for a, b, w in triples if a != b]
+    df = _df(spark, triples)
+    ckpt = str(tmp_path / "msf")
+
+    full = minimum_spanning_forest(spark, df)
+    assert full.converged and full.rounds >= 2
+    want_forest = {(r["a"], r["b"], r["w"]) for r in full.forest.collect()}
+    want_comp = {r["id"]: r["comp"] for r in full.components.collect()}
+
+    partial = minimum_spanning_forest(spark, df, max_rounds=1, checkpoint_dir=ckpt)
+    assert not partial.converged and partial.rounds == 1
+
+    resumed = minimum_spanning_forest(spark, df, checkpoint_dir=ckpt)
+    assert resumed.resumed_from == 0
+    assert resumed.converged and resumed.rounds == full.rounds
+    got_forest = {(r["a"], r["b"], r["w"]) for r in resumed.forest.collect()}
+    got_comp = {r["id"]: r["comp"] for r in resumed.components.collect()}
+    assert got_forest == want_forest  # deterministic tie order -> same forest
+    assert got_comp == want_comp

@@ -85,3 +85,29 @@ def test_layers_refine_cores(spark):
         for r2 in rows:
             if r1["onion_core"] < r2["onion_core"]:
                 assert r1["layer"] < r2["layer"]
+
+
+def test_onion_resume_matches_uninterrupted(spark, tmp_path):
+    import random
+
+    from igpm_pem_spark.operators.kcore import onion_layers
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(160)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = _edges_df(spark, pairs)
+    ckpt = str(tmp_path / "onion")
+
+    full = onion_layers(spark, df)
+    assert full.converged and full.rounds >= 3
+    want = {r["id"]: (r["layer"], r["onion_core"]) for r in full.layers.collect()}
+
+    # "killed" after 2 peel rounds
+    partial = onion_layers(spark, df, max_rounds=2, checkpoint_dir=ckpt)
+    assert not partial.converged and partial.rounds == 2
+
+    resumed = onion_layers(spark, df, checkpoint_dir=ckpt)
+    assert resumed.resumed_from == 1
+    assert resumed.converged and resumed.rounds == full.rounds
+    got = {r["id"]: (r["layer"], r["onion_core"]) for r in resumed.layers.collect()}
+    assert got == want
