@@ -409,3 +409,51 @@ def cocitation_coupling(edges: DataFrame, min_count: int = 2) -> DataFrame:
             (F.col("cocitation") >= min_count) | (F.col("coupling") >= min_count)
         )
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Single-row (n_vertices, deg_total, gini6): Gini coefficient of the
+    undirected degree distribution — the one-number skew summary that
+    decides whether an iterative kernel's shuffle needs hub salting
+    (``skew_salt_plan``) before the first superstep is launched.
+
+    Scale shape: the naive formula ranks every vertex with a global
+    row_number window (a single-reducer sort over V rows — exactly the
+    bottleneck this engine avoids). Instead the rank-sum is computed from
+    the degree HISTOGRAM (one row per distinct degree value, ≪ V on any
+    power-law graph): for a tied block of c vertices of degree d preceded
+    by p lower-degree vertices,
+
+        Σ_block i·d = d · (c·p + c(c+1)/2)
+
+    so Σ_i i·d_i over the ascending rank i needs only a running sum over
+    the tiny histogram (the lone unpartitioned window here, bounded by
+    max-degree distinct values, not V). All terms stay exact BIGINTs;
+    gini = (2S − (n+1)T) / (nT) is the only floating step, mirrored
+    operation-for-operation in the SQL oracle."""
+    from pyspark.sql import Window
+
+    sym = symmetrize(canonical_undirected(edges))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = hist.withColumn("p", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    return blocks.agg(
+        F.sum("c").cast("long").alias("n_vertices"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("deg_total"),
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.col("d")
+                    * (F.col("c") * F.col("p") + F.expr("c * (c + 1) DIV 2"))
+                )
+                - (F.sum("c") + F.lit(1.0)) * F.sum(F.col("d") * F.col("c"))
+            )
+            / (
+                (F.sum("c") * F.lit(1.0))
+                * F.sum(F.col("d") * F.col("c"))
+            ),
+            6,
+        ).alias("gini6"),
+    )

@@ -151,3 +151,38 @@ SELECT n_edges, cut_lpa, cut_hash,
        max_part_share6, n_parts_used
 FROM cuts, bal
 """
+
+
+def skew_salt_plan(
+    df: DataFrame,
+    key: str,
+    rows_per_task: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """(id, cnt, n_splits): per-key reducer split factors for the keys
+    whose observed multiplicity exceeds ``rows_per_task`` — the measured,
+    adaptive companion to ``graph.salted_count`` (O9). That operator
+    splits EVERY key a fixed 16 ways; this one counts first and emits
+    ``ceil(cnt / rows_per_task)`` splits for just the hubs, which is what
+    a repartition-by-key superstep loop wants at 100 TB: AQE's skew-join
+    splitting rebalances one exchange at a time, but an iterative kernel
+    re-shuffles on the same key every superstep, so the plan is computed
+    once from table stats and applied to all of them (the same
+    measure-then-lay-out discipline as ``lpa_partitions``).
+
+    The frequency count itself runs through the two-phase salted
+    aggregation, so counting a hub key is not itself skewed. The split
+    factor stays in exact integer arithmetic: (cnt + r − 1) DIV r."""
+    from .graph import salted_count
+
+    cnt = salted_count(df, key, n_salts=n_salts, out="cnt")
+    return (
+        cnt.where(F.col("cnt") > rows_per_task)
+        .select(
+            F.col(key).alias("id"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr(
+                f"(cnt + {rows_per_task - 1}) DIV {rows_per_task}"
+            ).cast("long").alias("n_splits"),
+        )
+    )

@@ -22,6 +22,7 @@ from . import (
     graphq,
     graphq2,
     metricsq,
+    metricsq2,
     patternq,
     pipeline,
     pipeline2,
@@ -205,7 +206,7 @@ _PRIORITY = [
 def all_queries():
     merged = {}
     for mod in (
-        graphq, graphq2, metricsq, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, metricsq2, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
