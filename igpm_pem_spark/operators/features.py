@@ -61,3 +61,85 @@ def neighbor_mean_embedding(
             ).alias("mean_emb"),
         )
     )
+
+
+def class_separation(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding cohesion vs separation — the class-quality
+    gate a labeled training corpus runs before a probe is worth fitting:
+    ``(label, n_vecs, intra_cos6, max_inter_cos6, margin6)`` where
+    intra is the mean cosine of each vector to its own label centroid,
+    max_inter is the largest cosine between this label's centroid and
+    any OTHER label's centroid, and margin = intra - max_inter (labels
+    whose members hug their centroid less tightly than the centroid hugs
+    a neighboring class are candidates for relabeling or dropping).
+
+    Scale shape: centroids are a (label, pos) mean — the same dim-way
+    spread of per-label load as neighbor_mean_embedding; the resulting
+    centroid table is labels x dim rows (tiny at any corpus scale), so
+    it broadcasts back to the vectors and the per-vector cosine is a
+    zip_with/aggregate JVM expression with ZERO additional shuffle of
+    the corpus. The inter-centroid max is a self-join of the tiny
+    centroid table. One corpus scan, one dim-salted aggregate — this is
+    the plan you'd want at 100 TB."""
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    by_pos = (
+        vecs.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("mu"))
+    )
+    cent = by_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("c")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(a):
+        return F.sqrt(_dot(a, a))
+
+    intra = (
+        vecs.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            (_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias(
+                "cos"
+            ),
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.avg("cos").alias("intra"))
+    )
+    ca, cb = cent.alias("ca"), cent.alias("cb")
+    inter = (
+        ca.join(cb, F.col("ca.label") != F.col("cb.label"))
+        .select(
+            F.col("ca.label").alias("label"),
+            (
+                _dot(F.col("ca.c"), F.col("cb.c"))
+                / (_norm(F.col("ca.c")) * _norm(F.col("cb.c")))
+            ).alias("cos"),
+        )
+        .groupBy("label")
+        .agg(F.max("cos").alias("max_inter"))
+    )
+    return intra.join(inter, "label").select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round("intra", 6).alias("intra_cos6"),
+        F.round("max_inter", 6).alias("max_inter_cos6"),
+        F.round(F.col("intra") - F.col("max_inter"), 6).alias("margin6"),
+    )

@@ -32,6 +32,7 @@ from . import (
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
     relational,
 )
 
@@ -207,7 +208,7 @@ def all_queries():
     merged = {}
     for mod in (
         graphq, graphq2, metricsq, metricsq2, patternq, pipeline, pipeline2, pipeline3,
-        pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, relational,
+        pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
