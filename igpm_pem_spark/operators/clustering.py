@@ -147,3 +147,72 @@ def kmeans_assign(
     final = final.localCheckpoint(eager=True)
     e.unpersist()
     return KMeansResult(final, centroids, iters)
+
+
+def silhouette_by_cluster(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette after ``iters``
+    Lloyd rounds: for each vector, a = distance to its own final
+    centroid, b = distance to the nearest OTHER final centroid,
+    s = (b - a) / max(a, b); returned as (cluster, n, silhouette6) with
+    the mean s per cluster rounded to 6 decimals.
+
+    The centroid-based form (vs pairwise-point silhouette, which is
+    O(n²) and dead at corpus scale) is the standard cluster-quality
+    gate a 100 TB embedding pipeline runs after IVF training: one full
+    scan against the broadcast k×dim centroid matrix — the same
+    literal-argmin expression shape as ``kmeans_assign`` — then one
+    k-row aggregate. Zero joins, zero Python on the data path.
+    Assignment and the a-distance reuse the argmin's lexicographic
+    (d2, j) tie rule, so labels equal ``kmeans_assign``'s exactly."""
+    if k < 2:
+        raise ValueError(
+            "silhouette_by_cluster: k must be >= 2 — the b-distance needs "
+            "at least one other cluster"
+        )
+    res = kmeans_assign(
+        spark, embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    structs = []
+    for j, c in enumerate(res.centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(j).alias("j")))
+    scored = (
+        e.select("vec_id", F.array(*structs).alias("dj"))
+        .select("vec_id", "dj", F.array_min("dj").alias("own"))
+        .select(
+            F.col("own.j").alias("cluster"),
+            F.sqrt(F.col("own.d2")).alias("a"),
+            F.sqrt(
+                F.array_min(
+                    F.filter("dj", lambda x: x["j"] != F.col("own.j"))
+                )["d2"]
+            ).alias("b"),
+        )
+    )
+    s = F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        scored.withColumn("s", s)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("silhouette6"),
+        )
+    )

@@ -23,6 +23,7 @@ from . import (
     graphq2,
     metricsq,
     metricsq2,
+    metricsq3,
     patternq,
     pipeline,
     pipeline2,
@@ -207,7 +208,7 @@ _PRIORITY = [
 def all_queries():
     merged = {}
     for mod in (
-        graphq, graphq2, metricsq, metricsq2, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, metricsq2, metricsq3, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()

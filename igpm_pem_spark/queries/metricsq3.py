@@ -1,0 +1,218 @@
+"""Fourth metrics ring: kmeans silhouette quality gate, per-seed BFS
+expansion profiles, the event-type transition matrix, and an exact-
+integer CUSUM changepoint scan — each oracle-paired with dtype-exact
+DuckDB SQL.
+
+Silhouette is the post-training gate an IVF/ANN pipeline runs before
+trusting its coarse quantizer; the expansion profile is the exact
+per-seed neighborhood function (the number ANF sketches approximate
+globally); transitions are the first-order Markov summary of user
+event streams (the sessionize/funnel dual); CUSUM is the standard
+mean-shift changepoint statistic, formulated here in scaled integers
+(n·cumsum − i·total) so the whole scan is associative BIGINT
+arithmetic — no float drift between engines, no epsilon in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ._common import G_SPARSE_SQL, edges, register
+from .graphq import _with_g
+from .pipeline2 import _km_dist, _km_round
+
+
+def _q_silhouette(spark, sf_dir):
+    from ..operators.clustering import silhouette_by_cluster
+    from ._common import emb
+
+    return silhouette_by_cluster(spark, emb(spark, sf_dir), k=8, iters=2)
+
+
+# same 2-round Lloyd chain as _KMEANS_SQL (pipeline2), then per vector:
+# a² = own-centroid distance (row_number tie rule = the engine's
+# lexicographic (d2, j) argmin), b² = min distance over the other
+# centroids, s = (b-a)/max(a,b), averaged per cluster.
+_SILHOUETTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+)
+{_km_round(1)}
+{_km_round(2)}
+, dfin AS MATERIALIZED ({_km_dist('e', 'c2')})
+, afin AS (SELECT vec_id, cid AS cluster, d2 FROM dfin
+           QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cid) = 1)
+, bfin AS (SELECT d.vec_id, min(d.d2) AS b2
+           FROM dfin d JOIN afin a
+             ON d.vec_id = a.vec_id AND d.cid <> a.cluster
+           GROUP BY d.vec_id)
+, s AS (SELECT a.cluster,
+               CASE WHEN greatest(sqrt(a.d2), sqrt(b.b2)) = 0 THEN 0.0
+                    ELSE (sqrt(b.b2) - sqrt(a.d2))
+                         / greatest(sqrt(a.d2), sqrt(b.b2)) END AS s
+        FROM afin a JOIN bfin b USING (vec_id))
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS silhouette6
+FROM s GROUP BY cluster
+"""
+
+
+def _q_seed_expansion(spark, sf_dir):
+    """Exact neighborhood function of the 5 lowest-id seeds: how many
+    NEW vertices each BFS frontier reaches at hop 1, 2, 3 — the per-seed
+    exact profile that graph_anf3 sketches for the whole graph, and the
+    expansion-rate input to the 2-sweep diameter bound. Same seeded
+    closure as closeness_centrality_seeds (work ∝ seed neighborhoods),
+    grouped by (seed, hop) instead of collapsed per seed."""
+    from ..operators.graph import vertex_ids
+    from ..operators.paths import path_closure_from
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    seeds = vertex_ids(e).orderBy("id").limit(5)
+    cl = path_closure_from(e, seeds, max_hops=3, directed=False)
+    return cl.groupBy(
+        F.col("src").alias("id"), F.col("hops").cast("long").alias("hops")
+    ).agg(F.count("*").cast("long").alias("n_new"))
+
+
+_EXPANSION_SQL = _with_g(
+    """
+    , verts AS (SELECT DISTINCT src AS id FROM sym)
+    , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
+    , h1 AS (SELECT s.id AS sid, e.dst, 1 AS hops
+             FROM seeds s JOIN sym e ON e.src = s.id)
+    , h2 AS (SELECT h.sid, e.dst, 2 AS hops
+             FROM (SELECT DISTINCT sid, dst FROM h1) h
+             JOIN sym e ON e.src = h.dst WHERE e.dst <> h.sid)
+    , h3 AS (SELECT h.sid, e.dst, 3 AS hops
+             FROM (SELECT DISTINCT sid, dst FROM h2) h
+             JOIN sym e ON e.src = h.dst WHERE e.dst <> h.sid)
+    , hh AS (
+        SELECT sid, dst, min(hops) AS hops FROM (
+            SELECT * FROM h1 UNION ALL
+            SELECT * FROM h2 UNION ALL
+            SELECT * FROM h3
+        ) GROUP BY sid, dst
+    )
+    SELECT sid AS id, CAST(hops AS BIGINT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_new
+    FROM hh GROUP BY sid, hops
+    """,
+    G_SPARSE_SQL,
+)
+
+
+def _q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: per
+    user, events ordered by (ts, event_id); each consecutive pair is one
+    (from_type → to_type) transition; p6 = row-normalized probability.
+    One lag window partitioned by user (the sessionize shuffle key — at
+    100 TB the stream is already bucketed by user, so the window sorts
+    within partitions without a global exchange) and one small-keyspace
+    aggregate: |event_type|² output rows."""
+    register(spark, sf_dir)
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("from_type", F.lag("event_type").over(w)).where(
+        F.col("from_type").isNotNull()
+    )
+    pairs = t.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p6", F.round(F.col("n") / F.sum("n").over(wf), 6)
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH t AS (
+    SELECT event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+    FROM events
+)
+, pairs AS (
+    SELECT from_type, event_type AS to_type, count(*) AS n
+    FROM t WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p6
+FROM pairs
+"""
+
+
+def _q_cusum(spark, sf_dir):
+    """Mean-shift changepoint scan over daily order revenue: the CUSUM
+    statistic S_i = cumsum_i − i·mean, scaled by n to stay in exact
+    integers (dev_scaled = n·cumsum_i − i·total, in cents) — the
+    argmax |S_i| day is the maximum-likelihood single changepoint under
+    a mean-shift model. Revenue is per-row rounded to integer cents
+    before summing (associative, engine-order-independent, same
+    construct as rel_rfm); the top-3 days by |dev| are returned. The
+    running sum is a window over the DAILY relation (≤ a few thousand
+    rows at any corpus size — days, not orders), so the unpartitioned
+    window is a non-issue at scale."""
+    register(spark, sf_dir)
+    o = spark.table("orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+    )
+    w = Window.orderBy("day")
+    t = daily.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("x").over(w).cast("long").alias("cum"),
+    )
+    g = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    j = t.crossJoin(F.broadcast(g)).withColumn(
+        "dev_scaled",
+        (F.col("n_days") * F.col("cum") - F.col("i") * F.col("tot")).cast(
+            "long"
+        ),
+    )
+    return (
+        j.orderBy(F.abs(F.col("dev_scaled")).desc(), F.col("day"))
+        .limit(3)
+        .select("day", F.col("cum").alias("cum_cents"), "dev_scaled")
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+)
+, t AS (
+    SELECT day,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+           CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS cum
+    FROM daily
+)
+, g AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS tot FROM daily)
+SELECT day, CAST(cum AS BIGINT) AS cum_cents,
+       CAST(g.n_days * t.cum - t.i * g.tot AS BIGINT) AS dev_scaled
+FROM t, g
+ORDER BY abs(g.n_days * t.cum - t.i * g.tot) DESC, day ASC
+LIMIT 3
+"""
+
+
+QUERIES = {
+    "emb_silhouette": (_q_silhouette, _SILHOUETTE_SQL),
+    "graph_seed_expansion": (_q_seed_expansion, _EXPANSION_SQL),
+    "rel_event_transitions": (_q_transitions, _TRANSITIONS_SQL),
+    "rel_cusum_top3": (_q_cusum, _CUSUM_SQL),
+}
