@@ -680,3 +680,61 @@ def cdc_chunks(
         "n_tokens",
         "chunk_fp",
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 10,
+    n_query_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked retrieval: BM25 top-``k`` documents for the query formed
+    by the ``n_query_terms`` highest-document-frequency tokens (ties to
+    the lexicographically lower token) — the inverted-index scoring path
+    of a search/retrieval pipeline, complementary to embedding-ANN
+    (dense) and MinHash (set-overlap) similarity.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene's BM25 idf).
+
+    Plan shape at scale: one tokenize scan feeds tf (doc,token
+    aggregate), doc lengths, and df; the query-term relation is
+    ``n_query_terms`` rows and joins broadcast, so scoring touches only
+    postings of query terms — work ∝ matching postings, never the
+    corpus × vocabulary. N and avgdl are two scalar probes (driver
+    bytes, not rows). Returns (doc_id, bm25_6) ordered by the ROUNDED
+    score (ties → lower doc_id) so ranking is stable cross-engine."""
+    tok = tokens(docs, id_col, text_col)
+    n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = tok.count() / n_docs
+    lens = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    q = dfq.orderBy(F.col("df").desc(), "token").limit(n_query_terms)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "token")
+        .join(lens, "doc_id")
+        .select("doc_id", per.alias("s"))
+    )
+    out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25_6"))
+    return out.orderBy(F.col("bm25_6").desc(), "doc_id").limit(k)

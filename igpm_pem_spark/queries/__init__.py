@@ -34,6 +34,7 @@ from . import (
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
     relational,
 )
 
@@ -209,7 +210,8 @@ def all_queries():
     merged = {}
     for mod in (
         graphq, graphq2, metricsq, metricsq2, metricsq3, patternq, pipeline, pipeline2, pipeline3,
-        pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, relational,
+        pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, pipeline10,
+        relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
