@@ -183,3 +183,80 @@ def betweenness_seeded(
         lv.unpersist()
     sym.unpersist()
     return out
+
+
+def voterank(spark: SparkSession, edges: DataFrame, k: int = 3) -> DataFrame:
+    """VoteRank influence-maximization seeds (Zhang et al. 2016,
+    "Identifying a set of influential spreaders in complex networks"),
+    in an exact-integer reformulation: every vertex starts with voting
+    ability 1, each round elects the vertex with the largest neighbor-
+    vote sum, then zeroes the winner's ability and decrements each of
+    its neighbors' ability by 1/⟨deg⟩. Scaling all abilities by
+    S = Σ deg = 2|E| makes the decrement the INTEGER V (since
+    1/⟨deg⟩ = V/S), so scores are exact BIGINT sums and the iterative
+    argmax — the control flow of the algorithm — never touches a float;
+    ties break to the lower vertex id, engine-exact by construction.
+
+    Returns (rank, id, score_scaled): the k elected spreaders in
+    election order with their winning scaled scores (divide by S for
+    the textbook value). Each round is one message-passing join keyed
+    on dst plus a broadcast-sized neighbor update — k supersteps over
+    the same shuffle key as PageRank. Scores are bounded by S·V, so at
+    extreme scale (S·V near 2^63) rescale abilities to units of V
+    before summing."""
+    if k < 1:
+        raise ValueError("voterank: k must be >= 1")
+    from .graph import canonical_undirected
+
+    sym = symmetrize(canonical_undirected(edges)).select("src", "dst").persist()
+    s2 = sym.count()
+    if s2 == 0:
+        sym.unpersist()
+        raise ValueError("voterank: empty graph")
+    n_v = sym.select("src").distinct().count()
+    va = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("va", F.lit(int(s2)).cast("long"))
+    )
+    winners: list[tuple[int, int, int]] = []
+    excluded: list[int] = []
+    for r in range(1, k + 1):
+        sc = (
+            sym.join(va.select(F.col("id").alias("dst"), "va"), "dst")
+            .groupBy("src")
+            .agg(F.sum("va").alias("score"))
+        )
+        if excluded:
+            sc = sc.where(~F.col("src").isin(excluded))
+        w = sc.orderBy(F.col("score").desc(), F.col("src")).first()
+        if w is None:
+            break
+        wid = int(w.src)
+        winners.append((r, wid, int(w.score)))
+        excluded.append(wid)
+        nbrs = (
+            sym.where(F.col("src") == wid)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        va = (
+            va.join(nbrs, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("id") == wid, F.lit(0))
+                .when(
+                    F.col("_hit") == 1,
+                    F.greatest(F.col("va") - F.lit(int(n_v)), F.lit(0)),
+                )
+                .otherwise(F.col("va"))
+                .cast("long")
+                .alias("va"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return spark.createDataFrame(
+        winners, "rank long, id long, score_scaled long"
+    )

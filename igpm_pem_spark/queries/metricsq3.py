@@ -210,9 +210,120 @@ LIMIT 3
 """
 
 
+def _q_voterank(spark, sf_dir):
+    """Top-3 VoteRank spreaders on the sparse co-occurrence graph —
+    influence-maximization seed selection as k exact-integer
+    message-passing rounds (see operators/centrality.voterank)."""
+    from ..operators.centrality import voterank
+
+    return voterank(spark, edges(spark, sf_dir, G_SPARSE_SQL), k=3)
+
+
+# the same 3 unrolled election rounds: scaled abilities start at
+# S = 2|E| (count of the symmetrized relation), the decrement is V, and
+# every score is an exact integer sum, so argmax + lower-id tie-break is
+# engine-exact with no epsilon anywhere.
+_VOTERANK_SQL = _with_g(
+    """
+    , par AS (SELECT count(DISTINCT src) AS nv, count(*) AS s2 FROM sym)
+    , va0 AS (SELECT DISTINCT src AS id, (SELECT s2 FROM par) AS va FROM sym)
+    , sc1 AS (SELECT e.src AS id, sum(v.va) AS score
+              FROM sym e JOIN va0 v ON v.id = e.dst GROUP BY e.src)
+    , w1 AS (SELECT id, score FROM sc1 ORDER BY score DESC, id LIMIT 1)
+    , va1 AS (SELECT v.id,
+                CASE WHEN v.id = (SELECT id FROM w1) THEN 0
+                     WHEN EXISTS (SELECT 1 FROM sym e
+                                  WHERE e.src = (SELECT id FROM w1)
+                                    AND e.dst = v.id)
+                       THEN greatest(v.va - (SELECT nv FROM par), 0)
+                     ELSE v.va END AS va
+              FROM va0 v)
+    , sc2 AS (SELECT e.src AS id, sum(v.va) AS score
+              FROM sym e JOIN va1 v ON v.id = e.dst
+              WHERE e.src <> (SELECT id FROM w1) GROUP BY e.src)
+    , w2 AS (SELECT id, score FROM sc2 ORDER BY score DESC, id LIMIT 1)
+    , va2 AS (SELECT v.id,
+                CASE WHEN v.id = (SELECT id FROM w2) THEN 0
+                     WHEN EXISTS (SELECT 1 FROM sym e
+                                  WHERE e.src = (SELECT id FROM w2)
+                                    AND e.dst = v.id)
+                       THEN greatest(v.va - (SELECT nv FROM par), 0)
+                     ELSE v.va END AS va
+              FROM va1 v)
+    , sc3 AS (SELECT e.src AS id, sum(v.va) AS score
+              FROM sym e JOIN va2 v ON v.id = e.dst
+              WHERE e.src <> (SELECT id FROM w1)
+                AND e.src <> (SELECT id FROM w2) GROUP BY e.src)
+    , w3 AS (SELECT id, score FROM sc3 ORDER BY score DESC, id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, id,
+           CAST(score AS BIGINT) AS score_scaled FROM w1
+    UNION ALL SELECT CAST(2 AS BIGINT), id, CAST(score AS BIGINT) FROM w2
+    UNION ALL SELECT CAST(3 AS BIGINT), id, CAST(score AS BIGINT) FROM w3
+    """,
+    G_SPARSE_SQL,
+)
+
+
+def _q_cc_by_degree(spark, sf_dir):
+    """The c(k) curve: mean local clustering coefficient per power-of-two
+    degree bucket — the canonical hierarchical-structure diagnostic (a
+    falling c(k) marks hub-bridged modularity). Reuses the per-vertex
+    triangle/lcc kernel; the stratified rollup is |buckets| rows."""
+    from ..operators.graph import canonical_undirected, symmetrize
+    from ..operators.metrics import clustering_coefficient
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    lcc = clustering_coefficient(e)
+    deg = (
+        symmetrize(canonical_undirected(e))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        lcc.join(deg, "id")
+        .groupBy(F.length(F.bin(F.col("d"))).cast("long").alias("deg_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.round(F.avg("lcc"), 6).alias("cc6"),
+        )
+    )
+
+
+_CC_BY_DEGREE_SQL = _with_g(
+    """
+    , tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM g e1 JOIN g e2 ON e1.dst = e2.src
+        JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    , corners AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    , nt AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id)
+    , deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+    , lcc AS (
+        SELECT deg.id, deg.d,
+               CASE WHEN d >= 2
+                    THEN 2.0 * coalesce(n_tri, 0) / (d * (d - 1.0))
+                    ELSE 0.0 END AS lcc
+        FROM deg LEFT JOIN nt ON nt.id = deg.id
+    )
+    SELECT CAST(length(bin(d)) AS BIGINT) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           round(avg(lcc), 6) AS cc6
+    FROM lcc GROUP BY 1
+    """,
+    G_SPARSE_SQL,
+)
+
+
 QUERIES = {
     "emb_silhouette": (_q_silhouette, _SILHOUETTE_SQL),
     "graph_seed_expansion": (_q_seed_expansion, _EXPANSION_SQL),
     "rel_event_transitions": (_q_transitions, _TRANSITIONS_SQL),
     "rel_cusum_top3": (_q_cusum, _CUSUM_SQL),
+    "graph_voterank3": (_q_voterank, _VOTERANK_SQL),
+    "graph_cc_by_degree": (_q_cc_by_degree, _CC_BY_DEGREE_SQL),
 }
