@@ -319,6 +319,76 @@ _CC_BY_DEGREE_SQL = _with_g(
 )
 
 
+def _q_graph_end_to_end(spark, sf_dir):
+    """Graph-side capstone composition: PageRank (8 exact rounds) +
+    hash-min connected components + degree over the SAME derived edge
+    relation, joined into the top-10 ranked vertices with their
+    component and degree — the cross-kernel chain a link-graph run
+    actually executes, pinned as one driver-oracled query so plan
+    regressions that only appear across kernel boundaries (cache
+    lifetimes, exchange reuse, join strategy flips) are caught the same
+    way pipeline_end_to_end catches them on the document side."""
+    from ..operators.components import connected_components
+    from ..operators.graph import degrees
+    from ..operators.pagerank import pagerank
+    from ._common import graph_nparts
+
+    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    np_ = graph_nparts(spark, sf_dir)
+    pr = pagerank(
+        spark, e, tol=0.0, max_iter=8, mode="exact", num_partitions=np_
+    ).ranks
+    cc = connected_components(spark, e, num_partitions=np_).components
+    dg = degrees(e)
+    return (
+        pr.join(cc, "id")
+        .join(dg, "id")
+        .select(
+            "id",
+            F.round("rank", 7).alias("rank7"),
+            "component",
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .orderBy(F.col("rank7").desc(), "id")
+        .limit(10)
+    )
+
+
+_END_TO_END_SQL = _with_g(
+    """
+    , verts AS (SELECT DISTINCT src AS id FROM sym)
+    , deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+    , nn AS (SELECT count(*) AS c FROM verts)
+    , pr(iter, id, r) AS (
+        SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+               0.15 / (SELECT c FROM nn) + 0.85 * sum(p.r / d.d)
+        FROM pr p JOIN sym e ON e.src = p.id JOIN deg d ON d.src = p.id
+        WHERE p.iter < 8
+        GROUP BY p.iter, e.dst
+    )
+    , ep AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM verts)
+    , cc(iter, id, comp) AS (
+        SELECT 0, id, id FROM verts
+        UNION ALL
+        SELECT c.iter + 1, e.dst, min(c.comp)
+        FROM cc c JOIN ep e ON e.src = c.id
+        WHERE c.iter < 50
+        GROUP BY c.iter, e.dst
+    )
+    SELECT p.id, round(p.r, 7) AS rank7, c.comp AS component,
+           CAST(d.d AS BIGINT) AS degree
+    FROM pr p JOIN cc c ON c.id = p.id AND c.iter = 50
+              JOIN deg d ON d.src = p.id
+    WHERE p.iter = 8
+    ORDER BY rank7 DESC, p.id LIMIT 10
+    """,
+    G_SPARSE_SQL,
+    recursive=True,
+)
+
+
 QUERIES = {
     "emb_silhouette": (_q_silhouette, _SILHOUETTE_SQL),
     "graph_seed_expansion": (_q_seed_expansion, _EXPANSION_SQL),
@@ -326,4 +396,5 @@ QUERIES = {
     "rel_cusum_top3": (_q_cusum, _CUSUM_SQL),
     "graph_voterank3": (_q_voterank, _VOTERANK_SQL),
     "graph_cc_by_degree": (_q_cc_by_degree, _CC_BY_DEGREE_SQL),
+    "graph_end_to_end": (_q_graph_end_to_end, _END_TO_END_SQL),
 }
