@@ -24,6 +24,7 @@ from . import (
     metricsq,
     metricsq2,
     metricsq3,
+    metricsq4,
     patternq,
     pipeline,
     pipeline2,
@@ -38,178 +39,224 @@ from . import (
     relational,
 )
 
-# Front-to-back driver order (see module docstring), regenerated for
-# round 5 by STALENESS: group A = the 23 entries never yet verified by a
-# driver round (r01–r04 union), group B = the three r04 hash-reds whose
-# oracle dtype casts were fixed (prove the fix), then C/D/E = entries
-# last driver-green in rounds 2/3/4 respectively (freshest last — they
+# Front-to-back driver order (see module docstring), regenerated at the
+# round-5 session-8 head from the r01–r04 CORRECTNESS union: group A =
+# the 80 entries never yet green in a driver round (the sessions-2..8
+# additions plus prior budget-cut entries), then groups by the round
+# each entry was LAST driver-green in (oldest first — freshest entries
 # lose least from being budget-cut). Within each group cheapest-first
-# (sf0.01 walls from SELFCHECK.json) so a time-budgeted driver verifies
-# the most entries. Every entry also has a committed green sf0.01 row in
-# SELFCHECK.json regardless of driver budget.
+# (sf0.01 spark+oracle walls from SELFCHECK.json) so a time-budgeted
+# driver verifies the most entries. Every entry also has a committed
+# green sf0.01 row in SELFCHECK.json regardless of driver budget.
 _PRIORITY = [
-    # -- group A: never driver-oracled (23), cheapest first --
-    # round-5 additions (never verified) lead the never-verified group
-    "doc_mix_temperature",
-    "doc_dsir_weights",
-    "graph_robustness_hubs",
-    "emb_pq_codes",
-    "emb_ann_ivfpq_topk",
-    "doc_cms_heavy_hitters",
-    "doc_split_leakage",
+    # -- group A: never driver-oracled (80 — sessions 2-8 additions plus
+    #    r01-r04 budget-cut entries), cheapest first (sf0.01 walls) --
+    "doc_dup_rate_by_lang",
+    "doc_length_histogram",
+    "rel_daily_anomaly",
+    "rel_burstiness",
     "doc_chunks",
+    "doc_zipf_slope",
+    "emb_outlier_z",
+    "doc_vocab_growth",
+    "rel_funnel_latency",
+    "graph_growth_monthly",
+    "doc_mix_temperature",
+    "doc_cdc_dedup",
+    "rel_event_transitions",
+    "rel_cusum_top3",
+    "doc_char_entropy",
+    "doc_dsir_weights",
+    "graph_degree_gini",
+    "rel_rfm",
+    "doc_repetition",
+    "doc_bm25_top10",
+    "rel_basket_lift",
+    "doc_pmi_top",
+    "doc_cms_heavy_hitters",
+    "emb_class_separation",
+    "graph_triad_census",
+    "graph_salt_plan",
+    "graph_reciprocity",
+    "graph_monthly_churn",
+    "doc_split_leakage",
+    "closeness_centrality_seeds",
+    "graph_cc_by_degree",
+    "emb_dim_truncation_recall",
+    "graph_seed_expansion",
     "graph_rich_club",
-    "emb_kmeans2",
     "emb_kmeans_bcast",
+    "graph_simrank2",
+    "emb_kmeans2",
+    "graph_edge_cut",
+    "doc_cdc_chunks",
     "salsa_fixed8",
+    "graph_wl_colors",
     "graph_coreness",
-    "doc_dedup_clusters",
+    "graph_eff_diameter",
+    "emb_logreg_auc",
+    "graph_halo_2hop",
+    "graph_voterank3",
+    "doc_seq_packing",
+    "emb_silhouette",
+    "emb_logreg_probe",
+    "emb_logreg_acc",
     "graph_betweenness_seeds",
     "emb_ann_ivf_topk",
+    "graph_conductance_lpa",
+    "doc_dedup_clusters",
     "community_louvain_move",
+    "graph_end_to_end",
     "graph_coloring_jp8",
-    "community_q_improvement",
-    "emb_logreg_acc",
-    "graph_spam_mass",
-    "emb_logreg_probe",
-    "emb_dedup_clusters",
-    "pipeline_end_to_end",
-    "graph_halo_2hop",
-    "emb_pca_project",
+    "graph_robustness_hubs",
+    "emb_pq_codes",
+    "graph_cocitation",
     "emb_pca_top",
-    "graph_condensation_levels",
-    "graph_bowtie",
+    "graph_earliest_arrival",
+    "pipeline_end_to_end",
+    "community_q_improvement",
+    "graph_st_distance",
+    "graph_robustness_random",
+    "doc_textrank_top",
+    "emb_pca_project",
+    "graph_spam_mass",
+    "graph_densest_peel",
+    "emb_ann_ivfpq_topk",
+    "graph_msf",
+    "emb_dedup_clusters",
+    "graph_diameter_2sweep",
     "emb_pca_top2",
-    # -- group B: r04 hash-red, dtype-cast fixed this round — prove it --
-    "doc_repetition",
-    "graph_edge_cut",
-    "graph_eff_diameter",
-    # -- group C: last driver-green in round 2, cheapest first --
+    "graph_cascade2",
+    "graph_onion",
+    "graph_bowtie",
+    "graph_condensation_levels",
+    "pagerank_incremental_replay",
+    # -- last driver-green in round 2, cheapest first --
+    "doc_split_assign",
     "rel_condition_expr",
-    "rel_window_topk",
-    "rel_semi_anti",
+    "rel_temporal_bucket",
     "rel_group_agg",
+    "rel_median",
+    "rel_filter_project",
+    "rel_semi_anti",
     "doc_token_stats_bpe",
     "rel_join_dims",
-    "rel_median",
-    "doc_split_assign",
-    "rel_temporal_bucket",
-    "rel_filter_project",
+    "rel_window_topk",
     "rel_argmax_ties",
-    "rel_sessionize",
     "doc_top_tokens",
     "emb_near_dup_pairs",
-    "emb_cosine_topk",
+    "rel_sessionize",
     "rel_setops",
+    "emb_cosine_topk",
     "doc_simhash_near_dup",
     "emb_ann_lsh_topk",
     "emb_ann_near_dup",
-    # -- group D: last driver-green in round 3, cheapest first --
-    "doc_fingerprint",
-    "doc_token_stats",
+    # -- last driver-green in round 3, cheapest first --
     "doc_exact_dedup",
-    "doc_lang_id",
+    "doc_token_stats",
     "graph_bipartite_weighted",
-    "avg_neighbor_degree",
+    "doc_fingerprint",
     "doc_quality",
+    "doc_lang_id",
     "assortativity",
+    "avg_neighbor_degree",
+    "degree_distribution",
     "star_count",
-    "path_hops_histogram",
+    "square_count",
     "degree",
     "doc_minhash_sig",
     "doc_simhash",
-    "kcore3_vertices",
+    "path_hops_histogram",
     "triangle_count",
-    "degree_distribution",
-    "square_count",
-    "doc_ngram_jaccard",
+    "kcore3_vertices",
     "harmonic_centrality_seeds",
-    "pattern_wedge_condition",
-    "ktruss4_edges",
-    "clustering_coeff",
-    "link_predict_jaccard",
-    "pattern_wedge_match",
-    "pattern_agg_max",
-    "pattern_near_miss",
+    "doc_ngram_jaccard",
     "pattern_triangle_match",
-    "doc_lsh_pairs",
-    "pattern_groupby",
-    "pagerank_weighted_fixed8",
-    "eigencentrality_fixed8",
-    "hits_fixed8",
+    "pattern_wedge_condition",
+    "pattern_wedge_match",
+    "clustering_coeff",
     "pattern_topk_ordered",
-    "graph_walk_pairs",
+    "doc_lsh_pairs",
+    "pattern_agg_max",
+    "link_predict_jaccard",
+    "pattern_groupby",
+    "ktruss4_edges",
     "pattern_config_run",
-    "connected_components",
-    "component_sizes",
+    "pattern_near_miss",
     "label_propagation3",
-    "pagerank_fixed8",
+    "hits_fixed8",
+    "eigencentrality_fixed8",
     "doc_lsh_jaccard",
-    "community_modularity",
-    "pattern_best_match_rwr",
+    "pagerank_weighted_fixed8",
+    "pagerank_fixed8",
+    "component_sizes",
+    "connected_components",
+    "graph_walk_pairs",
     "sssp_weighted",
     "rwr_seeded_fixed8",
-    "graph_summary",
     "pattern_triangle_incremental",
+    "graph_summary",
+    "pattern_best_match_rwr",
+    "community_modularity",
     "sssp_incremental",
     "incremental_cc_replay",
     "strongly_connected",
     "pagerank_converged",
-    # -- group E: driver-green in round 4 (freshest), cheapest first --
-    "rel_grouping_sets",
+    # -- last driver-green in round 4, cheapest first --
     "doc_sample_stratified",
-    "rel_cube",
     "doc_reservoir_lang",
     "rel_percentiles",
-    "rel_moving_avg",
     "rel_rollup",
+    "rel_kmv_users",
+    "rel_cube",
     "rel_pivot",
+    "rel_range_pairs",
+    "rel_grouping_sets",
+    "rel_redact_props",
     "doc_vocab_kmv",
     "doc_span_dedup",
-    "rel_redact_props",
+    "rel_moving_avg",
     "doc_c4_filter",
-    "rel_kmv_users",
-    "rel_range_pairs",
-    "rel_asof_purchase",
-    "emb_quantize_int8",
-    "doc_winnow_fp",
-    "doc_lang_confusion",
-    "graph_local_bridges",
-    "doc_bigram_lm",
-    "rel_funnel3",
-    "doc_tfidf_top",
-    "graph_k4_count",
-    "doc_decontaminate",
-    "emb_knn_label_acc",
-    "rel_cohort_retention",
-    "graph_sparsify_jaccard",
-    "doc_vocab_kmv_by_lang",
-    "doc_winnow_pairs",
     "doc_postings",
-    "graph_contract_brand",
-    "label_propagation3_weighted",
-    "graph_harmonic_anf",
+    "rel_asof_purchase",
+    "rel_funnel3",
+    "doc_vocab_kmv_by_lang",
+    "doc_lang_confusion",
+    "emb_quantize_int8",
+    "graph_local_bridges",
+    "rel_cohort_retention",
+    "doc_winnow_fp",
+    "doc_bigram_lm",
+    "doc_tfidf_top",
     "graph_anf3",
-    "graph_neighbor_mean",
     "link_predict_adamic",
+    "doc_decontaminate",
+    "label_propagation3_weighted",
+    "doc_winnow_pairs",
+    "graph_contract_brand",
+    "graph_harmonic_anf",
     "graph_katz4",
+    "emb_knn_label_acc",
+    "graph_sparsify_jaccard",
+    "graph_k4_count",
+    "graph_neighbor_mean",
     "graph_partition_lpa",
     "graph_node2vec_pairs",
     "graph_trussness",
     "graph_matching8",
-    "link_recommend_rwr",
-    "graph_mis8",
-    "widest_path",
     "graph_ppr_push",
+    "graph_mis8",
     "graph_coarsen1",
+    "link_recommend_rwr",
     "graph_walk_ppmi",
+    "widest_path",
 ]
 
 
 def all_queries():
     merged = {}
     for mod in (
-        graphq, graphq2, metricsq, metricsq2, metricsq3, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, pipeline10,
         relational,
     ):
