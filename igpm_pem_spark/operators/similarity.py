@@ -589,3 +589,45 @@ def knn_label_accuracy(
             ).alias("n_correct"),
         )
     )
+
+
+def mmr_greedy(
+    simq: dict,
+    psim: dict,
+    k: int,
+    lam: float = 0.5,
+) -> list[tuple[int, "int", float]]:
+    """Maximal-marginal-relevance greedy selection (Carbonell & Goldstein
+    1998) over a BOUNDED candidate pool: ``simq[c]`` = relevance of
+    candidate ``c`` to the query, ``psim[(a, b)]`` = pairwise similarity
+    (symmetric keys). Each round picks
+
+        argmax  lam * simq[c] - (1 - lam) * max_{s in S} psim[(c, s)]
+
+    with ties broken by ascending candidate id; the redundancy max over
+    the empty set is 0. When similarities sit on a decimal grid (the
+    corpus rounds cosines to 1e-4) and lam = 1/2, every score is an
+    exact binary scaling of grid values, so the selection is
+    bit-deterministic across engines — the DuckDB oracle replays the
+    same argmax per round.
+
+    This is driver-side control flow over k x |pool| scores; the
+    distributed work is producing the pool (ANN top-k at scale). Returns
+    [(rank, id, score), ...].
+    """
+    if k < 1:
+        raise ValueError(f"mmr_greedy: k must be >= 1, got {k}")
+    chosen: list[tuple[int, object, float]] = []
+    sel: list = []
+    for rank in range(1, min(k, len(simq)) + 1):
+        best = None
+        for c in sorted(simq):
+            if c in sel:
+                continue
+            red = max((psim[(c, s)] for s in sel), default=0.0)
+            score = lam * simq[c] - (1 - lam) * red
+            if best is None or score > best[1]:
+                best = (c, score)
+        sel.append(best[0])
+        chosen.append((rank, best[0], best[1]))
+    return chosen

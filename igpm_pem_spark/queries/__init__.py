@@ -36,6 +36,7 @@ from . import (
     pipeline8,
     pipeline9,
     pipeline10,
+    pipeline11,
     relational,
 )
 
@@ -258,7 +259,7 @@ def all_queries():
     for mod in (
         graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, pipeline10,
-        relational,
+        pipeline11, relational,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
