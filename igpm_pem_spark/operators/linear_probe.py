@@ -322,3 +322,91 @@ SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
              / (sum(cp) * (sum(c) - sum(cp))), 6) AS auc6
 FROM ranked"""
     )
+
+
+def logreg_lift_deciles(
+    emb: DataFrame,
+    *,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """(decile, n, n_pos, frac_pos6, mean_margin6): the probe's lift
+    chart — corpus ranked by fitted margin (highest first), cut into 10
+    ntile buckets, per bucket the positive rate and mean margin. The
+    monotonicity view a probe-based data-quality gate is judged by
+    (AUC summarizes ranking, the lift chart shows WHERE the ranking
+    pays: how concentrated the positives are in the top deciles).
+
+    Margins are rounded to 6 decimals first and the ntile order is the
+    total order (s6 DESC, vec_id ASC), so bucket assignment is
+    bit-deterministic across engines — same recipe as the AUC's tie
+    groups. One scan to score, one window over the scored rows. The
+    global ntile sorts on a single reducer at this scale; at 100 TB the
+    cut points come from approx_percentile over the margins (10 scalar
+    boundaries broadcast back) — same downstream, no global sort.
+    """
+    from pyspark.sql import Window
+
+    margin, w, b = _fit(
+        emb, dim, iters, lr, target_label, vec_col, label_col, corpus_count
+    )
+    xarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
+    y = (F.col(label_col) == F.lit(target_label)).cast("int")
+    scored = emb.select(
+        F.col("vec_id"),
+        F.round(margin(xarr, w, b), 6).alias("s6"),
+        y.alias("y"),
+    )
+    ow = Window.orderBy(F.desc("s6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(ow))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(F.sum("y") / F.count("*"), 6).alias("frac_pos6"),
+            F.round(F.avg("s6"), 6).alias("mean_margin6"),
+        )
+        .select(F.col("decile").cast("long").alias("decile"),
+                "n", "n_pos", "frac_pos6", "mean_margin6")
+    )
+
+
+def logreg_lift_oracle_sql(
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    target_label: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """(decile, n, n_pos, frac_pos6, mean_margin6) oracle: identical
+    recurrence, identical rounded margins, identical ntile order."""
+    return (
+        _recurrence_ctes(dim, iters, lr, target_label, table)
+        + f"""
+, margin AS MATERIALIZED (
+  SELECT x.vec_id, (SELECT b FROM b{iters}) + sum(x.val * w.w) AS m
+  FROM x JOIN w{iters} w ON w.pos = x.pos GROUP BY x.vec_id
+)
+, scored AS MATERIALIZED (
+  SELECT m.vec_id, round(m.m, 6) AS s6, CAST(y.y AS INT) AS y
+  FROM margin m JOIN y ON y.vec_id = m.vec_id
+)
+, tiled AS (
+  SELECT s6, y, ntile(10) OVER (ORDER BY s6 DESC, vec_id ASC) AS decile
+  FROM scored
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(sum(y) * 1.0 / count(*), 6) AS frac_pos6,
+       round(avg(s6), 6) AS mean_margin6
+FROM tiled GROUP BY decile"""
+    )

@@ -25,6 +25,7 @@ from . import (
     metricsq2,
     metricsq3,
     metricsq4,
+    metricsq5,
     patternq,
     pipeline,
     pipeline2,
@@ -257,7 +258,7 @@ _PRIORITY = [
 def all_queries():
     merged = {}
     for mod in (
-        graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, metricsq5, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, pipeline10,
         pipeline11, relational,
     ):
