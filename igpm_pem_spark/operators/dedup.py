@@ -361,3 +361,55 @@ def dedup_clusters(
             ).alias("keep"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, sz_a, sz_b, cont_a6, cont_b6): ASYMMETRIC
+    n-gram containment |A∩B|/|A| (and /|B|) for LSH candidate pairs,
+    kept when either side's containment >= threshold.
+
+    Containment catches what symmetric Jaccard misses: doc A = doc B
+    plus boilerplate scores cont_a ~ 1 while Jaccard ~ |A|/|B| can sit
+    far below any dedup threshold — the copy-with-wrapper pattern that
+    dominates crawled corpora (Broder's original resemblance/containment
+    split). Same plan shape as ``lsh_jaccard_pairs``: banded-LSH
+    candidates (bucket-capped), exact intersection via two id+ngram
+    joins, sizes from one groupBy — no quadratic stage."""
+    pairs = lsh_candidate_pairs(docs, id_col, text_col, max_bucket)
+    g = word_ngrams(docs, n, id_col, text_col).persist()
+    ga = g.select(F.col("doc_id").alias("doc_a"), "ngram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "ngram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "ngram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    out = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill(0, ["n_inter"])
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(F.col("n_inter") / F.col("sz_a"), 6).alias("cont_a6"),
+            F.round(F.col("n_inter") / F.col("sz_b"), 6).alias("cont_b6"),
+        )
+        .where(
+            (F.col("cont_a6") >= threshold) | (F.col("cont_b6") >= threshold)
+        )
+        .localCheckpoint(eager=True)
+    )
+    g.unpersist()
+    return out

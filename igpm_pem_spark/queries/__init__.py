@@ -26,6 +26,7 @@ from . import (
     metricsq3,
     metricsq4,
     metricsq5,
+    metricsq6,
     patternq,
     pipeline,
     pipeline2,
@@ -258,7 +259,7 @@ _PRIORITY = [
 def all_queries():
     merged = {}
     for mod in (
-        graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, metricsq5, patternq, pipeline, pipeline2, pipeline3,
+        graphq, graphq2, metricsq, metricsq2, metricsq3, metricsq4, metricsq5, metricsq6, patternq, pipeline, pipeline2, pipeline3,
         pipeline4, pipeline5, pipeline6, pipeline7, pipeline8, pipeline9, pipeline10,
         pipeline11, relational,
     ):
