@@ -96,6 +96,20 @@ class LineageLog:
             # Linear-plan kernels (pagerank's value/delta steps) commit
             # here directly: their estimate grows additively in digits,
             # which stays harmless for hundreds of supersteps.
+            #
+            # coalesce bounds the checkpointed PARTITION count at the
+            # kernel's declared width: a state plan that unions several
+            # state-derived branches normally ends each branch at a fresh
+            # shuffle (constant width), but a session-level plan change —
+            # e.g. a leaked cached edge subtree giving Catalyst accurate
+            # small stats and flipping a shuffle join to broadcast — makes
+            # branches inherit the carried state's partitioning, and the
+            # per-commit union then grows (×branches)^superstep partitions
+            # (measured as a 3.6M-task stage storm in the onion peel).
+            # Narrow coalesce (no shuffle) is a no-op when width is
+            # already ≤ num_partitions.
+            if num_partitions:
+                state = state.coalesce(num_partitions)
             return state.localCheckpoint(eager=True)
         path = self._state_path(superstep)
         state.write.mode("overwrite").parquet(path)

@@ -87,8 +87,12 @@ def bootstrap_percolation(
             converged = True
             break
         rounds = r
-        active = active.unionByName(
-            frontier.withColumn("round", F.lit(r).cast("long"))
-        ).localCheckpoint(eager=True)
+        # coalesce bounds the union's partition accumulation across
+        # rounds (see lineage.commit_state) — narrow, no shuffle
+        active = (
+            active.unionByName(frontier.withColumn("round", F.lit(r).cast("long")))
+            .coalesce(num_partitions)
+            .localCheckpoint(eager=True)
+        )
         counts = counts.where(F.col("c") < threshold).localCheckpoint(eager=True)
     return CascadeResult(activated=active, rounds=rounds, converged=converged)

@@ -53,7 +53,18 @@ def halo_partitions(
     edge rows included — ``create_overlap`` (overlap.py:8-46) for all
     partitions at once, as ``depth`` joins instead of a per-partition
     DFS. ``src_owned`` marks rows whose src the partition owns (the only
-    vertices whose results a consumer keeps)."""
+    vertices whose results a consumer keeps).
+
+    The returned halo is MATERIALIZED (eager localCheckpoint) and every
+    build-time cache is released before returning: the build persists its
+    ``sym``/``ball`` intermediates, and leaving them registered in the
+    session's CacheManager after the build would silently substitute the
+    cached ``simple_edges`` subtree into LATER queries' plans — with
+    accurate in-memory stats, Catalyst then flips their shuffle joins to
+    broadcast, and any superstep loop whose state unions several
+    state-derived branches inherits (×branches)^round partition growth
+    (measured: the onion peel went 24 s → 3.6M-task stage storm at
+    sf0.01). A built artifact must not leak planner state."""
     if depth < 1:
         raise ValueError(f"halo_partitions: depth must be >= 1, got {depth}")
     sym = simple_edges(edges, directed=False).persist()
@@ -88,7 +99,10 @@ def halo_partitions(
             ),
         )
         .repartition(num_partitions, "part")
+        .localCheckpoint(eager=True)
     )
+    ball.unpersist()
+    sym.unpersist()
     return halo
 
 

@@ -338,8 +338,16 @@ def onion_layers(
             # in-memory: skip the full-state stats job AND the per-round
             # peeled count (both measured against the peel loop); the
             # per-round counts are recovered post-loop from the final
-            # state's layer column in one aggregate
-            state = new_state.localCheckpoint(eager=False)
+            # state's layer column in one aggregate.
+            # coalesce BOUNDS the checkpointed partition count: new_state
+            # unions three state-derived branches, so if a session-level
+            # plan change (e.g. a cached edge subtree flipping the deg
+            # join to broadcast) makes those branches inherit state's
+            # partitioning instead of ending at a fresh shuffle, the
+            # un-coalesced union grows 3^round partitions — a measured
+            # 3.6M-task stage storm by round 13. Narrow coalesce (no
+            # shuffle) pins it at num_partitions every round.
+            state = new_state.coalesce(num_partitions).localCheckpoint(eager=False)
         alive_next = state.where(F.col("layer").isNull()).select("id")
         deg.unpersist()
         e = (

@@ -144,7 +144,9 @@ def minimum_spanning_forest(
         new_edges = sel.select("a", "b", "w").distinct()
         chosen_counts.append(new_edges.count())
         forest = new_edges if forest is None else forest.unionByName(new_edges)
-        forest = forest.localCheckpoint(eager=False)
+        # coalesce bounds the union's partition accumulation across
+        # Boruvka rounds (see lineage.commit_state) — narrow, no shuffle
+        forest = forest.coalesce(num_partitions).localCheckpoint(eager=False)
         # merge on the component graph — one edge per choosing component
         merge = connected_components(
             spark,

@@ -88,3 +88,57 @@ def test_halo_depth_validation(spark):
 
     with pytest.raises(ValueError):
         halo_partitions(e, num_partitions=4, depth=0)
+
+
+def test_halo_build_leaves_no_registered_caches(spark):
+    """halo_partitions persists sym/ball intermediates during the build;
+    they must be RELEASED before it returns. A cache left registered in
+    the CacheManager is silently substituted into later queries' plans
+    (exact-subtree match on the simple_edges chain), and the accurate
+    in-memory stats flip shuffle joins to broadcast — under which any
+    superstep loop that unions state-derived branches inherits
+    (branches)^round partition growth (the measured halo→onion
+    3.6M-task stage storm). The halo itself must come back materialized
+    so consumers never recompute through the released caches."""
+    spark.catalog.clearCache()
+    e = _edges(spark)
+    halo = halo_partitions(e, num_partitions=4, depth=2)
+    assert halo.count() > 0
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "halo build leaked registered caches"
+
+
+def test_onion_partitions_bounded_under_poisoned_cache(spark):
+    """Run the onion peel with the symmetrized-edge subtree CACHED in the
+    session (what a leaky earlier query would leave behind): the
+    state's checkpointed partition count must stay pinned at
+    num_partitions every round — the coalesce bound in the in-memory
+    commit path — instead of inheriting broadcast-join partitioning and
+    growing 3^round."""
+    import networkx as nx
+
+    from igpm_pem_spark.operators.graph import simple_edges
+
+    g = nx.barabasi_albert_graph(200, 3, seed=7)
+    df = _pairs_df(spark, list(g.edges()))
+    # poison: register the exact simple_edges subtree the kernel builds
+    poisoned = simple_edges(df, directed=False)
+    poisoned.persist().count()
+    try:
+        from igpm_pem_spark.operators.kcore import onion_layers
+
+        res = onion_layers(spark, df, num_partitions=4)
+        assert res.converged
+        assert res.layers.rdd.getNumPartitions() <= 4
+        want = nx.onion_layers(g)
+        got = {r["id"]: r["layer"] for r in res.layers.collect()}
+        assert got == dict(want)
+    finally:
+        poisoned.unpersist()
+        spark.catalog.clearCache()
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src BIGINT, dst BIGINT"
+    )

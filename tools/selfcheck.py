@@ -159,6 +159,14 @@ def main() -> int:
         ok = results[name]["hash_match"] in (True, None) and results[name]["err"] is None
         n_bad += 0 if ok else 1
         print(f"{'PASS' if ok else 'FAIL'} {name} ({results[name]['sec']}s)", flush=True)
+        # cache hygiene between queries (same as bench's manifest loop):
+        # a query that leaks a registered cache poisons LATER queries'
+        # plans via CacheManager subtree substitution — accurate
+        # in-memory stats flip shuffle joins to broadcast and superstep
+        # unions then inherit exploding partition counts (the measured
+        # halo→onion 3.6M-task storm); clearing also keeps per-query
+        # timings memory-pressure-independent
+        spark.catalog.clearCache()
 
     out = args.out or os.path.join(REPO, "SELFCHECK.json")
     payload = {
