@@ -738,3 +738,59 @@ def bm25_topk(
     )
     out = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25_6"))
     return out.orderBy(F.col("bm25_6").desc(), "doc_id").limit(k)
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, novel_frac): per-document n-gram novelty vs
+    the earlier corpus — the share of the doc's DISTINCT word n-grams
+    whose corpus-wide first appearance (min doc_id) is the doc itself.
+    The curation signal behind "how much does this shard add": crawl
+    snapshots re-fetch mostly old text, and a low novel_frac tail is
+    exactly what a dedup-aware mixer downweights (cf. the containment
+    view in doc_containment, which compares PAIRS; novelty ranks each
+    doc against everything before it).
+
+    Scale shape: shingling is row-local (slice over the word array — no
+    explode until the shingle rows, no per-row Python); the only
+    shuffles are one groupBy over distinct (shingle → min doc_id) and
+    one shingle-keyed join back. novel_frac is a single exact-integer
+    division. Docs with fewer than n words have no shingles and are
+    absent, as in the SQL mirror."""
+    if n < 1:
+        raise ValueError("ngram_novelty: n must be >= 1")
+    xs = _word_array(text_col)
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size(xs) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(xs) - (n - 1)),
+                            lambda i: F.concat_ws(" ", F.slice(xs, i, n)),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("g"),
+        )
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novel_frac"),
+        )
+    )

@@ -260,3 +260,174 @@ def voterank(spark: SparkSession, edges: DataFrame, k: int = 3) -> DataFrame:
     return spark.createDataFrame(
         winners, "rank long, id long, score_scaled long"
     )
+
+
+def edge_betweenness_seeded(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_seeds: int = 5,
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """(u, v, ebc): bounded-distance Brandes EDGE betweenness from the
+    ``n_seeds`` lowest-id vertices — the Girvan-Newman splitting score,
+    truncated to shortest paths of length ≤ ``max_hops``.
+
+    Same forward pass as ``betweenness_seeded`` (levels of
+    (sid, v, sigma) with exact integer path counts); the backward pass
+    accumulates the PER-DAG-EDGE dependency
+    c(v→w) = σ(v)/σ(w) · (1 + δ(w)) for every BFS-DAG edge between
+    consecutive levels — including the seed's own level-0→1 edges,
+    which the vertex variant never materializes (δ at a seed is
+    undefined, but its incident edges still carry flow). Undirected
+    edges are canonicalized to (least, greatest) before the final sum
+    over seeds, so a pair traversed in opposite directions from two
+    different seeds accumulates into one row.
+
+    Scale shape: identical to the vertex kernel — every step an
+    equi-join on (seed, vertex) + groupBy-sum over the seeds'
+    ≤max_hops neighborhoods; the edge terms are the pre-aggregation
+    rows the vertex kernel already forms, grouped by (v, w) instead of
+    v. Reference tie-in: the edge-removal ordering of Girvan-Newman
+    community splitting, the classic complement to the reference's LPA
+    communities (patternmatching/gray/extract.py proximity scoring)."""
+    if max_hops < 1:
+        raise ValueError("edge_betweenness_seeded: max_hops must be >= 1")
+    sym = _sym(edges, directed).persist()
+    seeds = vertex_ids(sym).orderBy("id").limit(n_seeds)
+    lev0 = seeds.select(
+        F.col("id").alias("sid"), F.col("id").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+
+    levels = [lev0]
+    visited = lev0.select("sid", "v")
+    for _ in range(max_hops):
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(sym.withColumnRenamed("src", "v"), "v")
+            .select("sid", F.col("dst").alias("v"), "sigma")
+            .join(visited, ["sid", "v"], "left_anti")
+            .groupBy("sid", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("sid", "v"))
+
+    # backward: vertex deltas per level (as the vertex kernel) plus the
+    # per-DAG-edge terms, walked one level further down to the seeds
+    edge_terms = []
+    succ_delta = None  # (sid, v, w_sigma, delta) of the level outside
+    for ell in range(len(levels) - 1, -1, -1):
+        lev = levels[ell]
+        if succ_delta is None:
+            cur = lev.select("sid", "v", F.lit(0.0).alias("delta"))
+        else:
+            outer = succ_delta.withColumnRenamed("v", "w")
+            per_edge = (
+                lev.join(
+                    sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                    "v",
+                )
+                .join(outer, ["sid", "w"])
+                .select(
+                    "sid", "v", "w",
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("w_sigma").cast("double")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("d"),
+                )
+            )
+            edge_terms.append(per_edge.select("v", "w", "d"))
+            contrib = per_edge.groupBy("sid", "v").agg(F.sum("d").alias("delta"))
+            cur = (
+                lev.select("sid", "v")
+                .join(contrib, ["sid", "v"], "left")
+                .select("sid", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            )
+        if ell == 0:
+            break
+        succ_delta = (
+            lev.select("sid", "v", F.col("sigma").alias("w_sigma"))
+            .join(cur.select("sid", "v", "delta"), ["sid", "v"])
+            .localCheckpoint(eager=True)
+        )
+
+    if not edge_terms:
+        out = spark.createDataFrame([], "u BIGINT, v BIGINT, ebc DOUBLE")
+    else:
+        alle = edge_terms[0]
+        for t in edge_terms[1:]:
+            alle = alle.unionByName(t)
+        if not directed:
+            alle = alle.select(
+                F.least("v", "w").alias("v"),
+                F.greatest("v", "w").alias("w"),
+                "d",
+            )
+        out = (
+            alle.groupBy(F.col("v").alias("u"), F.col("w").alias("v"))
+            .agg(F.sum("d").alias("ebc"))
+            .localCheckpoint(eager=True)
+        )
+    for lv in levels[1:]:
+        lv.unpersist()
+    sym.unpersist()
+    return out
+
+
+def dominating_set_greedy(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 5,
+    directed: bool = False,
+) -> DataFrame:
+    """(rank, id, gain): the first ``k`` picks of the classic greedy
+    dominating-set heuristic (ln-n–approximate): each round elect the
+    vertex whose CLOSED neighborhood covers the most still-uncovered
+    vertices (tie → lower id), then mark that neighborhood covered.
+    Rounds end early once everything is covered (later ranks are simply
+    absent, identically in the SQL oracle).
+
+    Control flow is exact-integer throughout (gains are counts, the
+    argmax is (gain desc, id asc)) so the trajectory is engine-exact.
+    Each round is one join of the closed-neighborhood relation against
+    the uncovered set + a groupBy-count + a 1-row argmax probe — work
+    ∝ |uncovered frontier|, the same shrinking-active-set shape as the
+    k-core peel. Reference tie-in: the coverage flavor of the
+    reference's seed selection for partitioned matching
+    (patternmatching/subgraph/divide.py greedy assignment)."""
+    if k < 1:
+        raise ValueError("dominating_set_greedy: k must be >= 1")
+    sym = _sym(edges, directed)
+    verts = vertex_ids(sym)
+    # closed neighborhood: every (id, covers) edge plus the self-loop
+    nbr = (
+        sym.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+        .unionByName(verts.select("id", F.col("id").alias("nb")))
+        .distinct()
+        .persist()
+    )
+    uncovered = verts.select(F.col("id").alias("nb")).localCheckpoint(eager=True)
+    picks: list[tuple[int, int, int]] = []
+    for rnd in range(1, k + 1):
+        gain = (
+            nbr.join(uncovered, "nb")
+            .groupBy("id")
+            .agg(F.count("*").alias("gain"))
+        )
+        w = gain.orderBy(F.col("gain").desc(), F.col("id")).first()
+        if w is None:
+            break
+        picks.append((rnd, int(w.id), int(w.gain)))
+        covered = nbr.where(F.col("id") == int(w.id)).select("nb")
+        uncovered = uncovered.join(covered, "nb", "left_anti").localCheckpoint(
+            eager=True
+        )
+    nbr.unpersist()
+    return spark.createDataFrame(picks, "rank LONG, id LONG, gain LONG")

@@ -833,7 +833,11 @@ def _q_betweenness(spark, sf_dir):
     ).select("id", F.round("bc", 6).alias("bc6"))
 
 
-_BETWEENNESS_SQL = """
+# shared truncated-Brandes CTE chain (5 seeds, 3 hops): forward levels
+# l0..l3 with exact integer sigma, backward vertex deltas d2/d1 — the
+# prefix both the vertex query below and metricsq8's edge-betweenness
+# oracle build on.
+_BRANDES_CTES = """
 , verts AS (SELECT DISTINCT src AS id FROM sym)
 , seeds AS (SELECT id FROM verts ORDER BY id LIMIT 5)
 , l0 AS (SELECT id AS sid, id AS v, CAST(1 AS BIGINT) AS sigma FROM seeds)
@@ -873,6 +877,9 @@ _BETWEENNESS_SQL = """
   SELECT sid, v FROM l1 UNION SELECT sid, v FROM l2 UNION SELECT sid, v FROM l3)
 , dd AS (
   SELECT sid, v, delta FROM d1 UNION ALL SELECT sid, v, delta FROM d2)
+"""
+
+_BETWEENNESS_SQL = _BRANDES_CTES + """
 SELECT a.v AS id, round(sum(coalesce(dd.delta, 0.0)), 6) AS bc6
 FROM allv a LEFT JOIN dd ON dd.sid = a.sid AND dd.v = a.v
 GROUP BY a.v
