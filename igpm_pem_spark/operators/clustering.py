@@ -216,3 +216,66 @@ def silhouette_by_cluster(
             F.round(F.avg("s"), 6).alias("silhouette6"),
         )
     )
+
+
+def kcenter_greedy_int8(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, d2sel): Gonzalez greedy k-center (farthest-point
+    traversal, the classic 2-approximation and the deterministic
+    seeding a production k-means++/IVF build uses when reproducibility
+    is contractual) — run over the INT8-QUANTIZED grid so the entire
+    trajectory is exact-integer: distances are Σ(qa−qb)² BIGINT sums
+    (order-free), the argmax ties to the lower vec_id, and no float
+    comparison can diverge between engines or between runs. d2sel is
+    the point's min-distance-to-centers at the moment it was chosen
+    (0 for the first center, the min-id vector) — the covering-radius²
+    curve, monotone non-increasing, the stopping signal a caller uses
+    to pick k.
+
+    Scale shape: each round is ONE scan computing/folding the running
+    min distance against the newly added center (broadcast as a
+    literal) — O(k·N·dim) with no shuffle at all; the argmax is a
+    1-row probe. The int8 grid is what the corpus already stores at
+    100 TB (quantize_int8), so this reads the compressed form, not the
+    raw floats."""
+    from .similarity import quantize_int8
+
+    if k < 1:
+        raise ValueError("kcenter_greedy_int8: k must be >= 1")
+    q = (
+        quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", F.transform("qv", lambda x: x.cast("long")).alias("qv"))
+        .persist()
+    )
+    first = q.orderBy("vec_id").first()
+    if first is None:
+        q.unpersist()
+        raise ValueError("kcenter_greedy_int8: input is empty")
+
+    def _d2(center_vals: list[int]):
+        c = F.array(*[F.lit(int(x)).cast("long") for x in center_vals])
+        return F.aggregate(
+            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    picks: list[tuple[int, int, int]] = [(1, int(first.vec_id), 0)]
+    dmin = q.select("vec_id", "qv", _d2(list(first.qv)).alias("dmin"))
+    for rnd in range(2, k + 1):
+        dmin = dmin.localCheckpoint(eager=True)
+        w = dmin.orderBy(F.col("dmin").desc(), "vec_id").first()
+        if w is None or int(w.dmin) == 0:
+            break  # all points coincide with a center — k-center is done
+        picks.append((rnd, int(w.vec_id), int(w.dmin)))
+        dmin = dmin.select(
+            "vec_id", "qv",
+            F.least(F.col("dmin"), _d2(list(w.qv))).alias("dmin"),
+        )
+    q.unpersist()
+    return spark.createDataFrame(picks, "rank LONG, vec_id LONG, d2sel LONG")
