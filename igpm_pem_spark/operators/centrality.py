@@ -431,3 +431,59 @@ def dominating_set_greedy(
         )
     nbr.unpersist()
     return spark.createDataFrame(picks, "rank LONG, id LONG, gain LONG")
+
+
+def hitting_time_truncated(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_hubs: int = 5,
+    iters: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, h): ``iters``-step truncated expected hitting time of the
+    simple random walk to the absorbing hub set (the ``n_hubs``
+    top-degree vertices, ties → lower id) — the absorbing-walk
+    complement of the RWR proximity family: low h = structurally close
+    to the core, h saturating at the horizon = peripheral. Value
+    iteration from h₀ ≡ 0:
+
+        h_{t+1}(v) = 0                       for hubs
+                   = 1 + (Σ_{u∈N(v)} h_t(u)) / deg(v)   otherwise
+
+    which converges monotonically from below to the true expected
+    hitting time (∞ for vertices in hubless components — those keep
+    climbing ≈ t, exactly like the matrix geometric series truncated at
+    t terms). Each round is ONE message-passing join keyed on the same
+    shuffle key as PageRank; the hub probe is a 5-row argmax."""
+    if n_hubs < 1 or iters < 1:
+        raise ValueError("hitting_time_truncated: n_hubs and iters must be >= 1")
+    sym = _sym(edges, directed).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    ).persist()
+    hubs = [
+        int(r.id)
+        for r in deg.orderBy(F.col("d").desc(), "id").limit(n_hubs).collect()
+    ]
+    h = deg.select("id", F.lit(0.0).alias("h"))
+    for _ in range(iters):
+        s = (
+            sym.join(
+                h.select(F.col("id").alias("dst"), F.col("h").alias("nh")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("nh").alias("s"))
+        )
+        h = (
+            deg.join(s, "id")
+            .select(
+                "id",
+                F.when(F.col("id").isin(hubs), F.lit(0.0))
+                .otherwise(F.lit(1.0) + F.col("s") / F.col("d"))
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sym.unpersist()
+    deg.unpersist()
+    return h
