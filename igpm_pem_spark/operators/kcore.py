@@ -366,3 +366,64 @@ def onion_layers(
     res = OnionResult(out, rounds, converged, peeled)
     res.resumed_from = resumed_from
     return res
+
+
+def s_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    s: int,
+    *,
+    weight_col: str = "w",
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> KCoreResult:
+    """Weighted (s-core / strength-core) peel: repeatedly remove
+    vertices whose total incident edge WEIGHT is < ``s`` until stable —
+    Eidsaa-Almaas s-core decomposition, the multiplicity-aware core the
+    unweighted k-core cannot see (a vertex with 3 heavy co-occurrence
+    edges survives where one with 30 singletons falls out). Weights
+    must be integers (co-occurrence counts here) so every peel decision
+    is an exact-integer compare — no float threshold can diverge
+    between engines or partitionings.
+
+    Same shrinking-active-set shape as ``k_core``: per round one
+    weighted-degree aggregation + two semi-joins on the survivors; work
+    ∝ the surviving edge set, which only shrinks."""
+    if num_partitions is None:
+        num_partitions = kernel_nparts(edges)
+    e = (
+        edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+        .repartition(num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    # symmetrize with weights (simple_edges drops weight columns)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    peeled: list[int] = []
+    converged = False
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        wdeg = (
+            sym.repartition(num_partitions, "src")
+            .groupBy("src")
+            .agg(F.sum("w").alias("wd"))
+            .persist()
+        )
+        keep = wdeg.where(F.col("wd") >= s).select(F.col("src").alias("id"))
+        drop_cnt = wdeg.where(F.col("wd") < s).count()
+        peeled.append(int(drop_cnt))
+        if drop_cnt == 0:
+            wdeg.unpersist()
+            converged = True
+            break
+        sym = (
+            sym.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst", "w")
+            .localCheckpoint(eager=True)
+        )
+        wdeg.unpersist()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    return KCoreResult(verts, sym, rounds, converged, peeled)
