@@ -39,8 +39,14 @@ def duck():
 
 # exactness baselines documented as subset-guarded quadratic plans — the
 # only queries allowed a cartesian/nested-loop join (emb_knn_label_acc
-# votes over the exact cosine_topk subset baseline)
-_CROSSJOIN_OK = {"emb_cosine_topk", "emb_near_dup_pairs", "emb_knn_label_acc"}
+# votes over the exact cosine_topk subset baseline; emb_dist_histogram_int8
+# is the declared concentration audit over the same guarded subset)
+_CROSSJOIN_OK = {
+    "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_knn_label_acc",
+    "emb_dist_histogram_int8",
+}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
