@@ -1283,7 +1283,7 @@ QUERIES["graph_halo_2hop"] = (
 
 
 # ---- onion decomposition (peel-layer index) ---------------------------
-ONION_ORACLE_ROUNDS = 24
+ONION_ORACLE_ROUNDS = 36  # sf0.1 peels in 28 rounds; margin for larger SFs
 
 
 def _q_onion(spark, sf_dir):
