@@ -119,3 +119,94 @@ def test_prop_sssp_matches_networkx(pairs):
     got = {r.id: r.dist for r in res.distances.collect()}
     want = nx.single_source_dijkstra_path_length(g, src, weight="weight")
     assert got == pytest.approx(want)
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_dominating_greedy_matches_python(pairs):
+    from igpm_pem_spark.operators.centrality import dominating_set_greedy
+
+    g = _g(pairs)
+    if g.number_of_edges() == 0:
+        return
+    got = [
+        (r.rank, r.id, r.gain)
+        for r in dominating_set_greedy(_spark, _df(pairs), k=4)
+        .orderBy("rank").collect()
+    ]
+    # kernel universe is every edge endpoint INCLUDING loop-only vertices
+    # (multigraph model); loops add nothing to closed neighborhoods
+    univ = {v for e in pairs for v in e}
+    closed = {v: ({v} | set(g[v]) if v in g else {v}) for v in univ}
+    uncovered = set(univ)
+    want = []
+    for rnd in range(1, 5):
+        gains = {v: len(closed[v] & uncovered) for v in univ}
+        gains = {v: x for v, x in gains.items() if x > 0}
+        if not gains:
+            break
+        pick = min(gains, key=lambda v: (-gains[v], v))
+        want.append((rnd, pick, gains[pick]))
+        uncovered -= closed[pick]
+    assert got == want
+
+
+@PROP
+@given(pairs=edge_lists, s=st.integers(1, 5))
+def test_prop_s_core_matches_python(pairs, s):
+    from igpm_pem_spark.operators.kcore import s_core
+
+    # multiplicity-weighted: parallel (a,b) entries fold into weight
+    from collections import Counter
+
+    w = Counter(
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    )
+    if not w:
+        return
+    wdf = _spark.createDataFrame(
+        [(int(a), int(b), int(c)) for (a, b), c in w.items()],
+        "src BIGINT, dst BIGINT, w BIGINT",
+    )
+    got = {r.id for r in s_core(_spark, wdf, s=s).vertices.collect()}
+    from collections import defaultdict
+
+    adj = defaultdict(dict)
+    for (a, b), c in w.items():
+        adj[a][b] = c
+        adj[b][a] = c
+    alive = set(adj)
+    while True:
+        drop = {
+            v for v in alive
+            if sum(adj[v][u] for u in adj[v] if u in alive) < s
+        }
+        if not drop:
+            break
+        alive -= drop
+    assert got == alive
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_edge_betweenness_seed_sums(pairs):
+    """Σ over edges of EBC equals Σ over (seed, target≤3 hops) of the
+    path length — every unit of dependency lies on exactly dist(s,t)
+    edges (Brandes flow conservation, truncated)."""
+    from igpm_pem_spark.operators.centrality import edge_betweenness_seeded
+
+    g = _g(pairs)
+    if g.number_of_edges() == 0:
+        return
+    rows = edge_betweenness_seeded(_spark, _df(pairs), n_seeds=3, max_hops=3).collect()
+    total = sum(r.ebc for r in rows)
+    # seed pool is the kernel's vertex universe (loop-only vertices
+    # included; their BFS reaches nothing and contributes 0)
+    univ = sorted({v for e in pairs for v in e})
+    want = 0
+    for s in univ[:3]:
+        if s not in g:
+            continue
+        dist = nx.single_source_shortest_path_length(g, s, cutoff=3)
+        want += sum(d for t, d in dist.items() if t != s)
+    assert abs(total - want) < 1e-6
