@@ -210,3 +210,102 @@ def test_prop_edge_betweenness_seed_sums(pairs):
         dist = nx.single_source_shortest_path_length(g, s, cutoff=3)
         want += sum(d for t, d in dist.items() if t != s)
     assert abs(total - want) < 1e-6
+
+
+@PROP
+@given(pairs=edge_lists)
+def test_prop_hitting_time_matches_value_iteration(pairs):
+    from igpm_pem_spark.operators.centrality import hitting_time_truncated
+
+    g = _g(pairs)
+    if g.number_of_edges() == 0:
+        return
+    got = {r.id: r.h for r in hitting_time_truncated(
+        _spark, _df(pairs), n_hubs=2, iters=4
+    ).collect()}
+    # replica models the kernel's MULTIGRAPH view exactly: symmetrize()
+    # keeps parallel rows (each weights the neighbor sum) and emits a
+    # self-loop twice; degree is the sym row count, not the simple degree
+    from collections import Counter
+
+    univ = {v for e in pairs for v in e}
+    mult = Counter()
+    for a, b in pairs:
+        if a == b:
+            mult[(a, a)] += 2
+        else:
+            mult[(min(a, b), max(a, b))] += 1
+    deg = {v: 0 for v in univ}
+    nbrs = {v: set() for v in univ}
+    for (a, b), c in mult.items():
+        if a == b:
+            deg[a] += c
+            nbrs[a] |= {a}
+        else:
+            deg[a] += c
+            deg[b] += c
+            nbrs[a] |= {b}
+            nbrs[b] |= {a}
+    hubs = set(sorted(univ, key=lambda v: (-deg[v], v))[:2])
+    h = {v: 0.0 for v in univ}
+    for _ in range(4):
+        nh = {}
+        for v in univ:
+            if v in hubs:
+                nh[v] = 0.0
+            else:
+                s = sum(
+                    mult[(min(v, u), max(v, u))] * h[u]
+                    for u in nbrs[v]
+                )
+                nh[v] = 1.0 + s / deg[v]
+        h = nh
+    assert set(got) == set(univ)
+    for v in univ:
+        assert abs(got[v] - h[v]) < 1e-9, (v, got[v], h[v])
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-50, 50), min_size=3, max_size=3),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_prop_kcenter_int8_matches_python(vecs):
+    import math
+
+    from igpm_pem_spark.operators.clustering import kcenter_greedy_int8
+
+    emb = _spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = [(r.rank, r.vec_id, r.d2sel)
+           for r in kcenter_greedy_int8(_spark, emb, k=4).orderBy("rank").collect()]
+
+    def quant(v):
+        am = max(abs(x) for x in v)
+        if am <= 0:
+            return [0] * len(v)
+        s = 127.0 / am
+        return [math.floor(x * s + 0.5) for x in v]
+
+    qv = {i: quant([float(x) for x in v]) for i, v in enumerate(vecs)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    first = min(qv)
+    want = [(1, first, 0)]
+    dmin = {i: d2(qv[i], qv[first]) for i in qv}
+    for rnd in range(2, 5):
+        far = min(dmin, key=lambda i: (-dmin[i], i))
+        if dmin[far] == 0:
+            break
+        want.append((rnd, far, dmin[far]))
+        for i in qv:
+            dmin[i] = min(dmin[i], d2(qv[i], qv[far]))
+    assert got == want
