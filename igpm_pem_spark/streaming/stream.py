@@ -748,3 +748,142 @@ def cms_counters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@dataclass
+class NewReturningState:
+    """Driver-held state for the new-vs-returning daily split."""
+
+    user_days: DataFrame | None = None   # distinct (user_id, day) seen
+    first_seen: DataFrame | None = None  # (user_id, first_day)
+    counts: DataFrame | None = None      # (day, n_new, n_returning)
+    batches: int = 0
+    corrections: int = 0  # late-data first-day reclassifications applied
+
+
+def new_returning_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: str = (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ),
+    checkpoint_dir: str | None = None,
+) -> tuple["object", NewReturningState]:
+    """Streaming face of ``rel_new_returning_daily``: maintain the daily
+    new-vs-returning active-user split incrementally over event-file
+    micro-batches, with LATE-DATA CORRECTION — if a bucket delivers a
+    day EARLIER than a user's recorded first-seen day, the old first
+    day's 'new' credit is reclassified to 'returning' and the earlier
+    day takes it (exactly the monotone first-seen semantics the batch
+    query computes over the full table, regardless of arrival order).
+
+    Per batch the work is: one distinct over the bucket, one anti-join
+    against the seen (user, day) relation, one user-keyed min + join
+    against the first-seen relation, and a day-cardinality counter
+    merge — work ∝ bucket, state ∝ active (user, day) pairs, the PEM
+    discipline applied to engagement accounting. Everything is count
+    arithmetic; the final counts equal the batch query bit-for-bit.
+    """
+    state = NewReturningState()
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bd = (
+            batch_df.select("user_id", F.to_date("ts").alias("day"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if bd.rdd.isEmpty():
+            return
+        state.batches += 1
+        if state.user_days is None:
+            novel = bd
+        else:
+            novel = bd.join(state.user_days, ["user_id", "day"], "left_anti")
+        novel = novel.localCheckpoint(eager=True)
+        if novel.rdd.isEmpty():
+            return
+        state.user_days = (
+            novel if state.user_days is None
+            else state.user_days.unionByName(novel)
+        ).localCheckpoint(eager=True)
+
+        nf = novel.groupBy("user_id").agg(F.min("day").alias("bmin"))
+        if state.first_seen is None:
+            merged = nf.select(
+                "user_id", F.col("bmin").alias("first_day"),
+                F.lit(None).cast("date").alias("old_first"),
+            )
+        else:
+            merged = (
+                nf.join(state.first_seen, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.when(
+                        F.col("bmin").isNotNull()
+                        & (
+                            F.col("first_day").isNull()
+                            | (F.col("bmin") < F.col("first_day"))
+                        ),
+                        F.col("bmin"),
+                    )
+                    .otherwise(F.col("first_day"))
+                    .alias("first_day"),
+                    # a correction happened when an EXISTING first day was beaten
+                    F.when(
+                        F.col("bmin").isNotNull()
+                        & F.col("first_day").isNotNull()
+                        & (F.col("bmin") < F.col("first_day")),
+                        F.col("first_day"),
+                    ).alias("old_first"),
+                )
+            )
+        merged = merged.localCheckpoint(eager=True)
+        state.first_seen = merged.select("user_id", "first_day").localCheckpoint(
+            eager=True
+        )
+
+        # counter deltas: novel pairs classified against the FINAL first
+        # day, plus reclassification of beaten first days
+        classified = (
+            novel.join(state.first_seen, "user_id")
+            .select(
+                "day",
+                (F.col("day") == F.col("first_day")).cast("long").alias("n_new"),
+                (F.col("day") != F.col("first_day")).cast("long").alias(
+                    "n_returning"
+                ),
+            )
+        )
+        corr = merged.where(F.col("old_first").isNotNull()).select(
+            F.col("old_first").alias("day"),
+            F.lit(-1).cast("long").alias("n_new"),
+            F.lit(1).cast("long").alias("n_returning"),
+        )
+        n_corr = corr.count()
+        state.corrections += int(n_corr)
+        delta = classified.unionByName(corr)
+        merged_counts = (
+            delta if state.counts is None
+            else state.counts.unionByName(delta)
+        )
+        state.counts = (
+            merged_counts.groupBy("day")
+            .agg(
+                F.sum("n_new").cast("bigint").alias("n_new"),
+                F.sum("n_returning").cast("bigint").alias("n_returning"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    return query, state

@@ -395,3 +395,49 @@ def test_cms_counters_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected and sum(got.values()) == 4 * 8  # 8 tokens × depth 4
+
+
+def test_new_returning_stream_matches_batch_with_late_days(spark, tmp_path):
+    """Out-of-order arrival: the LATER half of the days streams first, so
+    users' recorded first-seen days are beaten by the second bucket and
+    the correction path must reclassify — final counts still equal the
+    batch query bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from igpm_pem_spark.queries.metricsq13 import _q_new_returning
+    from igpm_pem_spark.streaming.stream import new_returning_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    days = sorted(r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    mid = days[len(days) // 2]
+
+    src_dir = str(tmp_path / "ev_stream")
+    os.makedirs(src_dir, exist_ok=True)
+    # bucket 1 = LATE half of the calendar first, bucket 2 = early half
+    ev.where(F.to_date("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    ev.where(F.to_date("ts") < F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    query, state = new_returning_stream(
+        spark, src_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    query.awaitTermination(180)
+    query.stop()
+
+    assert state.batches == 2
+    # the reversed delivery MUST have exercised the correction path
+    assert state.corrections > 0
+    got = {
+        str(r.day): (r.n_new, r.n_returning) for r in state.counts.collect()
+    }
+    want = {
+        r.day: (r.n_new, r.n_returning)
+        for r in _q_new_returning(spark, sf).collect()
+    }
+    assert got == want
