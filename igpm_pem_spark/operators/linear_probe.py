@@ -77,9 +77,11 @@ def _fit(
                 - F.col("_y")
             ).alias("_g"),
         )
+        # getItem, not element_at — the dim-wide ElementAt aggregate falls
+        # out of whole-stage codegen (see similarity._pair_cos4)
         row = staged.agg(
             *[
-                F.sum(F.col("_g") * F.element_at(F.col("_x"), d + 1)).alias(f"g{d}")
+                F.sum(F.col("_g") * F.col("_x").getItem(d)).alias(f"g{d}")
                 for d in range(dim)
             ],
             F.sum("_g").alias("gb"),

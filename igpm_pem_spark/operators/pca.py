@@ -63,9 +63,13 @@ def _step_w(emb: DataFrame, dim: int, mu: list[float], v: list[float], vec_col: 
     64-term s tree."""
     c = _centered_expr(dim, mu, vec_col)
     staged = emb.select(c.alias("_c")).select("_c", _dot_expr(F.col("_c"), v).alias("_s"))
+    # 0-based getItem, not 1-based element_at: dim ElementAt nodes in one
+    # codegen'd aggregate blow the method-size limits and drop the stage
+    # to interpreted eval (see similarity._pair_cos4); same NULL
+    # out-of-bounds semantics under non-ANSI SQL, values identical.
     w_row = staged.agg(
         *[
-            F.sum(F.element_at(F.col("_c"), d + 1) * F.col("_s")).alias(f"w{d}")
+            F.sum(F.col("_c").getItem(d) * F.col("_s")).alias(f"w{d}")
             for d in range(dim)
         ]
     ).collect()[0]
@@ -77,7 +81,7 @@ def _power_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
     python float lists (the only driver traffic)."""
     if iters < 1 or dim < 1:
         raise ValueError("pca: iters and dim must be >= 1")
-    xe = [F.element_at(F.col(vec_col), i).cast("double") for i in range(1, dim + 1)]
+    xe = [F.col(vec_col).getItem(i).cast("double") for i in range(dim)]
     mu_row = emb.agg(*[F.avg(xe[d]).alias(f"m{d}") for d in range(dim)]).collect()[0]
     mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
     v = [1.0 / math.sqrt(dim)] * dim

@@ -87,19 +87,23 @@ def _pair_cos4(a: str = "a", b: str = "b", dim: int | None = None):
     so values are bit-identical.
 
     When ``dim`` is known the dot product is UNROLLED into a chain of
-    ``element_at`` multiplies — a plain codegen-able expression instead
-    of a zip_with/aggregate higher-order function, which Catalyst
-    evaluates interpreted with per-element boxing. Over the candidate
-    pair relation (millions of rows per query batch) the unrolled form
-    measured ~3× faster scoring at 19 M pairs × 32 dims. The fold order
-    is preserved exactly — ``(((0.0 + x₁) + x₂) + …)`` — so rounded
-    cosines are bit-identical to the HOF form and the DuckDB oracle."""
+    ordinal ``getItem`` multiplies — a plain codegen-able expression
+    instead of a zip_with/aggregate higher-order function, which Catalyst
+    evaluates interpreted with per-element boxing. ``getItem`` (0-based
+    ``GetArrayItem``), NOT 1-based ``element_at``: ``ElementAt``'s
+    generated code is bulky enough that ~32 occurrences in one projection
+    blow past the codegen method-size limits and drop the whole stage to
+    interpreted eval — measured 28.2 s vs 2.1 s for the same 19 M pairs ×
+    32 dims (r6); both return NULL out of bounds under non-ANSI SQL, so
+    values are identical. The fold order is preserved exactly —
+    ``(((0.0 + x₁) + x₂) + …)`` — so rounded cosines are bit-identical
+    to the HOF form and the DuckDB oracle."""
     if dim is not None:
         dot = F.lit(0.0)
         for i in range(1, dim + 1):
             dot = dot + (
-                F.element_at(F.col(f"emb_{a}"), i)
-                * F.element_at(F.col(f"emb_{b}"), i)
+                F.col(f"emb_{a}").getItem(i - 1)
+                * F.col(f"emb_{b}").getItem(i - 1)
             )
     else:
         dot = F.aggregate(
