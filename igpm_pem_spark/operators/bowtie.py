@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import kernel_nparts
 
 from .scc import strongly_connected_components
@@ -47,25 +48,27 @@ def _reach(
     visited = seeds.select("id").distinct().localCheckpoint(eager=True)
     n_visited = visited.count()
     frontier = visited
-    while True:
-        vis = visited
-        for _ in range(batch):
-            frontier = (
-                edges.join(frontier.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .join(vis, "id", "left_anti")
+    # AQE + codegen off for the BFS loop (see pagerank's loop note)
+    with loop_confs(edges.sparkSession):
+        while True:
+            vis = visited
+            for _ in range(batch):
+                frontier = (
+                    edges.join(frontier.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(vis, "id", "left_anti")
+                )
+                vis = vis.unionByName(frontier)
+            vis = (
+                vis.repartition(num_partitions, "id").localCheckpoint(eager=True)
             )
-            vis = vis.unionByName(frontier)
-        vis = (
-            vis.repartition(num_partitions, "id").localCheckpoint(eager=True)
-        )
-        n_now = vis.count()
-        if n_now == n_visited:
-            return visited
-        # next batch expands from everything newly discovered this batch
-        frontier = vis.join(visited, "id", "left_anti")
-        visited, n_visited = vis, n_now
+            n_now = vis.count()
+            if n_now == n_visited:
+                return visited
+            # next batch expands from everything newly discovered this batch
+            frontier = vis.join(visited, "id", "left_anti")
+            visited, n_visited = vis, n_now
 
 
 @dataclass

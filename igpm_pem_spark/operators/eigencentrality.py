@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import kernel_nparts, simple_edges
 
 
@@ -55,16 +56,18 @@ def eigenvector_centrality(
         )
     ).repartition(num_partitions, "src").persist()
     state = ids.withColumn("val", F.lit(1.0)).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        msgs = me.join(
-            state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-        ).select("dst", (F.col("val") * F.col("w")).alias("m"))
-        state = (
-            msgs.repartition(num_partitions, "dst")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("m").alias("val"))
-            .localCheckpoint(eager=True)
-        )
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(max_iter):
+            msgs = me.join(
+                state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            ).select("dst", (F.col("val") * F.col("w")).alias("m"))
+            state = (
+                msgs.repartition(num_partitions, "dst")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("m").alias("val"))
+                .localCheckpoint(eager=True)
+            )
     me.unpersist()
     total = state.agg(F.sum("val")).first()[0]
     if not total:

@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import kernel_nparts, simple_edges
 
 
@@ -97,18 +98,20 @@ def hits(
         .withColumn("val", F.lit(1.0))
         .localCheckpoint(eager=True)
     )
-    for step in range(max_iter):
-        msgs = bm.join(
-            state.hint("shuffle_hash"),
-            (bm["fid"] == state["id"]) & (bm["fs"] == state["side"]),
-        ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
-        state = (
-            msgs.repartition(num_partitions, "tid", "ts")
-            .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
-            .agg(F.sum("m").alias("val"))
-        )
-        # truncate the iterative lineage each superstep (tiny state table)
-        state = state.localCheckpoint(eager=True)
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(edges.sparkSession):
+        for step in range(max_iter):
+            msgs = bm.join(
+                state.hint("shuffle_hash"),
+                (bm["fid"] == state["id"]) & (bm["fs"] == state["side"]),
+            ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
+            state = (
+                msgs.repartition(num_partitions, "tid", "ts")
+                .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
+                .agg(F.sum("m").alias("val"))
+            )
+            # truncate the iterative lineage each superstep (tiny state)
+            state = state.localCheckpoint(eager=True)
     bm.unpersist()
     totals = state.groupBy("side").agg(F.sum("val").alias("s"))
     norm = state.join(F.broadcast(totals), "side").select(
@@ -185,17 +188,18 @@ def salsa(
         .withColumn("val", F.lit(1.0))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        msgs = bm.join(
-            state.hint("shuffle_hash"),
-            (bm["fid"] == state["id"]) & (bm["fs"] == state["side"]),
-        ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
-        state = (
-            msgs.repartition(num_partitions, "tid", "ts")
-            .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
-            .agg(F.sum("m").alias("val"))
-        )
-        state = state.localCheckpoint(eager=True)
+    with loop_confs(edges.sparkSession):
+        for _ in range(max_iter):
+            msgs = bm.join(
+                state.hint("shuffle_hash"),
+                (bm["fid"] == state["id"]) & (bm["fs"] == state["side"]),
+            ).select("tid", "ts", (F.col("val") * F.col("w")).alias("m"))
+            state = (
+                msgs.repartition(num_partitions, "tid", "ts")
+                .groupBy(F.col("tid").alias("id"), F.col("ts").alias("side"))
+                .agg(F.sum("m").alias("val"))
+            )
+            state = state.localCheckpoint(eager=True)
     bm.unpersist()
     totals = state.groupBy("side").agg(F.sum("val").alias("s"))
     norm = state.join(F.broadcast(totals), "side").select(

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
-from ._superstep import commit_and_stats, edge_partition_counts
+from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
 from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 
 
@@ -99,29 +99,32 @@ def label_propagation(
 
     converged = False
     step = start_step
-    while step < max_iter:
-        t0 = time.time()
-        block = min(steps_per_commit, max_iter - step)
-        new_state, intermediates = state, []
-        for b in range(block):
-            new_state = _lpa_step(new_state, adj, num_partitions)
-            if b < block - 1:
-                # lazy localCheckpoint truncates the LOGICAL plan (lazy
-                # persist only dedupes physically; analysis stays
-                # exponential in block — see pagerank's block loop)
-                new_state = new_state.localCheckpoint(eager=False)
-                intermediates.append(new_state)
-        step += block
-        state, delta, _ = commit_and_stats(
-            log, step - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        for df in intermediates:
-            df.unpersist()
-        if stop_on_stable and delta == 0.0:
-            converged = True
-            break
+    # AQE + codegen off for the loop — fresh plans per superstep make the
+    # driver-serial planning work dominate (see pagerank's loop note)
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            block = min(steps_per_commit, max_iter - step)
+            new_state, intermediates = state, []
+            for b in range(block):
+                new_state = _lpa_step(new_state, adj, num_partitions)
+                if b < block - 1:
+                    # lazy localCheckpoint truncates the LOGICAL plan (lazy
+                    # persist only dedupes physically; analysis stays
+                    # exponential in block — see pagerank's block loop)
+                    new_state = new_state.localCheckpoint(eager=False)
+                    intermediates.append(new_state)
+            step += block
+            state, delta, _ = commit_and_stats(
+                log, step - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            for df in intermediates:
+                df.unpersist()
+            if stop_on_stable and delta == 0.0:
+                converged = True
+                break
     adj.unpersist()
     verts.unpersist()
     result = LabelPropResult(state.select("id", "label"), step, converged, resumed_from)

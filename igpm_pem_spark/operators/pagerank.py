@@ -45,7 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..lineage import LineageLog, SuperstepStats
-from ._superstep import commit_and_stats, edge_partition_counts
+from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
 from .graph import kernel_nparts, partitioned_adjacency, vertex_ids
 
 
@@ -282,53 +282,59 @@ def pagerank(
 
     converged, step = False, max(start_step - 1, 0)
     step = start_step
-    while step < max_iter:
-        t0 = time.time()
-        # unroll up to steps_per_commit supersteps into one lazy plan —
-        # one materialization + one stats job per block instead of per
-        # superstep (driver-side convergence is then checked per block)
-        block = min(steps_per_commit, max_iter - step)
-        new_state, intermediates = state, []
-        for b in range(block):
-            new_state = runner(
-                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps,
-                num_partitions,
-            )
-            if b < block - 1:
-                # lazy LOCAL CHECKPOINT, not lazy persist: a persisted
-                # plan is only deduplicated physically — the analyzer
-                # still walks the full unrolled tree, and _delta_step
-                # references state ~3× per sub-step, so analysis cost
-                # grew ~3^block per commit (measured: block=10 hung the
-                # driver outright). checkpoint(eager=False) truncates
-                # the LOGICAL plan to a LogicalRDD leaf immediately while
-                # still materializing lazily in the commit's single job.
-                new_state = new_state.localCheckpoint(eager=False)
-                intermediates.append(new_state)
-        step += block
-        if tol <= 0.0 and not checkpoint_dir and step < max_iter:
-            # fixed-iteration benchmark mode: no convergence decision and no
-            # durable lineage needed mid-run — the localCheckpoint barrier
-            # alone materializes the state; skip the stats job
-            state = log.commit_state(
-                step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
-            )
-            log.stats[-1].wall_time_sec = time.time() - t0
-        else:
-            state, delta, _active = commit_and_stats(
-                log, step - 1, new_state, F.abs(F.col("delta")),
-                F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
-                num_partitions=num_partitions,
-            )
-            if delta < tol:
-                converged = True
+    # loop_confs (AQE + whole-stage codegen off for the loop's duration):
+    # every superstep is a fresh plan, so per-query driver-serial work
+    # (Janino units, per-stage AQE re-planning) repeats per commit and
+    # dominates — measured 32.1 → 21.7 s on the sf0.1 flagship (r6),
+    # ranks bit-identical. Same policy the CC loop has carried since r5.
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            # unroll up to steps_per_commit supersteps into one lazy plan —
+            # one materialization + one stats job per block instead of per
+            # superstep (driver-side convergence is then checked per block)
+            block = min(steps_per_commit, max_iter - step)
+            new_state, intermediates = state, []
+            for b in range(block):
+                new_state = runner(
+                    new_state, adj, dangling, n_dangling, n, alpha,
+                    frontier_eps, num_partitions,
+                )
+                if b < block - 1:
+                    # lazy LOCAL CHECKPOINT, not lazy persist: a persisted
+                    # plan is only deduplicated physically — the analyzer
+                    # still walks the full unrolled tree, and _delta_step
+                    # references state ~3× per sub-step, so analysis cost
+                    # grew ~3^block per commit (measured: block=10 hung the
+                    # driver outright). checkpoint(eager=False) truncates
+                    # the LOGICAL plan to a LogicalRDD leaf immediately while
+                    # still materializing lazily in the commit's single job.
+                    new_state = new_state.localCheckpoint(eager=False)
+                    intermediates.append(new_state)
+            step += block
+            if tol <= 0.0 and not checkpoint_dir and step < max_iter:
+                # fixed-iteration benchmark mode: no convergence decision and
+                # no durable lineage needed mid-run — the localCheckpoint
+                # barrier alone materializes the state; skip the stats job
+                state = log.commit_state(
+                    step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
+                )
+                log.stats[-1].wall_time_sec = time.time() - t0
+            else:
+                state, delta, _active = commit_and_stats(
+                    log, step - 1, new_state, F.abs(F.col("delta")),
+                    F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
+                    num_partitions=num_partitions,
+                )
+                if delta < tol:
+                    converged = True
+                for df in intermediates:
+                    df.unpersist()
+                if converged:
+                    break
+                continue
             for df in intermediates:
                 df.unpersist()
-            if converged:
-                break
-            continue
-        for df in intermediates:
-            df.unpersist()
 
     adj.unpersist()
     verts.unpersist()
@@ -371,56 +377,58 @@ def _run_exact_undirected(
     converged = False
     step = start_step
     prev = state
-    while step < max_iter:
-        t0 = time.time()
-        block = min(steps_per_commit, max_iter - step)
-        new_state = prev
-        for _ in range(block):
-            new_state = value_step(new_state)
-        step += block
-        committed = log.commit_state(
-            step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
-        )
-        if tol <= 0.0 and step < max_iter:
-            # fixed-iteration mode: no convergence decision needed mid-run
-            log.stats[-1].wall_time_sec = time.time() - t0
+    # AQE + codegen off for the loop (see the delta-mode loop's note)
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            block = min(steps_per_commit, max_iter - step)
+            new_state = prev
+            for _ in range(block):
+                new_state = value_step(new_state)
+            step += block
+            committed = log.commit_state(
+                step - 1, new_state, SuperstepStats(step - 1, -1.0, -1, 0.0)
+            )
+            if tol <= 0.0 and step < max_iter:
+                # fixed-iteration mode: no convergence decision needed mid-run
+                log.stats[-1].wall_time_sec = time.time() - t0
+                prev = committed
+                continue
+            # commit-boundary delta: one V-sized join per block, not per step
+            rows = (
+                committed.join(
+                    prev.select("id", F.col("rank").alias("_prev")), "id", "left"
+                )
+                .groupBy(F.spark_partition_id().alias("pid"))
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))).alias("d"),
+                    F.sum(
+                        (
+                            F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))
+                            > frontier_eps
+                        ).cast("long")
+                    ).alias("a"),
+                )
+                .collect()
+            )
+            delta = sum(float(r["d"] or 0.0) for r in rows)
+            active = sum(int(r["a"] or 0) for r in rows)
+            st = log.stats[-1]
+            st.delta_norm, st.active_vertices = delta, active
+            st.partition_stats = [
+                {
+                    "partition_id": int(r["pid"]),
+                    "edge_count": edge_parts.get(int(r["pid"]), 0),
+                    "delta_norm": float(r["d"] or 0.0),
+                }
+                for r in rows
+            ]
+            st.wall_time_sec = time.time() - t0
+            log.finalize(step - 1, st)
             prev = committed
-            continue
-        # commit-boundary delta: one V-sized join per block, not per step
-        rows = (
-            committed.join(
-                prev.select("id", F.col("rank").alias("_prev")), "id", "left"
-            )
-            .groupBy(F.spark_partition_id().alias("pid"))
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))).alias("d"),
-                F.sum(
-                    (
-                        F.abs(F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0)))
-                        > frontier_eps
-                    ).cast("long")
-                ).alias("a"),
-            )
-            .collect()
-        )
-        delta = sum(float(r["d"] or 0.0) for r in rows)
-        active = sum(int(r["a"] or 0) for r in rows)
-        st = log.stats[-1]
-        st.delta_norm, st.active_vertices = delta, active
-        st.partition_stats = [
-            {
-                "partition_id": int(r["pid"]),
-                "edge_count": edge_parts.get(int(r["pid"]), 0),
-                "delta_norm": float(r["d"] or 0.0),
-            }
-            for r in rows
-        ]
-        st.wall_time_sec = time.time() - t0
-        log.finalize(step - 1, st)
-        prev = committed
-        if delta < tol:
-            converged = True
-            break
+            if delta < tol:
+                converged = True
+                break
     return PageRankResult(prev.select("id", "rank"), step, converged, None)
 
 

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import kernel_nparts
 
 
@@ -190,68 +191,71 @@ def strongly_connected_components(
     phases = supersteps = 0
     converged = False
     t0 = time.time()
-    while phases < max_phases:
-        # trim first, every phase: the initial periphery, then whatever
-        # each extracted SCC's removal exposes
-        alive, singles, s0 = _trim(alive, fwd, trim_sweeps)
-        supersteps += s0
-        if singles is not None:
-            done = singles if done is None else done.unionByName(singles)
+    # AQE + codegen off for the whole FW-BW-Trim iteration (fresh
+    # plans per sweep/phase — see pagerank's loop note)
+    with loop_confs(spark):
+        while phases < max_phases:
+            # trim first, every phase: the initial periphery, then whatever
+            # each extracted SCC's removal exposes
+            alive, singles, s0 = _trim(alive, fwd, trim_sweeps)
+            supersteps += s0
+            if singles is not None:
+                done = singles if done is None else done.unionByName(singles)
+                done = done.localCheckpoint(eager=True)
+            if alive.limit(1).count() == 0:
+                converged = True
+                break
+            phases += 1
+            # restrict both edge directions to the alive subgraph
+            fa = (
+                fwd.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            ba = fa.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            # 1. forward min-coloring
+            color0 = alive.select(
+                "id", F.col("id").alias("color"), F.lit(True).alias("changed")
+            ).localCheckpoint(eager=True)
+            colored, s1 = _min_prop_fix(color0, fa, num_partitions, max_iter)
+            supersteps += s1
+            # 2. backward pivot marking within same color: encode "marked with
+            # color c" as color value c, unmarked as null, and reuse min-prop
+            # on the color-respecting backward edges
+            same_color = (
+                ba.join(
+                    colored.select(F.col("id").alias("src"), F.col("color").alias("_cs")),
+                    "src",
+                )
+                .join(
+                    colored.select(F.col("id").alias("dst"), F.col("color").alias("_cd")),
+                    "dst",
+                )
+                .where(F.col("_cs") == F.col("_cd"))
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            mark0 = colored.select(
+                "id",
+                F.when(F.col("id") == F.col("color"), F.col("color")).alias("m"),
+                (F.col("id") == F.col("color")).alias("changed"),
+            ).select(
+                "id", F.coalesce(F.col("m"), F.lit(2**62)).alias("color"), "changed"
+            ).localCheckpoint(eager=True)
+            marked, s2 = _min_prop_fix(mark0, same_color, num_partitions, max_iter)
+            supersteps += s2
+            # marked < sentinel ⇒ pivot's color reached v backward within its
+            # color class ⇒ v ∈ SCC(pivot). (min over marks is safe: within a
+            # color class the only possible mark is the class's pivot color.)
+            scc_now = marked.where(F.col("color") < F.lit(2**62)).select(
+                "id", F.col("color").alias("scc")
+            )
+            done = scc_now if done is None else done.unionByName(scc_now)
             done = done.localCheckpoint(eager=True)
-        if alive.limit(1).count() == 0:
-            converged = True
-            break
-        phases += 1
-        # restrict both edge directions to the alive subgraph
-        fa = (
-            fwd.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        ba = fa.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        # 1. forward min-coloring
-        color0 = alive.select(
-            "id", F.col("id").alias("color"), F.lit(True).alias("changed")
-        ).localCheckpoint(eager=True)
-        colored, s1 = _min_prop_fix(color0, fa, num_partitions, max_iter)
-        supersteps += s1
-        # 2. backward pivot marking within same color: encode "marked with
-        # color c" as color value c, unmarked as null, and reuse min-prop
-        # on the color-respecting backward edges
-        same_color = (
-            ba.join(
-                colored.select(F.col("id").alias("src"), F.col("color").alias("_cs")),
-                "src",
+            alive = (
+                alive.join(scc_now.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
             )
-            .join(
-                colored.select(F.col("id").alias("dst"), F.col("color").alias("_cd")),
-                "dst",
-            )
-            .where(F.col("_cs") == F.col("_cd"))
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        mark0 = colored.select(
-            "id",
-            F.when(F.col("id") == F.col("color"), F.col("color")).alias("m"),
-            (F.col("id") == F.col("color")).alias("changed"),
-        ).select(
-            "id", F.coalesce(F.col("m"), F.lit(2**62)).alias("color"), "changed"
-        ).localCheckpoint(eager=True)
-        marked, s2 = _min_prop_fix(mark0, same_color, num_partitions, max_iter)
-        supersteps += s2
-        # marked < sentinel ⇒ pivot's color reached v backward within its
-        # color class ⇒ v ∈ SCC(pivot). (min over marks is safe: within a
-        # color class the only possible mark is the class's pivot color.)
-        scc_now = marked.where(F.col("color") < F.lit(2**62)).select(
-            "id", F.col("color").alias("scc")
-        )
-        done = scc_now if done is None else done.unionByName(scc_now)
-        done = done.localCheckpoint(eager=True)
-        alive = (
-            alive.join(scc_now.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
     fwd.unpersist()
     if not converged and alive.limit(1).count() > 0:
         raise RuntimeError(
@@ -302,27 +306,28 @@ def condensation_levels(
         .select("c", F.lit(0).cast("int").alias("level"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_levels):
-        msgs = (
-            q.join(state.select(F.col("c").alias("a"), "level"), "a")
-            .groupBy(F.col("b").alias("c"))
-            .agg((F.max("level") + 1).alias("cand"))
-        )
-        nxt = (
-            state.join(msgs, "c", "left")
-            .select(
-                "c",
-                F.greatest(F.col("level"), F.coalesce(F.col("cand"), F.col("level")))
-                .cast("int")
-                .alias("level"),
-                (F.coalesce(F.col("cand"), F.lit(0)) > F.col("level")).alias("chg"),
+    with loop_confs(spark):
+        for _ in range(max_levels):
+            msgs = (
+                q.join(state.select(F.col("c").alias("a"), "level"), "a")
+                .groupBy(F.col("b").alias("c"))
+                .agg((F.max("level") + 1).alias("cand"))
             )
-            .localCheckpoint(eager=False)
-        )
-        changed = nxt.where("chg").count()
-        state = nxt.select("c", "level").localCheckpoint(eager=True)
-        if changed == 0:
-            return state.select(F.col("c").alias("scc"), "level")
+            nxt = (
+                state.join(msgs, "c", "left")
+                .select(
+                    "c",
+                    F.greatest(F.col("level"), F.coalesce(F.col("cand"), F.col("level")))
+                    .cast("int")
+                    .alias("level"),
+                    (F.coalesce(F.col("cand"), F.lit(0)) > F.col("level")).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = nxt.where("chg").count()
+            state = nxt.select("c", "level").localCheckpoint(eager=True)
+            if changed == 0:
+                return state.select(F.col("c").alias("scc"), "level")
     raise RuntimeError(
         f"condensation deeper than {max_levels} levels — raise max_levels"
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .graph import kernel_nparts
 
 from ..lineage import LineageLog, SuperstepStats
-from ._superstep import commit_and_stats, edge_partition_counts
+from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
 
 
 @dataclass
@@ -124,30 +124,33 @@ def sssp(
         ).repartition(num_partitions, "id").localCheckpoint(eager=True)
 
     converged, step = False, start_step
-    while step < max_iter:
-        t0 = time.time()
-        block = min(steps_per_commit, max_iter - step)
-        new_state, intermediates = state, []
-        for b in range(block):
-            new_state = _sssp_step(new_state, adj, num_partitions)
-            if b < block - 1:
-                # lazy localCheckpoint, not lazy persist: truncates the
-                # LOGICAL plan to a leaf (persist only dedupes the
-                # physical plan — the analyzer still walks the full
-                # unrolled tree, ~3^block; see pagerank's block loop)
-                new_state = new_state.localCheckpoint(eager=False)
-                intermediates.append(new_state)
-        step += block
-        state, delta, _ = commit_and_stats(
-            log, step - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        for df in intermediates:
-            df.unpersist()
-        if delta == 0.0:
-            converged = True
-            break
+    # AQE + codegen off for the loop (driver-serial planning dominates
+    # fresh per-superstep plans — see pagerank's loop note)
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            block = min(steps_per_commit, max_iter - step)
+            new_state, intermediates = state, []
+            for b in range(block):
+                new_state = _sssp_step(new_state, adj, num_partitions)
+                if b < block - 1:
+                    # lazy localCheckpoint, not lazy persist: truncates the
+                    # LOGICAL plan to a leaf (persist only dedupes the
+                    # physical plan — the analyzer still walks the full
+                    # unrolled tree, ~3^block; see pagerank's block loop)
+                    new_state = new_state.localCheckpoint(eager=False)
+                    intermediates.append(new_state)
+            step += block
+            state, delta, _ = commit_and_stats(
+                log, step - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            for df in intermediates:
+                df.unpersist()
+            if delta == 0.0:
+                converged = True
+                break
     adj.unpersist()
     result = SsspResult(
         state.select("id", "dist"), step, converged, resumed_from
@@ -198,35 +201,36 @@ def widest_path(
         [(int(source), float("inf"), True)], "id BIGINT, width DOUBLE, changed BOOLEAN"
     ).repartition(num_partitions, "id")
     converged, step = False, 0
-    while step < max_iter:
-        step += 1
-        frontier = state.where("changed").select(
-            F.col("id").alias("src"), F.col("width").alias("w0")
-        )
-        raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
-            "dst", F.least(F.col("w0"), F.col("w")).alias("cand")
-        )
-        msgs = (
-            raw.repartition(num_partitions, "dst")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.max("cand").alias("cand"))
-        )
-        state = (
-            state.join(msgs, "id", "full")
-            .select(
-                "id",
-                F.greatest(
-                    F.coalesce(F.col("width"), F.col("cand")),
-                    F.coalesce(F.col("cand"), F.col("width")),
-                ).alias("width"),
-                (
-                    F.col("width").isNull()
-                    | (F.coalesce(F.col("cand"), F.col("width")) > F.col("width"))
-                ).alias("changed"),
+    with loop_confs(spark):
+        while step < max_iter:
+            step += 1
+            frontier = state.where("changed").select(
+                F.col("id").alias("src"), F.col("width").alias("w0")
             )
-            .localCheckpoint(eager=True)
-        )
-        if state.where("changed").limit(1).count() == 0:
-            converged = True
-            break
+            raw = adj.join(frontier.hint("shuffle_hash"), "src").select(
+                "dst", F.least(F.col("w0"), F.col("w")).alias("cand")
+            )
+            msgs = (
+                raw.repartition(num_partitions, "dst")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("cand").alias("cand"))
+            )
+            state = (
+                state.join(msgs, "id", "full")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.coalesce(F.col("width"), F.col("cand")),
+                        F.coalesce(F.col("cand"), F.col("width")),
+                    ).alias("width"),
+                    (
+                        F.col("width").isNull()
+                        | (F.coalesce(F.col("cand"), F.col("width")) > F.col("width"))
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if state.where("changed").limit(1).count() == 0:
+                converged = True
+                break
     return SsspResult(state.select("id", F.col("width").alias("width")), step, converged)

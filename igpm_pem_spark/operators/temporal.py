@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .graph import kernel_nparts
 
 from ..lineage import LineageLog, SuperstepStats
-from ._superstep import commit_and_stats, edge_partition_counts
+from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
 
 
 @dataclass
@@ -116,28 +116,30 @@ def earliest_arrival(
     ).repartition(num_partitions, "id").localCheckpoint(eager=True)
 
     converged, step = False, 0
-    while step < max_iter:
-        t0 = time.time()
-        block = min(steps_per_commit, max_iter - step)
-        new_state, intermediates = state, []
-        for b in range(block):
-            new_state = _ea_step(new_state, adj, num_partitions)
-            if b < block - 1:
-                # lazy localCheckpoint: truncate the LOGICAL plan (see
-                # the pagerank/sssp block loops for the measured why)
-                new_state = new_state.localCheckpoint(eager=False)
-                intermediates.append(new_state)
-        step += block
-        state, delta, _ = commit_and_stats(
-            log, step - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        for df in intermediates:
-            df.unpersist()
-        if delta == 0.0:
-            converged = True
-            break
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while step < max_iter:
+            t0 = time.time()
+            block = min(steps_per_commit, max_iter - step)
+            new_state, intermediates = state, []
+            for b in range(block):
+                new_state = _ea_step(new_state, adj, num_partitions)
+                if b < block - 1:
+                    # lazy localCheckpoint: truncate the LOGICAL plan (see
+                    # the pagerank/sssp block loops for the measured why)
+                    new_state = new_state.localCheckpoint(eager=False)
+                    intermediates.append(new_state)
+            step += block
+            state, delta, _ = commit_and_stats(
+                log, step - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            for df in intermediates:
+                df.unpersist()
+            if delta == 0.0:
+                converged = True
+                break
     adj.unpersist()
     result = EarliestArrivalResult(
         state.select("id", "arrival"), step, converged
