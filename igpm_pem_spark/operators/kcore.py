@@ -388,7 +388,15 @@ def s_core(
 
     Same shrinking-active-set shape as ``k_core``: per round one
     weighted-degree aggregation + two semi-joins on the survivors; work
-    ∝ the surviving edge set, which only shrinks."""
+    ∝ the surviving edge set, which only shrinks.
+
+    INPUT CONTRACT: ``edges`` must be a canonical undirected weighted
+    edge list — one row per unordered pair (src < dst convention), no
+    self-loops, parallel edges pre-aggregated into ``weight_col``. The
+    kernel symmetrizes internally; feeding both (a,b) and (b,a) rows or
+    loops double-counts strength (unlike ``k_core``, which runs
+    ``simple_edges`` first — weights make that canonicalization the
+    caller's job, since the right parallel-edge fold is use-specific)."""
     if num_partitions is None:
         num_partitions = kernel_nparts(edges)
     e = (

@@ -622,16 +622,27 @@ def mmr_greedy(
     if k < 1:
         raise ValueError(f"mmr_greedy: k must be >= 1, got {k}")
     chosen: list[tuple[int, object, float]] = []
-    sel: list = []
+    sel: list = []  # selection order, for the redundancy max
+    sel_set: set = set()  # O(1) membership (sel grows to k)
     for rank in range(1, min(k, len(simq)) + 1):
         best = None
         for c in sorted(simq):
-            if c in sel:
+            if c in sel_set:
                 continue
-            red = max((psim[(c, s)] for s in sel), default=0.0)
+            # either key order is accepted; a pair absent from psim
+            # contributes similarity 0.0 (documented default — callers
+            # that precompute the full pool populate both orders)
+            red = max(
+                (
+                    psim.get((c, s), psim.get((s, c), 0.0))
+                    for s in sel
+                ),
+                default=0.0,
+            )
             score = lam * simq[c] - (1 - lam) * red
             if best is None or score > best[1]:
                 best = (c, score)
         sel.append(best[0])
+        sel_set.add(best[0])
         chosen.append((rank, best[0], best[1]))
     return chosen

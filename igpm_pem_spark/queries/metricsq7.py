@@ -123,6 +123,12 @@ def _q_percolation_curve(spark, sf_dir):
         res = connected_components(
             spark, e.where(keep), num_partitions=graph_nparts(spark, sf_dir)
         )
+        if not (res.converged and res.supersteps < _PERC_CC_ITERS):
+            raise RuntimeError(
+                f"percolation_curve: CC at rate {rate} took "
+                f"{res.supersteps} supersteps (converged={res.converged}); "
+                f"raise _PERC_CC_ITERS to keep the unrolled oracle exact"
+            )
         row = (
             component_sizes(res.components)
             .agg(

@@ -420,6 +420,15 @@ def test_new_returning_stream_matches_batch_with_late_days(spark, tmp_path):
     ev.where(F.to_date("ts") >= F.lit(mid)).coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
+    # the file source discovers files in modification-time order; pin
+    # bucket 1 strictly OLDER so FS timestamp granularity can never flip
+    # the delivery order the corrections assertion below depends on
+    import time as _time
+
+    past = _time.time() - 120
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
     ev.where(F.to_date("ts") < F.lit(mid)).coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
