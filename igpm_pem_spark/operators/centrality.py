@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .graph import symmetrize, vertex_ids
+from ._superstep import loop_confs
 
 
 def _sym(edges: DataFrame, directed: bool) -> DataFrame:
@@ -114,21 +115,23 @@ def betweenness_seeded(
 
     levels = [lev0]
     visited = lev0.select("sid", "v")
-    for _ in range(max_hops):
-        frontier = levels[-1]
-        nxt = (
-            frontier.join(sym.withColumnRenamed("src", "v"), "v")
-            .select("sid", F.col("dst").alias("v"), "sigma")
-            .join(visited, ["sid", "v"], "left_anti")
-            .groupBy("sid", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-            .persist()
-        )
-        if nxt.isEmpty():
-            nxt.unpersist()
-            break
-        levels.append(nxt)
-        visited = visited.unionByName(nxt.select("sid", "v"))
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(max_hops):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(sym.withColumnRenamed("src", "v"), "v")
+                .select("sid", F.col("dst").alias("v"), "sigma")
+                .join(visited, ["sid", "v"], "left_anti")
+                .groupBy("sid", "v")
+                .agg(F.sum("sigma").alias("sigma"))
+                .persist()
+            )
+            if nxt.isEmpty():
+                nxt.unpersist()
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("sid", "v"))
 
     # backward dependency accumulation, horizon inward
     delta_terms = []
@@ -302,21 +305,23 @@ def edge_betweenness_seeded(
 
     levels = [lev0]
     visited = lev0.select("sid", "v")
-    for _ in range(max_hops):
-        frontier = levels[-1]
-        nxt = (
-            frontier.join(sym.withColumnRenamed("src", "v"), "v")
-            .select("sid", F.col("dst").alias("v"), "sigma")
-            .join(visited, ["sid", "v"], "left_anti")
-            .groupBy("sid", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-            .persist()
-        )
-        if nxt.isEmpty():
-            nxt.unpersist()
-            break
-        levels.append(nxt)
-        visited = visited.unionByName(nxt.select("sid", "v"))
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(max_hops):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(sym.withColumnRenamed("src", "v"), "v")
+                .select("sid", F.col("dst").alias("v"), "sigma")
+                .join(visited, ["sid", "v"], "left_anti")
+                .groupBy("sid", "v")
+                .agg(F.sum("sigma").alias("sigma"))
+                .persist()
+            )
+            if nxt.isEmpty():
+                nxt.unpersist()
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("sid", "v"))
 
     # backward: vertex deltas per level (as the vertex kernel) plus the
     # per-DAG-edge terms, walked one level further down to the seeds
@@ -466,24 +471,26 @@ def hitting_time_truncated(
         for r in deg.orderBy(F.col("d").desc(), "id").limit(n_hubs).collect()
     ]
     h = deg.select("id", F.lit(0.0).alias("h"))
-    for _ in range(iters):
-        s = (
-            sym.join(
-                h.select(F.col("id").alias("dst"), F.col("h").alias("nh")), "dst"
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(iters):
+            s = (
+                sym.join(
+                    h.select(F.col("id").alias("dst"), F.col("h").alias("nh")), "dst"
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("nh").alias("s"))
             )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("nh").alias("s"))
-        )
-        h = (
-            deg.join(s, "id")
-            .select(
-                "id",
-                F.when(F.col("id").isin(hubs), F.lit(0.0))
-                .otherwise(F.lit(1.0) + F.col("s") / F.col("d"))
-                .alias("h"),
+            h = (
+                deg.join(s, "id")
+                .select(
+                    "id",
+                    F.when(F.col("id").isin(hubs), F.lit(0.0))
+                    .otherwise(F.lit(1.0) + F.col("s") / F.col("d"))
+                    .alias("h"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
     sym.unpersist()
     deg.unpersist()
     return h

@@ -22,6 +22,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
+
 
 @dataclass
 class KMeansResult:
@@ -123,25 +125,27 @@ def kmeans_assign(
         return e.select("vec_id", "v", _assign_expr(c).alias("cluster"))
 
     assigned = None
-    for _ in range(iters):
-        assigned = _assigned(centroids)
-        means = (
-            assigned.select(
-                "cluster", F.posexplode("v").alias("pos", "val")
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(iters):
+            assigned = _assigned(centroids)
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
             )
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]
-        by_cluster: dict[int, list[float]] = {}
-        for r in means:
-            by_cluster.setdefault(int(r.cluster), [0.0] * dim)[int(r.pos)] = float(
-                r.m
-            )
-        for j, vec in by_cluster.items():
-            new_c[j] = vec
-        centroids = new_c
+            new_c = [list(c) for c in centroids]
+            by_cluster: dict[int, list[float]] = {}
+            for r in means:
+                by_cluster.setdefault(int(r.cluster), [0.0] * dim)[int(r.pos)] = float(
+                    r.m
+                )
+            for j, vec in by_cluster.items():
+                new_c[j] = vec
+            centroids = new_c
 
     final = _assigned(centroids).select("vec_id", "cluster")
     final = final.localCheckpoint(eager=True)

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .graph import kernel_nparts, simple_edges
+from ._superstep import loop_confs
 
 
 @dataclass
@@ -54,31 +55,33 @@ def k_core(
     peeled: list[int] = []
     converged = False
     rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        # persist: deg feeds both the drop-count action and the two keep
-        # semi-joins; without the cache the degree aggregation runs twice
-        # per peel round over the surviving edges
-        deg = (
-            e.repartition(num_partitions, "src")
-            .groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .persist()
-        )
-        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
-        drop_cnt = deg.where(F.col("deg") < k).count()
-        peeled.append(int(drop_cnt))
-        if drop_cnt == 0:
-            deg.unpersist()
-            converged = True
-            break
-        e = (
-            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        deg.unpersist()  # e is materialized; the round's cache can go
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            rounds += 1
+            # persist: deg feeds both the drop-count action and the two keep
+            # semi-joins; without the cache the degree aggregation runs twice
+            # per peel round over the surviving edges
+            deg = (
+                e.repartition(num_partitions, "src")
+                .groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .persist()
+            )
+            keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
+            drop_cnt = deg.where(F.col("deg") < k).count()
+            peeled.append(int(drop_cnt))
+            if drop_cnt == 0:
+                deg.unpersist()
+                converged = True
+                break
+            e = (
+                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            deg.unpersist()  # e is materialized; the round's cache can go
     verts = e.select(F.col("src").alias("id")).distinct()
     return KCoreResult(verts, e, rounds, converged, peeled)
 
@@ -159,35 +162,37 @@ def coreness_hindex(
     w = Window.partitionBy("v").orderBy(F.col("c").desc())
     converged = False
     rounds = start_round
-    while rounds < max_rounds:
-        t0 = time.time()
-        rounds += 1
-        nbrvals = sym.join(
-            state.select(F.col("id").alias("nbr"), "c"), "nbr"
-        ).select("v", "c")
-        cum = (
-            nbrvals.groupBy("v", "c")
-            .agg(F.count("*").alias("n"))
-            .select("v", "c", F.sum("n").over(w).alias("cum"))
-        )
-        new_state = (
-            cum.groupBy(F.col("v").alias("id"))
-            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c_new"))
-            .join(state.select("id", F.col("c").alias("c_old")), "id")
-            .select(
-                "id",
-                F.col("c_new").alias("c"),
-                (F.col("c_new") != F.col("c_old")).alias("changed"),
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            t0 = time.time()
+            rounds += 1
+            nbrvals = sym.join(
+                state.select(F.col("id").alias("nbr"), "c"), "nbr"
+            ).select("v", "c")
+            cum = (
+                nbrvals.groupBy("v", "c")
+                .agg(F.count("*").alias("n"))
+                .select("v", "c", F.sum("n").over(w).alias("cum"))
             )
-        )
-        state, delta, _ = commit_and_stats(
-            log, rounds - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        if delta == 0.0:
-            converged = True
-            break
+            new_state = (
+                cum.groupBy(F.col("v").alias("id"))
+                .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c_new"))
+                .join(state.select("id", F.col("c").alias("c_old")), "id")
+                .select(
+                    "id",
+                    F.col("c_new").alias("c"),
+                    (F.col("c_new") != F.col("c_old")).alias("changed"),
+                )
+            )
+            state, delta, _ = commit_and_stats(
+                log, rounds - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            if delta == 0.0:
+                converged = True
+                break
     result = CorenessResult(
         state.select("id", F.col("c").alias("coreness")), rounds, converged,
         resumed_from,
@@ -289,73 +294,75 @@ def onion_layers(
     )
     peeled: list[int] = []
     converged = False
-    while rounds < max_rounds:
-        t0 = time.time()
-        alive = state.where(F.col("layer").isNull()).select("id")
-        deg = (
-            alive.join(
-                e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
-                "id",
-                "left",
-            )
-            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-            .persist()
-        )
-        row = deg.agg(F.min("deg").alias("m"), F.count("*").alias("n")).collect()[0]
-        if row["n"] == 0:
-            deg.unpersist()
-            converged = True
-            break
-        rounds += 1
-        k = max(k, int(row["m"]))
-        layer_rows = deg.where(F.col("deg") <= k).select(
-            "id",
-            F.lit(rounds).cast("bigint").alias("layer"),
-            F.lit(k).cast("bigint").alias("onion_core"),
-            F.lit(True).alias("changed"),
-        )
-        new_state = (
-            state.where(F.col("layer").isNotNull())
-            .select("id", "layer", "onion_core", F.lit(False).alias("changed"))
-            .unionByName(layer_rows)
-            .unionByName(
-                deg.where(F.col("deg") > k).select(
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            t0 = time.time()
+            alive = state.where(F.col("layer").isNull()).select("id")
+            deg = (
+                alive.join(
+                    e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
                     "id",
-                    F.lit(None).cast("bigint").alias("layer"),
-                    F.lit(None).cast("bigint").alias("onion_core"),
-                    F.lit(False).alias("changed"),
+                    "left",
+                )
+                .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .persist()
+            )
+            row = deg.agg(F.min("deg").alias("m"), F.count("*").alias("n")).collect()[0]
+            if row["n"] == 0:
+                deg.unpersist()
+                converged = True
+                break
+            rounds += 1
+            k = max(k, int(row["m"]))
+            layer_rows = deg.where(F.col("deg") <= k).select(
+                "id",
+                F.lit(rounds).cast("bigint").alias("layer"),
+                F.lit(k).cast("bigint").alias("onion_core"),
+                F.lit(True).alias("changed"),
+            )
+            new_state = (
+                state.where(F.col("layer").isNotNull())
+                .select("id", "layer", "onion_core", F.lit(False).alias("changed"))
+                .unionByName(layer_rows)
+                .unionByName(
+                    deg.where(F.col("deg") > k).select(
+                        "id",
+                        F.lit(None).cast("bigint").alias("layer"),
+                        F.lit(None).cast("bigint").alias("onion_core"),
+                        F.lit(False).alias("changed"),
+                    )
                 )
             )
-        )
-        if log.base_dir:
-            state, delta, _ = commit_and_stats(
-                log, rounds - 1, new_state,
-                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-                num_partitions=num_partitions,
+            if log.base_dir:
+                state, delta, _ = commit_and_stats(
+                    log, rounds - 1, new_state,
+                    F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                    num_partitions=num_partitions,
+                )
+                peeled.append(int(delta))
+            else:
+                # in-memory: skip the full-state stats job AND the per-round
+                # peeled count (both measured against the peel loop); the
+                # per-round counts are recovered post-loop from the final
+                # state's layer column in one aggregate.
+                # coalesce BOUNDS the checkpointed partition count: new_state
+                # unions three state-derived branches, so if a session-level
+                # plan change (e.g. a cached edge subtree flipping the deg
+                # join to broadcast) makes those branches inherit state's
+                # partitioning instead of ending at a fresh shuffle, the
+                # un-coalesced union grows 3^round partitions — a measured
+                # 3.6M-task stage storm by round 13. Narrow coalesce (no
+                # shuffle) pins it at num_partitions every round.
+                state = new_state.coalesce(num_partitions).localCheckpoint(eager=False)
+            alive_next = state.where(F.col("layer").isNull()).select("id")
+            deg.unpersist()
+            e = (
+                e.join(alive_next.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(alive_next.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
             )
-            peeled.append(int(delta))
-        else:
-            # in-memory: skip the full-state stats job AND the per-round
-            # peeled count (both measured against the peel loop); the
-            # per-round counts are recovered post-loop from the final
-            # state's layer column in one aggregate.
-            # coalesce BOUNDS the checkpointed partition count: new_state
-            # unions three state-derived branches, so if a session-level
-            # plan change (e.g. a cached edge subtree flipping the deg
-            # join to broadcast) makes those branches inherit state's
-            # partitioning instead of ending at a fresh shuffle, the
-            # un-coalesced union grows 3^round partitions — a measured
-            # 3.6M-task stage storm by round 13. Narrow coalesce (no
-            # shuffle) pins it at num_partitions every round.
-            state = new_state.coalesce(num_partitions).localCheckpoint(eager=False)
-        alive_next = state.where(F.col("layer").isNull()).select("id")
-        deg.unpersist()
-        e = (
-            e.join(alive_next.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(alive_next.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
     out = state.where(F.col("layer").isNotNull()).select("id", "layer", "onion_core")
     if not log.base_dir and rounds:
         counts = {
@@ -411,27 +418,29 @@ def s_core(
     peeled: list[int] = []
     converged = False
     rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        wdeg = (
-            sym.repartition(num_partitions, "src")
-            .groupBy("src")
-            .agg(F.sum("w").alias("wd"))
-            .persist()
-        )
-        keep = wdeg.where(F.col("wd") >= s).select(F.col("src").alias("id"))
-        drop_cnt = wdeg.where(F.col("wd") < s).count()
-        peeled.append(int(drop_cnt))
-        if drop_cnt == 0:
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            rounds += 1
+            wdeg = (
+                sym.repartition(num_partitions, "src")
+                .groupBy("src")
+                .agg(F.sum("w").alias("wd"))
+                .persist()
+            )
+            keep = wdeg.where(F.col("wd") >= s).select(F.col("src").alias("id"))
+            drop_cnt = wdeg.where(F.col("wd") < s).count()
+            peeled.append(int(drop_cnt))
+            if drop_cnt == 0:
+                wdeg.unpersist()
+                converged = True
+                break
+            sym = (
+                sym.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst", "w")
+                .localCheckpoint(eager=True)
+            )
             wdeg.unpersist()
-            converged = True
-            break
-        sym = (
-            sym.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst", "w")
-            .localCheckpoint(eager=True)
-        )
-        wdeg.unpersist()
     verts = sym.select(F.col("src").alias("id")).distinct()
     return KCoreResult(verts, sym, rounds, converged, peeled)

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .graph import canonical_undirected, kernel_nparts
+from ._superstep import loop_confs
 
 
 def _edge_support(e: DataFrame) -> DataFrame:
@@ -75,22 +76,24 @@ def k_truss(
     )
     dropped: list[int] = []
     converged, rounds = False, 0
-    while rounds < max_rounds:
-        rounds += 1
-        sup = _edge_support(e).persist()
-        n_drop = sup.where(F.col("sup") < k - 2).count()
-        dropped.append(int(n_drop))
-        if n_drop == 0:
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            rounds += 1
+            sup = _edge_support(e).persist()
+            n_drop = sup.where(F.col("sup") < k - 2).count()
+            dropped.append(int(n_drop))
+            if n_drop == 0:
+                sup.unpersist()
+                converged = True
+                break
+            e = (
+                sup.where(F.col("sup") >= k - 2)
+                .select("src", "dst")
+                .repartition(num_partitions, "src")
+                .localCheckpoint(eager=True)
+            )
             sup.unpersist()
-            converged = True
-            break
-        e = (
-            sup.where(F.col("sup") >= k - 2)
-            .select("src", "dst")
-            .repartition(num_partitions, "src")
-            .localCheckpoint(eager=True)
-        )
-        sup.unpersist()
     return KTrussResult(e, rounds, converged, dropped)
 
 
@@ -189,63 +192,65 @@ def trussness_hindex(
         )
     w = Window.partitionBy("src", "dst").orderBy(F.col("rho").desc())
     rounds, converged = start_round, False
-    while rounds < max_rounds:
-        t0 = time.time()
-        rounds += 1
-        sab = state.select(
-            F.col("src").alias("a"), F.col("dst").alias("b"), F.col("s").alias("s_ab")
-        )
-        sbc = state.select(
-            F.col("src").alias("b"), F.col("dst").alias("c"), F.col("s").alias("s_bc")
-        )
-        sac = state.select(
-            F.col("src").alias("a"), F.col("dst").alias("c"), F.col("s").alias("s_ac")
-        )
-        tv = tris.join(sab, ["a", "b"]).join(sbc, ["b", "c"]).join(sac, ["a", "c"])
-        rho = tv.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("a").alias("src"), F.col("b").alias("dst"),
-                        F.least("s_bc", "s_ac").alias("rho"),
-                    ),
-                    F.struct(
-                        F.col("b").alias("src"), F.col("c").alias("dst"),
-                        F.least("s_ab", "s_ac").alias("rho"),
-                    ),
-                    F.struct(
-                        F.col("a").alias("src"), F.col("c").alias("dst"),
-                        F.least("s_ab", "s_bc").alias("rho"),
-                    ),
-                )
-            ).alias("x")
-        ).select("x.src", "x.dst", "x.rho")
-        cum = (
-            rho.groupBy("src", "dst", "rho")
-            .agg(F.count("*").alias("n"))
-            .select("src", "dst", "rho", F.sum("n").over(w).alias("cum"))
-        )
-        h = cum.groupBy("src", "dst").agg(
-            F.max(F.least(F.col("rho"), F.col("cum"))).alias("h")
-        )
-        new_state = state.select("src", "dst", F.col("s").alias("s_old")).join(
-            h, ["src", "dst"], "left"
-        ).select(
-            "src", "dst",
-            F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0))).alias("s"),
-            (
-                F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0)))
-                != F.col("s_old")
-            ).alias("changed"),
-        )
-        state, delta, _ = commit_and_stats(
-            log, rounds - 1, new_state,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            partition_key=None, num_partitions=num_partitions,
-        )
-        if delta == 0.0:
-            converged = True
-            break
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            t0 = time.time()
+            rounds += 1
+            sab = state.select(
+                F.col("src").alias("a"), F.col("dst").alias("b"), F.col("s").alias("s_ab")
+            )
+            sbc = state.select(
+                F.col("src").alias("b"), F.col("dst").alias("c"), F.col("s").alias("s_bc")
+            )
+            sac = state.select(
+                F.col("src").alias("a"), F.col("dst").alias("c"), F.col("s").alias("s_ac")
+            )
+            tv = tris.join(sab, ["a", "b"]).join(sbc, ["b", "c"]).join(sac, ["a", "c"])
+            rho = tv.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("src"), F.col("b").alias("dst"),
+                            F.least("s_bc", "s_ac").alias("rho"),
+                        ),
+                        F.struct(
+                            F.col("b").alias("src"), F.col("c").alias("dst"),
+                            F.least("s_ab", "s_ac").alias("rho"),
+                        ),
+                        F.struct(
+                            F.col("a").alias("src"), F.col("c").alias("dst"),
+                            F.least("s_ab", "s_bc").alias("rho"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.src", "x.dst", "x.rho")
+            cum = (
+                rho.groupBy("src", "dst", "rho")
+                .agg(F.count("*").alias("n"))
+                .select("src", "dst", "rho", F.sum("n").over(w).alias("cum"))
+            )
+            h = cum.groupBy("src", "dst").agg(
+                F.max(F.least(F.col("rho"), F.col("cum"))).alias("h")
+            )
+            new_state = state.select("src", "dst", F.col("s").alias("s_old")).join(
+                h, ["src", "dst"], "left"
+            ).select(
+                "src", "dst",
+                F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0))).alias("s"),
+                (
+                    F.least(F.col("s_old"), F.coalesce(F.col("h"), F.lit(0)))
+                    != F.col("s_old")
+                ).alias("changed"),
+            )
+            state, delta, _ = commit_and_stats(
+                log, rounds - 1, new_state,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                partition_key=None, num_partitions=num_partitions,
+            )
+            if delta == 0.0:
+                converged = True
+                break
     result = TrussnessResult(
         state.select(
             "src", "dst", (F.col("s") + F.lit(2)).cast("long").alias("trussness")

@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .graph import kernel_nparts
+from ._superstep import loop_confs
 
 
 @dataclass
@@ -116,66 +117,68 @@ def minimum_spanning_forest(
         )
     chosen_counts: list[int] = []
     converged = False
-    while rounds < max_rounds:
-        t0 = _time.time()
-        labeled = (
-            sym.join(comp.withColumnRenamed("id", "u").withColumnRenamed("comp", "cu"), "u")
-            .join(comp.withColumnRenamed("id", "v").withColumnRenamed("comp", "cv"), "v")
-            .where(F.col("cu") != F.col("cv"))
-        )
-        # cheapest outgoing edge per component under the (w, a, b) total
-        # order; struct min gives the whole edge atomically
-        sel = (
-            labeled.groupBy("cu")
-            .agg(F.min(F.struct("w", "a", "b", "cv")).alias("e"))
-            .select(
-                F.col("e.w").alias("w"), F.col("e.a").alias("a"),
-                F.col("e.b").alias("b"),
-                F.col("cu"), F.col("e.cv").alias("cv"),
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        while rounds < max_rounds:
+            t0 = _time.time()
+            labeled = (
+                sym.join(comp.withColumnRenamed("id", "u").withColumnRenamed("comp", "cu"), "u")
+                .join(comp.withColumnRenamed("id", "v").withColumnRenamed("comp", "cv"), "v")
+                .where(F.col("cu") != F.col("cv"))
             )
-            .persist()
-        )
-        n_chosen = sel.count()
-        if n_chosen == 0:
+            # cheapest outgoing edge per component under the (w, a, b) total
+            # order; struct min gives the whole edge atomically
+            sel = (
+                labeled.groupBy("cu")
+                .agg(F.min(F.struct("w", "a", "b", "cv")).alias("e"))
+                .select(
+                    F.col("e.w").alias("w"), F.col("e.a").alias("a"),
+                    F.col("e.b").alias("b"),
+                    F.col("cu"), F.col("e.cv").alias("cv"),
+                )
+                .persist()
+            )
+            n_chosen = sel.count()
+            if n_chosen == 0:
+                sel.unpersist()
+                converged = True
+                break
+            rounds += 1
+            new_edges = sel.select("a", "b", "w").distinct()
+            chosen_counts.append(new_edges.count())
+            forest = new_edges if forest is None else forest.unionByName(new_edges)
+            # coalesce bounds the union's partition accumulation across
+            # Boruvka rounds (see lineage.commit_state) — narrow, no shuffle
+            forest = forest.coalesce(num_partitions).localCheckpoint(eager=False)
+            # merge on the component graph — one edge per choosing component
+            merge = connected_components(
+                spark,
+                sel.select(F.col("cu").alias("src"), F.col("cv").alias("dst")),
+                num_partitions=num_partitions,
+            ).components.withColumnRenamed("id", "comp").withColumnRenamed(
+                "component", "new_comp"
+            )
+            new_comp = (
+                comp.join(merge, "comp", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_comp", "comp").alias("comp"),
+                    F.col("new_comp").isNotNull().alias("changed"),
+                )
+            )
+            if checkpoint_dir:
+                # forest parquet FIRST, components marker LAST (torn-round rule)
+                forest = forest_log.commit_state(
+                    rounds - 1, forest,
+                    SuperstepStats(rounds - 1, -1.0, -1, 0.0),
+                )
+            comp, _, _ = commit_and_stats(
+                comp_log, rounds - 1, new_comp,
+                F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
+                num_partitions=num_partitions,
+            )
+            comp = comp.select("id", "comp")
             sel.unpersist()
-            converged = True
-            break
-        rounds += 1
-        new_edges = sel.select("a", "b", "w").distinct()
-        chosen_counts.append(new_edges.count())
-        forest = new_edges if forest is None else forest.unionByName(new_edges)
-        # coalesce bounds the union's partition accumulation across
-        # Boruvka rounds (see lineage.commit_state) — narrow, no shuffle
-        forest = forest.coalesce(num_partitions).localCheckpoint(eager=False)
-        # merge on the component graph — one edge per choosing component
-        merge = connected_components(
-            spark,
-            sel.select(F.col("cu").alias("src"), F.col("cv").alias("dst")),
-            num_partitions=num_partitions,
-        ).components.withColumnRenamed("id", "comp").withColumnRenamed(
-            "component", "new_comp"
-        )
-        new_comp = (
-            comp.join(merge, "comp", "left")
-            .select(
-                "id",
-                F.coalesce("new_comp", "comp").alias("comp"),
-                F.col("new_comp").isNotNull().alias("changed"),
-            )
-        )
-        if checkpoint_dir:
-            # forest parquet FIRST, components marker LAST (torn-round rule)
-            forest = forest_log.commit_state(
-                rounds - 1, forest,
-                SuperstepStats(rounds - 1, -1.0, -1, 0.0),
-            )
-        comp, _, _ = commit_and_stats(
-            comp_log, rounds - 1, new_comp,
-            F.col("changed").cast("double"), F.col("changed"), edge_parts, t0,
-            num_partitions=num_partitions,
-        )
-        comp = comp.select("id", "comp")
-        sel.unpersist()
     if forest is None:
         forest = spark.createDataFrame([], "a BIGINT, b BIGINT, w BIGINT")
     return MsfResult(forest, comp, rounds, converged, chosen_counts, resumed_from)

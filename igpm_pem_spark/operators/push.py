@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .graph import kernel_nparts, simple_edges
+from ._superstep import loop_confs
 
 
 def forward_push_ppr(
@@ -70,34 +71,36 @@ def forward_push_ppr(
         .repartition(num_partitions, "id")
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        is_active = F.col("r") > F.lit(eps) * F.col("deg")
-        active = state.where(is_active)
-        msgs = (
-            active.select(F.col("id").alias("v"), (F.col("r") / F.col("deg")).alias("share"))
-            .join(sym, "v")
-            .select(
-                F.col("nbr").alias("id"),
-                (F.lit(1.0 - alpha) * F.col("share")).alias("m"),
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(spark):
+        for _ in range(rounds):
+            is_active = F.col("r") > F.lit(eps) * F.col("deg")
+            active = state.where(is_active)
+            msgs = (
+                active.select(F.col("id").alias("v"), (F.col("r") / F.col("deg")).alias("share"))
+                .join(sym, "v")
+                .select(
+                    F.col("nbr").alias("id"),
+                    (F.lit(1.0 - alpha) * F.col("share")).alias("m"),
+                )
+                .groupBy("id")
+                .agg(F.sum("m").alias("inflow"))
             )
-            .groupBy("id")
-            .agg(F.sum("m").alias("inflow"))
-        )
-        state = (
-            state.join(msgs, "id", "left")
-            .select(
-                "id", "deg",
-                F.when(is_active, F.col("p") + F.lit(alpha) * F.col("r"))
-                .otherwise(F.col("p"))
-                .alias("p"),
-                (
-                    F.when(is_active, F.lit(0.0)).otherwise(F.col("r"))
-                    + F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("r"),
+            state = (
+                state.join(msgs, "id", "left")
+                .select(
+                    "id", "deg",
+                    F.when(is_active, F.col("p") + F.lit(alpha) * F.col("r"))
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                    (
+                        F.when(is_active, F.lit(0.0)).otherwise(F.col("r"))
+                        + F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("r"),
+                )
+                .repartition(num_partitions, "id")
+                .localCheckpoint(eager=True)
             )
-            .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
-        )
     return state.select(
         "id", F.round("p", 6).alias("p6"), F.round("r", 6).alias("r6")
     ).where((F.col("p6") != 0.0) | (F.col("r6") != 0.0))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .graph import kernel_nparts, simple_edges
+from ._superstep import loop_confs
 
 
 def wl_colors(
@@ -49,24 +50,26 @@ def wl_colors(
     colors = sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("string").alias("color")
     )
-    for _ in range(rounds):
-        nb = sym.join(
-            colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "nc"),
-            "dst",
-        ).select(F.col("src").alias("id"), "nc")
-        # (color x count) runs: hub-safe — one row per distinct neighbor color
-        runs = nb.groupBy("id", "nc").agg(F.count("*").cast("string").alias("cnt"))
-        sig = runs.select(
-            "id", F.concat(F.col("nc"), F.lit("x"), F.col("cnt")).alias("run")
-        ).groupBy("id").agg(
-            F.concat_ws(";", F.sort_array(F.collect_list("run"))).alias("sig")
-        )
-        colors = colors.join(sig, "id").select(
-            "id",
-            F.substring(
-                F.md5(F.concat(F.col("color"), F.lit("|"), F.col("sig"))), 1, 16
-            ).alias("color"),
-        ).localCheckpoint(eager=False)
+    # AQE + codegen off for the loop (see pagerank's loop note)
+    with loop_confs(edges.sparkSession):
+        for _ in range(rounds):
+            nb = sym.join(
+                colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "nc"),
+                "dst",
+            ).select(F.col("src").alias("id"), "nc")
+            # (color x count) runs: hub-safe — one row per distinct neighbor color
+            runs = nb.groupBy("id", "nc").agg(F.count("*").cast("string").alias("cnt"))
+            sig = runs.select(
+                "id", F.concat(F.col("nc"), F.lit("x"), F.col("cnt")).alias("run")
+            ).groupBy("id").agg(
+                F.concat_ws(";", F.sort_array(F.collect_list("run"))).alias("sig")
+            )
+            colors = colors.join(sig, "id").select(
+                "id",
+                F.substring(
+                    F.md5(F.concat(F.col("color"), F.lit("|"), F.col("sig"))), 1, 16
+                ).alias("color"),
+            ).localCheckpoint(eager=False)
     return colors
 
 
