@@ -5,6 +5,7 @@ the co-occurrence graph derivations used by the graph-kernel queries
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -12,6 +13,16 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# session -> sf_dir whose tables are currently registered as temp views.
+# Re-running spark.read.parquet + createOrReplaceTempView for all 10
+# tables costs ~0.6 s of driver-side schema/footer work per call — ~150 s
+# across a 243-query registry sweep (measured r6) — and registration is
+# pure METADATA: the views still scan the parquet fresh on every query,
+# so skipping the re-registration caches no data and no results.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 G_PARTS_SQL = """
 SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -30,10 +41,13 @@ SYM_SQL = "SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g
 
 
 def register(spark: SparkSession, sf_dir: str) -> None:
+    if _REGISTERED.get(spark) == sf_dir:
+        return
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(t)
+    _REGISTERED[spark] = sf_dir
 
 
 def edges(spark: SparkSession, sf_dir: str, sql: str = G_PARTS_SQL) -> DataFrame:
