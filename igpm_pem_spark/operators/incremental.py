@@ -49,6 +49,11 @@ class StepMetrics:
     n_triangles: int | None = None
     n_stars: int | None = None
     n_new_matches: int | None = None
+    # rows re-shuffled into the carried adjacency this arrival: the base
+    # graph once on step 0, then ONE bucket-sized delta per step — the
+    # scale property (per-step shuffle ∝ bucket, never cumulative) pinned
+    # by test_incremental, not just prose
+    adj_shuffled_rows: int | None = None
 
 
 @dataclass
@@ -706,6 +711,7 @@ def incremental_components(
             base_adj = partitioned_adjacency(cum, num_partitions).persist()
             adj_parts = [base_adj]
             edge_parts = edge_partition_counts(base_adj)
+            adj_shuffled = sum(edge_parts.values())
         else:
             new_edges = edges.where(F.col(ts_col) == cut)
             touched = (
@@ -728,7 +734,9 @@ def incremental_components(
                 for p in tail:
                     p.unpersist()
                 adj_parts = [adj_parts[0], merged]
-            for pid, c in edge_partition_counts(delta_adj).items():
+            delta_counts = edge_partition_counts(delta_adj)
+            adj_shuffled = sum(delta_counts.values())
+            for pid, c in delta_counts.items():
                 edge_parts[pid] = edge_parts.get(pid, 0) + c
             # the carried fixpoint names every prior vertex; only the
             # bucket's endpoints can be new, and only they start changed
@@ -777,6 +785,7 @@ def incremental_components(
                 supersteps=supersteps,
                 wall_sec=round(wall, 3),
                 edges_per_sec=round(supersteps * 2 * cum_m / max(wall, 1e-9), 1),
+                adj_shuffled_rows=int(adj_shuffled),
             )
         )
     for p in adj_parts:

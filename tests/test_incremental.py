@@ -39,6 +39,39 @@ def test_incremental_components_matches_batch(spark):
     assert all(s.supersteps >= 1 for s in res.steps)
 
 
+def test_incremental_components_shuffle_proportional_to_bucket(spark):
+    """The scale property the replay design claims: after the base step,
+    each arrival re-shuffles ONE bucket-sized adjacency delta — never the
+    cumulative edge set. Pinned via the recorded per-step
+    adj_shuffled_rows (a big base bucket followed by tiny deltas)."""
+    from pyspark.sql import Window, functions as F
+
+    _, edges, _ = ba_graph(spark, 200, 4, seed=1)
+    # bucket 0 = everything except 12 edges; buckets 1..3 = ~4 edges each
+    ranked = edges.withColumn(
+        "_r", F.row_number().over(Window.orderBy("src", "dst"))
+    )
+    n_total = ranked.count()
+    ts = (
+        F.when(F.col("_r") <= n_total - 12, F.lit(0))
+        .otherwise(((F.col("_r") - (n_total - 12) - 1) % 3 + 1).cast("int"))
+    )
+    dyn = ranked.select("src", "dst", ts.alias("ts"))
+    res = incremental_components(spark, dyn, base_steps=1)
+    got = {r.id: r.component for r in res.state.collect()}
+    pairs = [(r.src, r.dst) for r in dyn.collect()]
+    assert got == components_oracle(pairs)
+    walls = res.steps
+    assert len(walls) == 4
+    # base step shuffles the (symmetrized, deduped) base graph ...
+    assert walls[0].adj_shuffled_rows >= n_total - 12
+    # ... and every later arrival re-shuffles at most 2x its bucket
+    # (symmetrized), NOT the cumulative adjacency
+    for s in walls[1:]:
+        assert s.adj_shuffled_rows <= 2 * s.n_new_edges
+        assert s.adj_shuffled_rows < walls[0].adj_shuffled_rows // 4
+
+
 def test_incremental_components_small_fixture(spark):
     _, edges, _ = fixture_graph(spark, "dynamic_test1")
     res = incremental_components(spark, edges)
