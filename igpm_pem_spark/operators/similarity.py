@@ -25,16 +25,25 @@ _LOG = logging.getLogger(__name__)
 
 
 def _capped_signatures(signed: DataFrame, max_bucket: int) -> DataFrame:
-    """Window-count bucket guard over the persisted (id, tbl, sig)
-    relation — the ANN port of dedup.lsh_candidate_pairs' max_bucket cap
-    (dedup.py band join). One shuffle on (tbl, sig) — the same key the
-    candidate self-join needs — sizes every bucket; rows in buckets wider
-    than ``max_bucket`` are dropped BEFORE the self-join, so a
+    """Window-count bucket guard over the (id, tbl, sig) relation — the
+    ANN port of dedup.lsh_candidate_pairs' max_bucket cap (dedup.py band
+    join). One shuffle on (tbl, sig) — the same key the candidate
+    self-join needs — sizes every bucket; rows in buckets wider than
+    ``max_bucket`` are dropped BEFORE the self-join, so a
     duplicate-heavy corpus (many vectors collapsing into one signature)
     can't go quadratic. The aggregate below doubles as the cache-fill job
-    (see callers) and counts the dropped rows — no silent caps."""
+    (see callers) and counts the dropped rows — no silent caps.
+
+    Returns (kept, cache_handle): the filtered relation plus the
+    PERSISTED post-window relation it reads from (callers unpersist the
+    handle once their pair set is materialized). Caching after the
+    window instead of before it means the (tbl, sig) shuffle+sort runs
+    ONCE — the cached relation keeps that hash partitioning, so both
+    sides of the candidate self-join read it exchange-free — where the
+    previous pre-window cache re-ran the window per consumer (one extra
+    1.9M-row exchange at the bench shape)."""
     w = Window.partitionBy("tbl", "sig")
-    sized = signed.withColumn("_bsz", F.count("*").over(w))
+    sized = signed.withColumn("_bsz", F.count("*").over(w)).persist()
     stats = sized.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("_bsz") > max_bucket, 1).otherwise(0)).alias("n_drop"),
@@ -45,7 +54,7 @@ def _capped_signatures(signed: DataFrame, max_bucket: int) -> DataFrame:
             "than %d (degenerate-bucket guard)",
             stats.n_drop, stats.n, max_bucket,
         )
-    return sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+    return sized.where(F.col("_bsz") <= max_bucket).drop("_bsz"), sized
 
 
 def _as_double(col):
@@ -209,14 +218,30 @@ def hyperplane_buckets(
             ).where(F.lit(False))
         dim = int(row[0].d)
 
-    # all L signatures in ONE projection + explode — a union of per-table
-    # selects would rescan the embedding table L times (fatal at 100 TB);
-    # this plan reads each vector once and fans out L (tbl, sig) rows.
-    # Plane weights are precomputed driver-side (exact, see
-    # _plane_weight_value) and embedded as literal arrays: each sign bit
-    # is one zip_with multiply-fold, with no per-element hash arithmetic
-    # and no repeated cast-to-double pass over the vector — measured 3×
-    # faster signature build at 119.6k × 32-dim × 16 tables.
+    # All L signatures in ONE pass over the vectors, fanned out to L
+    # (tbl, sig) rows by a JVM posexplode — a union of per-table selects
+    # would rescan the embedding table L times (fatal at 100 TB).
+    #
+    # The L·planes dot products per vector are a (rows × dim) @
+    # (dim × L·planes) matrix product. As Catalyst expressions this is
+    # either L·planes interpreted zip_with/aggregate HOFs per row (~5 s
+    # of per-element boxing at the 119.6k × 16×10×32 bench shape, plus
+    # ~8 s of driver-serial py4j Column construction) or an unrolled
+    # 5,120-term projection whose generated methods blow past HotSpot's
+    # JIT limit and run as interpreted bytecode (measured 34 s — worse).
+    # So the dim-known path hands whole Arrow batches to numpy instead
+    # (guide §4.2: let Spark do distribution, vectorized native code do
+    # bulk math): only (id, vector) crosses the boundary, weights are
+    # built once per task, and the accumulation loops over dimensions in
+    # index order — acc += x_d·w_d on float64 — which is IEEE-identical
+    # to the HOF fold ((0.0 + x₀w₀) + x₁w₁) + …, so signatures are
+    # bit-for-bit the ones the previous all-JVM plan and the DuckDB
+    # oracle produce (pinned by test_similarity's A/B). dim=None keeps
+    # the HOF fallback (empty/unknown-width corpora).
+    if dim is not None:
+        return _hyperplane_buckets_arrow(
+            emb, n_tables, n_planes, id_col, vec_col, dim
+        )
     table_structs = []
     for t in range(n_tables):
         sig = F.lit(0).cast("long")
@@ -240,6 +265,85 @@ def hyperplane_buckets(
         F.col(vec_col).alias("emb"),
         F.explode(F.array(*table_structs)).alias("_ts"),
     ).select("id", "emb", F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+
+
+def _hyperplane_buckets_arrow(
+    emb: DataFrame, n_tables: int, n_planes: int, id_col: str, vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """(id, emb, tbl, sig) via one Arrow/numpy pass — see the caller's
+    plan note. The vector column rides through the Python worker
+    unchanged (callers that only need signatures project it away and the
+    scan then ships just id+vector); per-dimension accumulation order
+    matches the Catalyst HOF fold exactly, so values are bit-identical
+    to the dim=None path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    tp = n_tables * n_planes
+    wflat = [
+        _plane_weight_value(t, p, d)
+        for d in range(dim)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    spark_schema = StructType(
+        [
+            StructField("id", base.schema["id"].dataType),
+            StructField("emb", base.schema["emb"].dataType),
+            StructField("sigs", ArrayType(LongType())),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("id", to_arrow_type(base.schema["id"].dataType)),
+            pa.field("emb", to_arrow_type(base.schema["emb"].dataType)),
+            pa.field("sigs", pa.list_(pa.int64())),
+        ]
+    )
+
+    def sig_batches(batches):
+        W = np.asarray(wflat, dtype=np.float64).reshape(dim, tp)
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = np.asarray(vecs.flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"hyperplane_buckets: expected fixed width {dim}, got "
+                    f"{flat.size} elements for {n} rows (nulls or ragged "
+                    "vectors are outside the operator's input contract)"
+                )
+            x = flat.reshape(n, dim)
+            acc = np.zeros((n, tp), dtype=np.float64)
+            for d in range(dim):
+                # index-order accumulation == the HOF fold, bit-for-bit
+                acc += x[:, d : d + 1] * W[d]
+            bits = (acc > 0.0).reshape(n, n_tables, n_planes)
+            sigs = np.zeros((n, n_tables), dtype=np.int64)
+            for p in range(n_planes):
+                sigs |= bits[:, :, p].astype(np.int64) << p
+            yield pa.record_batch(
+                [
+                    ids,
+                    vecs,
+                    pa.array(sigs.tolist(), type=pa.list_(pa.int64())),
+                ],
+                schema=out_schema,
+            )
+
+    wide = base.mapInArrow(sig_batches, spark_schema)
+    return wide.select(
+        "id", "emb", F.posexplode("sigs").alias("tbl", "sig")
+    )
 
 
 def ann_lsh_topk(
@@ -269,23 +373,21 @@ def ann_lsh_topk(
     # 74 s adaptive planes + score-before-dedup, 39 s this plan.
     if dim is None:
         dim = _probe_dim(emb, vec_col)
-    signed = (
-        hyperplane_buckets(
-            emb, n_tables, n_planes, id_col, vec_col,
-            corpus_count=corpus_count, dim=dim,
-        )
-        .select("id", "tbl", "sig")
-        .persist()
-    )
-    # the bucket-cap aggregate doubles as the cache-fill job: with a cold
-    # cache, both join sides would race the InMemoryRelation build and the
-    # signature projection would run twice in one action (measured: 2x the
-    # whole signature cost)
+    signed = hyperplane_buckets(
+        emb, n_tables, n_planes, id_col, vec_col,
+        corpus_count=corpus_count, dim=dim,
+    ).select("id", "tbl", "sig")
+    # the bucket-cap aggregate doubles as the cache-fill job (the cache
+    # now sits AFTER the sizing window — see _capped_signatures: the
+    # (tbl, sig) exchange runs once and both self-join sides read it
+    # exchange-free): with a cold cache, both join sides would race the
+    # InMemoryRelation build and the signature projection would run twice
+    # in one action (measured: 2x the whole signature cost)
     if max_bucket is None:
         from ..functions.hashing import ANN_MAX_BUCKET
 
         max_bucket = ANN_MAX_BUCKET
-    kept = _capped_signatures(signed, max_bucket)
+    kept, sig_cache = _capped_signatures(signed, max_bucket)
     q = kept.where(F.col("id") % query_mod == 0).select(
         F.col("id").alias("query_id"), "tbl", "sig"
     )
@@ -303,7 +405,7 @@ def ann_lsh_topk(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    signed.unpersist()
+    sig_cache.unpersist()
     ea = _vec_side(emb, id_col, vec_col, "query_id", "a")
     eb = _vec_side(emb, id_col, vec_col, "neighbor_id", "b")
     scored = (
@@ -341,20 +443,16 @@ def near_dup_pairs_ann(
     # signature-only rows, arrays fetched once per deduped pair
     if dim is None:
         dim = _probe_dim(emb, vec_col)
-    signed = (
-        hyperplane_buckets(
-            emb, n_tables, n_planes, id_col, vec_col,
-            corpus_count=corpus_count, dim=dim,
-        )
-        .select("id", "tbl", "sig")
-        .persist()
-    )
+    signed = hyperplane_buckets(
+        emb, n_tables, n_planes, id_col, vec_col,
+        corpus_count=corpus_count, dim=dim,
+    ).select("id", "tbl", "sig")
     # bucket cap doubles as the cache-fill job (see ann_lsh_topk)
     if max_bucket is None:
         from ..functions.hashing import ANN_MAX_BUCKET
 
         max_bucket = ANN_MAX_BUCKET
-    kept = _capped_signatures(signed, max_bucket)
+    kept, sig_cache = _capped_signatures(signed, max_bucket)
     a = kept.select(F.col("id").alias("id_a"), "tbl", "sig")
     b = kept.select(F.col("id").alias("id_b"), "tbl", "sig")
     # eager pair materialization + cache release — see ann_lsh_topk
@@ -365,7 +463,7 @@ def near_dup_pairs_ann(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    signed.unpersist()
+    sig_cache.unpersist()
     ea = _vec_side(emb, id_col, vec_col, "id_a", "a")
     eb = _vec_side(emb, id_col, vec_col, "id_b", "b")
     return (
