@@ -34,13 +34,28 @@ def kernel_nparts(df: DataFrame, floor: int = 4) -> int:
     overhead repeated every superstep.
 
     The proxy is ``df.inputFiles()`` footprint (file metadata — what a
-    table catalog provides for free at any scale): ~1 MiB of source
+    table catalog provides for free at any scale): ~0.5 MiB of source
     parquet ≈ one healthy iterative-shuffle partition at these record
-    widths. Falls back to ``defaultParallelism`` when the input has no
-    resolvable files (in-memory test frames, non-local filesystems),
-    which is exactly the previous default. Callers that know better
-    (the scaling bench, registry queries) keep passing ``num_partitions``
-    explicitly."""
+    widths (r6 recalibration of the 1 MiB rule: the 11 MiB-source
+    1.2M-edge bench graph sized to 10 partitions leaves 2/3 of a
+    32-core box idle per superstep — interleaved A/B measured 34.7 s vs
+    25.3/27.4 s at 16/32 partitions; the sweet spot starts around
+    2 parts/MiB and the cap still bounds it by cluster width). When the
+    input resolves to a CACHED relation instead of files (the bench
+    persists its derived graphs, and ``inputFiles`` on a
+    cache-substituted plan is empty), the same rule runs off the
+    InMemoryRelation's actual byte size via a fresh plan resolution at
+    ~1 MiB cached columnar ≈ 0.5 MiB zstd parquet ≈ one partition, so
+    both paths size alike (the bench graph: 18 MiB cached → 18 parts,
+    22 via its source file; the 24k-edge sparse graph: 0.36 MiB cached
+    → the 4-part floor, where a 32-task superstep is pure dispatch
+    overhead — measured 9.2 → 4.1 s for the 12-superstep CC). Falls
+    back to ``defaultParallelism`` when neither resolves (in-memory
+    test frames, unmaterialized caches — their stats are the child
+    plan's estimate, which for join-derived graphs is huge and clamps
+    to the cap, i.e. the previous default). Callers that know better
+    (the scaling bench, registry queries) keep passing
+    ``num_partitions`` explicitly."""
     sess = df.sparkSession
     cap = max(floor, sess.sparkContext.defaultParallelism)
     try:
@@ -48,7 +63,27 @@ def kernel_nparts(df: DataFrame, floor: int = 4) -> int:
     except Exception:  # noqa: BLE001 — sizing hint only, never fail the kernel
         return cap
     if not files:
-        return cap
+        try:
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                return cap
+            # .alias() forces a fresh resolution so the cache manager
+            # substitutes the InMemoryRelation and its REAL stats (the
+            # df's own queryExecution predates the persist)
+            st = int(
+                str(
+                    df.alias("_kn_sz")
+                    ._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # noqa: BLE001 — sizing hint only
+            return cap
+        if st <= 0:
+            return cap
+        return max(floor, min(cap, st >> 20))
     total = 0
     for f in files:
         p = f.removeprefix("file:")
@@ -57,7 +92,7 @@ def kernel_nparts(df: DataFrame, floor: int = 4) -> int:
         total += os.path.getsize(p)
     if total <= 0:
         return cap
-    return max(floor, min(cap, total >> 20))
+    return max(floor, min(cap, total >> 19))
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
