@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import kernel_nparts, simple_edges
 
 
@@ -67,32 +68,35 @@ def bootstrap_percolation(
     )
     rounds = 0
     converged = False
-    for r in range(1, max_rounds + 1):
-        # messages from the new frontier only: each edge fires once, ever
-        inc = (
-            sym.join(frontier.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count("*").alias("c"))
-        )
-        counts = (
-            counts.unionByName(inc)
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
-            .join(active.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        frontier = counts.where(F.col("c") >= threshold).select("id")
-        n_new = frontier.count()
-        if n_new == 0:
-            converged = True
-            break
-        rounds = r
-        # coalesce bounds the union's partition accumulation across
-        # rounds (see lineage.commit_state) — narrow, no shuffle
-        active = (
-            active.unionByName(frontier.withColumn("round", F.lit(r).cast("long")))
-            .coalesce(num_partitions)
-            .localCheckpoint(eager=True)
-        )
-        counts = counts.where(F.col("c") < threshold).localCheckpoint(eager=True)
+    # loop_confs: per-round fresh plans repeat driver-serial
+    # Janino/AQE work every round (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for r in range(1, max_rounds + 1):
+            # messages from the new frontier only: each edge fires once, ever
+            inc = (
+                sym.join(frontier.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count("*").alias("c"))
+            )
+            counts = (
+                counts.unionByName(inc)
+                .groupBy("id")
+                .agg(F.sum("c").alias("c"))
+                .join(active.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            frontier = counts.where(F.col("c") >= threshold).select("id")
+            n_new = frontier.count()
+            if n_new == 0:
+                converged = True
+                break
+            rounds = r
+            # coalesce bounds the union's partition accumulation across
+            # rounds (see lineage.commit_state) — narrow, no shuffle
+            active = (
+                active.unionByName(frontier.withColumn("round", F.lit(r).cast("long")))
+                .coalesce(num_partitions)
+                .localCheckpoint(eager=True)
+            )
+            counts = counts.where(F.col("c") < threshold).localCheckpoint(eager=True)
     return CascadeResult(activated=active, rounds=rounds, converged=converged)

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import canonical_undirected, kernel_nparts
 from .matching import vertex_priority, vertex_priority_sql
 
@@ -70,63 +71,66 @@ def jp_coloring(
     live_sym = sym
     colored: DataFrame | None = None
     converged = False
-    for rnd in range(1, rounds + 1):
-        # blocked = live vertices with a live neighbor of higher (p, id)
-        pv = live_v.select(F.col("id").alias("v"), F.col("p").alias("pv"))
-        pn = live_v.select(F.col("id").alias("nbr"), F.col("p").alias("pn"))
-        blocked = (
-            live_sym.join(pv, "v")
-            .join(pn, "nbr")
-            .where(
-                F.struct(F.col("pn"), F.col("nbr"))
-                > F.struct(F.col("pv"), F.col("v"))
-            )
-            .select(F.col("v").alias("id"))
-            .distinct()
-        )
-        ready = live_v.join(blocked, "id", "left_anti").localCheckpoint(eager=True)
-        if ready.rdd.isEmpty():
-            converged = True
-            break
-        # smallest color absent from the already-colored neighborhood
-        if colored is None:
-            newly = ready.select(
-                "id", F.lit(0).alias("color"), F.lit(rnd).cast("int").alias("rnd")
-            )
-        else:
-            used = (
-                sym.join(ready.select(F.col("id").alias("v")), "v")
-                .join(
-                    colored.select(F.col("id").alias("nbr"), "color"), "nbr"
+    # loop_confs: per-round fresh plans repeat driver-serial
+    # Janino/AQE work every round (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for rnd in range(1, rounds + 1):
+            # blocked = live vertices with a live neighbor of higher (p, id)
+            pv = live_v.select(F.col("id").alias("v"), F.col("p").alias("pv"))
+            pn = live_v.select(F.col("id").alias("nbr"), F.col("p").alias("pn"))
+            blocked = (
+                live_sym.join(pv, "v")
+                .join(pn, "nbr")
+                .where(
+                    F.struct(F.col("pn"), F.col("nbr"))
+                    > F.struct(F.col("pv"), F.col("v"))
                 )
-                .groupBy(F.col("v").alias("id"))
-                .agg(F.collect_set("color").alias("used"))
+                .select(F.col("v").alias("id"))
+                .distinct()
             )
-            mex = F.array_min(
-                F.array_except(
-                    F.sequence(F.lit(0), F.size("used")), F.col("used")
+            ready = live_v.join(blocked, "id", "left_anti").localCheckpoint(eager=True)
+            if ready.isEmpty():
+                converged = True
+                break
+            # smallest color absent from the already-colored neighborhood
+            if colored is None:
+                newly = ready.select(
+                    "id", F.lit(0).alias("color"), F.lit(rnd).cast("int").alias("rnd")
                 )
+            else:
+                used = (
+                    sym.join(ready.select(F.col("id").alias("v")), "v")
+                    .join(
+                        colored.select(F.col("id").alias("nbr"), "color"), "nbr"
+                    )
+                    .groupBy(F.col("v").alias("id"))
+                    .agg(F.collect_set("color").alias("used"))
+                )
+                mex = F.array_min(
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size("used")), F.col("used")
+                    )
+                )
+                newly = ready.join(used, "id", "left").select(
+                    "id",
+                    F.coalesce(mex, F.lit(0)).cast("int").alias("color"),
+                    F.lit(rnd).cast("int").alias("rnd"),
+                )
+            newly = newly.localCheckpoint(eager=True)
+            colored = newly if colored is None else colored.unionByName(newly)
+            colored = colored.localCheckpoint(eager=True)
+            live_v = live_v.join(newly.select("id"), "id", "left_anti").localCheckpoint(
+                eager=True
             )
-            newly = ready.join(used, "id", "left").select(
-                "id",
-                F.coalesce(mex, F.lit(0)).cast("int").alias("color"),
-                F.lit(rnd).cast("int").alias("rnd"),
+            lv = live_v.select(F.col("id").alias("v"))
+            live_sym = (
+                live_sym.join(lv, "v", "left_semi")
+                .join(lv.withColumnRenamed("v", "nbr"), "nbr", "left_semi")
+                .localCheckpoint(eager=True)
             )
-        newly = newly.localCheckpoint(eager=True)
-        colored = newly if colored is None else colored.unionByName(newly)
-        colored = colored.localCheckpoint(eager=True)
-        live_v = live_v.join(newly.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        lv = live_v.select(F.col("id").alias("v"))
-        live_sym = (
-            live_sym.join(lv, "v", "left_semi")
-            .join(lv.withColumnRenamed("v", "nbr"), "nbr", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        if live_v.rdd.isEmpty():
-            converged = True
-            break
+            if live_v.isEmpty():
+                converged = True
+                break
     if colored is None:
         colored = spark.createDataFrame([], "id BIGINT, color INT, rnd INT")
     return ColoringResult(colored=colored, rounds=rounds, converged=converged)

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ._superstep import loop_confs
 from .graph import canonical_undirected, kernel_nparts
 
 
@@ -80,33 +81,36 @@ def densest_subgraph_peel(
     best_alive = alive
     converged = False
     rounds = 0
-    for r in range(max_rounds):
-        n_v = alive.count()
-        if n_v == 0:
-            converged = True
-            break
-        n_e = ecur.count()
-        stats_rows.append((r, n_v, n_e))
-        rounds = r + 1
-        # integer density argmax: E_r/V_r > E_b/V_b  <=>  E_r*V_b > E_b*V_r
-        if n_e * best_v > best_e * n_v:
-            best_round, best_v, best_e = r, n_v, n_e
-            best_alive = alive
-        # peel: deg(v) * V <= 3 * E  (eps = 1/2, exact integers)
-        sym = ecur.union(ecur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
-        alive = (
-            alive.join(deg, "id", "left")
-            .where(F.coalesce(F.col("deg"), F.lit(0)) * F.lit(n_v) > F.lit(3) * F.lit(n_e))
-            .select("id")
-            .localCheckpoint(eager=True)
-        )
-        ecur = (
-            ecur.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+    # loop_confs: per-round fresh plans repeat driver-serial
+    # Janino/AQE work every round (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for r in range(max_rounds):
+            n_v = alive.count()
+            if n_v == 0:
+                converged = True
+                break
+            n_e = ecur.count()
+            stats_rows.append((r, n_v, n_e))
+            rounds = r + 1
+            # integer density argmax: E_r/V_r > E_b/V_b  <=>  E_r*V_b > E_b*V_r
+            if n_e * best_v > best_e * n_v:
+                best_round, best_v, best_e = r, n_v, n_e
+                best_alive = alive
+            # peel: deg(v) * V <= 3 * E  (eps = 1/2, exact integers)
+            sym = ecur.union(ecur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+            alive = (
+                alive.join(deg, "id", "left")
+                .where(F.coalesce(F.col("deg"), F.lit(0)) * F.lit(n_v) > F.lit(3) * F.lit(n_e))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            ecur = (
+                ecur.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
 
     stats = spark.createDataFrame(
         [(int(r), int(v), int(e)) for r, v, e in stats_rows],

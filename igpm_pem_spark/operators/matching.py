@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ._superstep import loop_confs
 from .graph import canonical_undirected, kernel_nparts
 
 
@@ -83,42 +84,45 @@ def handshake_matching(
     )
     matched: DataFrame | None = None
     converged = False
-    for rnd in range(1, rounds + 1):
-        sym = live.select(F.col("src").alias("v"), "src", "dst", "h").unionByName(
-            live.select(F.col("dst").alias("v"), "src", "dst", "h")
-        )
-        w = Window.partitionBy("v").orderBy("h", "src", "dst")
-        best = (
-            sym.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("v", "src", "dst")
-        )
-        m = (
-            best.where(F.col("v") == F.col("src"))
-            .select("src", "dst")
-            .join(
-                best.where(F.col("v") == F.col("dst")).select("src", "dst"),
-                ["src", "dst"],
-                "left_semi",
+    # loop_confs: per-round fresh plans repeat driver-serial
+    # Janino/AQE work every round (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for rnd in range(1, rounds + 1):
+            sym = live.select(F.col("src").alias("v"), "src", "dst", "h").unionByName(
+                live.select(F.col("dst").alias("v"), "src", "dst", "h")
             )
-            .withColumn("rnd", F.lit(rnd).cast("int"))
-            .localCheckpoint(eager=True)  # also truncates the round's lineage
-        )
-        if m.rdd.isEmpty():
-            converged = True
-            break
-        matched = m if matched is None else matched.unionByName(m)
-        mv = m.select(F.col("src").alias("v")).unionByName(
-            m.select(F.col("dst").alias("v"))
-        )
-        live = (
-            live.join(mv, live.src == mv.v, "left_anti")
-            .join(mv, live.dst == mv.v, "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if live.rdd.isEmpty():
-            converged = True
-            break
+            w = Window.partitionBy("v").orderBy("h", "src", "dst")
+            best = (
+                sym.withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select("v", "src", "dst")
+            )
+            m = (
+                best.where(F.col("v") == F.col("src"))
+                .select("src", "dst")
+                .join(
+                    best.where(F.col("v") == F.col("dst")).select("src", "dst"),
+                    ["src", "dst"],
+                    "left_semi",
+                )
+                .withColumn("rnd", F.lit(rnd).cast("int"))
+                .localCheckpoint(eager=True)  # also truncates the round's lineage
+            )
+            if m.isEmpty():
+                converged = True
+                break
+            matched = m if matched is None else matched.unionByName(m)
+            mv = m.select(F.col("src").alias("v")).unionByName(
+                m.select(F.col("dst").alias("v"))
+            )
+            live = (
+                live.join(mv, live.src == mv.v, "left_anti")
+                .join(mv, live.dst == mv.v, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if live.isEmpty():
+                converged = True
+                break
     if matched is None:
         matched = spark.createDataFrame([], "src BIGINT, dst BIGINT, rnd INT")
     return MatchingResult(matched=matched, rounds=rounds, converged=converged)
@@ -286,45 +290,48 @@ def luby_mis(
     live_e = e.localCheckpoint(eager=True)
     mis: DataFrame | None = None
     converged = False
-    for rnd in range(1, rounds + 1):
-        sym = live_e.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionByName(
-            live_e.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
-        )
-        nbrp = sym.join(
-            live_v.select(F.col("id").alias("nbr"), F.col("p").alias("pn")), "nbr"
-        )
-        minnbr = nbrp.groupBy(F.col("v").alias("id")).agg(
-            F.min(F.struct("pn", "nbr")).alias("mn")
-        )
-        cand = (
-            live_v.join(minnbr, "id", "left")
-            .where(
-                F.col("mn").isNull()
-                | (F.struct(F.col("p").alias("pn"), F.col("id").alias("nbr")) < F.col("mn"))
+    # loop_confs: per-round fresh plans repeat driver-serial
+    # Janino/AQE work every round (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for rnd in range(1, rounds + 1):
+            sym = live_e.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionByName(
+                live_e.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
             )
-            .select("id")
-            .withColumn("rnd", F.lit(rnd).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        if cand.rdd.isEmpty():
-            converged = True
-            break
-        mis = cand if mis is None else mis.unionByName(cand)
-        rm = cand.select("id").unionByName(
-            sym.join(cand.withColumnRenamed("id", "v").select("v"), "v", "left_semi")
-            .select(F.col("nbr").alias("id"))
-        ).distinct()
-        live_v = live_v.join(rm, "id", "left_anti").localCheckpoint(eager=True)
-        lv = live_v.select("id")
-        live_e = (
-            live_e.join(lv.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(lv.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        if live_v.rdd.isEmpty():
-            converged = True
-            break
+            nbrp = sym.join(
+                live_v.select(F.col("id").alias("nbr"), F.col("p").alias("pn")), "nbr"
+            )
+            minnbr = nbrp.groupBy(F.col("v").alias("id")).agg(
+                F.min(F.struct("pn", "nbr")).alias("mn")
+            )
+            cand = (
+                live_v.join(minnbr, "id", "left")
+                .where(
+                    F.col("mn").isNull()
+                    | (F.struct(F.col("p").alias("pn"), F.col("id").alias("nbr")) < F.col("mn"))
+                )
+                .select("id")
+                .withColumn("rnd", F.lit(rnd).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+            if cand.isEmpty():
+                converged = True
+                break
+            mis = cand if mis is None else mis.unionByName(cand)
+            rm = cand.select("id").unionByName(
+                sym.join(cand.withColumnRenamed("id", "v").select("v"), "v", "left_semi")
+                .select(F.col("nbr").alias("id"))
+            ).distinct()
+            live_v = live_v.join(rm, "id", "left_anti").localCheckpoint(eager=True)
+            lv = live_v.select("id")
+            live_e = (
+                live_e.join(lv.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(lv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            if live_v.isEmpty():
+                converged = True
+                break
     if mis is None:
         mis = spark.createDataFrame([], "id BIGINT, rnd INT")
     return MatchingResult(matched=mis, rounds=rounds, converged=converged)

@@ -81,16 +81,25 @@ def _power_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
     python float lists (the only driver traffic)."""
     if iters < 1 or dim < 1:
         raise ValueError("pca: iters and dim must be >= 1")
+    from ._superstep import loop_confs
+
     xe = [F.col(vec_col).getItem(i).cast("double") for i in range(dim)]
-    mu_row = emb.agg(*[F.avg(xe[d]).alias(f"m{d}") for d in range(dim)]).collect()[0]
-    mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
-    v = [1.0 / math.sqrt(dim)] * dim
-    for _ in range(iters):
-        w = _step_w(emb, dim, mu, v, vec_col)
-        norm = math.sqrt(sum(wi * wi for wi in w))
-        if norm == 0.0:
-            raise ValueError("pca: zero covariance — degenerate corpus")
-        v = [wi / norm for wi in w]
+    # loop_confs: each step embeds the fresh v as literals, so every
+    # iteration is a brand-new plan whose whole-stage Janino compile is
+    # driver-serial (~0.5 s × iters at any data size) — the same trade
+    # every superstep loop carries (see _superstep.loop_confs)
+    with loop_confs(emb.sparkSession):
+        mu_row = emb.agg(
+            *[F.avg(xe[d]).alias(f"m{d}") for d in range(dim)]
+        ).collect()[0]
+        mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
+        v = [1.0 / math.sqrt(dim)] * dim
+        for _ in range(iters):
+            w = _step_w(emb, dim, mu, v, vec_col)
+            norm = math.sqrt(sum(wi * wi for wi in w))
+            if norm == 0.0:
+                raise ValueError("pca: zero covariance — degenerate corpus")
+            v = [wi / norm for wi in w]
     return mu, v
 
 
@@ -194,6 +203,8 @@ def _deflated_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
     job shape — each step ONE scan + a d-value aggregate + driver-side
     d-vector arithmetic; the deflation (w − ⟨w,v₁⟩v₁) is pure python on
     the d-vector, zero extra jobs."""
+    from ._superstep import loop_confs
+
     mu, v1 = _power_iterate(emb, dim, iters, vec_col)
     # u0: the all-ones start orthogonalized against v1, then normalized —
     # replayed identically by the SQL oracle
@@ -204,14 +215,16 @@ def _deflated_iterate(emb: DataFrame, dim: int, iters: int, vec_col: str):
     if n0 == 0.0:
         raise ValueError("pca: start vector is parallel to v1 — degenerate")
     u = [ui / n0 for ui in u]
-    for _ in range(iters):
-        w = _step_w(emb, dim, mu, u, vec_col)
-        dp = sum(w[d] * v1[d] for d in range(dim))
-        w = [w[d] - dp * v1[d] for d in range(dim)]
-        norm = math.sqrt(sum(wi * wi for wi in w))
-        if norm == 0.0:
-            raise ValueError("pca: zero deflated covariance — rank-1 corpus")
-        u = [wi / norm for wi in w]
+    # loop_confs: same per-step fresh-plan compile trade as _power_iterate
+    with loop_confs(emb.sparkSession):
+        for _ in range(iters):
+            w = _step_w(emb, dim, mu, u, vec_col)
+            dp = sum(w[d] * v1[d] for d in range(dim))
+            w = [w[d] - dp * v1[d] for d in range(dim)]
+            norm = math.sqrt(sum(wi * wi for wi in w))
+            if norm == 0.0:
+                raise ValueError("pca: zero deflated covariance — rank-1 corpus")
+            u = [wi / norm for wi in w]
     return mu, v1, u
 
 

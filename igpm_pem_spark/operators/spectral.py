@@ -56,29 +56,35 @@ def spectral_gap(
     deg = deg.localCheckpoint(eager=True)
     total_d = deg.agg(F.sum("d")).first()[0]  # = 2|E|, scalar probe
 
+    from ._superstep import loop_confs
+
     v = deg.select("id", (F.when(F.col("id") % 2 == 1, 1.0).otherwise(-1.0)).alias("v"))
     prev_norm2 = None
-    for r in range(rounds):
-        # deflate: c = sum(pi * v) with pi = d / total_d
-        c = (
-            v.join(deg, "id")
-            .agg(F.sum(F.col("v") * F.col("d") / F.lit(float(total_d))))
-            .first()[0]
-        )
-        v = v.select("id", (F.col("v") - F.lit(float(c))).alias("v"))
-        if r == rounds - 1:
-            prev_norm2 = v.agg(F.sum(F.col("v") * F.col("v"))).first()[0]
-        # multiply: (P v)(x) = sum_{u -> x} v(u) / d(u)
-        vmsg = (
-            sym.join(v.withColumnRenamed("id", "src"), "src")
-            .join(deg.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("v") / F.col("d")).alias("v"))
-        )
-        # vertices with no incoming message (none on a symmetrized simple
-        # graph — every vertex has degree >= 1) would drop out; keep the
-        # join inner and let the algebra stand
-        v = vmsg.localCheckpoint(eager=False)
+    # loop_confs: per-round fresh plans (the deflation scalar is a new
+    # literal each round) — skip the repeated Janino/AQE driver-serial
+    # work, as every superstep loop does (see _superstep.loop_confs)
+    with loop_confs(spark):
+        for r in range(rounds):
+            # deflate: c = sum(pi * v) with pi = d / total_d
+            c = (
+                v.join(deg, "id")
+                .agg(F.sum(F.col("v") * F.col("d") / F.lit(float(total_d))))
+                .first()[0]
+            )
+            v = v.select("id", (F.col("v") - F.lit(float(c))).alias("v"))
+            if r == rounds - 1:
+                prev_norm2 = v.agg(F.sum(F.col("v") * F.col("v"))).first()[0]
+            # multiply: (P v)(x) = sum_{u -> x} v(u) / d(u)
+            vmsg = (
+                sym.join(v.withColumnRenamed("id", "src"), "src")
+                .join(deg.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("v") / F.col("d")).alias("v"))
+            )
+            # vertices with no incoming message (none on a symmetrized
+            # simple graph — every vertex has degree >= 1) would drop
+            # out; keep the join inner and let the algebra stand
+            v = vmsg.localCheckpoint(eager=False)
     norm2 = v.agg(F.sum(F.col("v") * F.col("v"))).first()[0]
     n_v = deg.count()
     lam = (norm2 / prev_norm2) ** 0.5 if prev_norm2 and prev_norm2 > 0 else 0.0

@@ -59,7 +59,7 @@ def components_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
-        if new_edges.rdd.isEmpty():
+        if new_edges.isEmpty():
             return
         state.batches += 1
         if state.edges is None:
@@ -150,7 +150,7 @@ def pattern_match_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.localCheckpoint(eager=True)
-        if new_edges.rdd.isEmpty():
+        if new_edges.isEmpty():
             return
         state.batches += 1
         if state.edges is None:
@@ -267,7 +267,7 @@ def sssp_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst", "w").localCheckpoint(eager=True)
-        if new_edges.rdd.isEmpty():
+        if new_edges.isEmpty():
             return
         state.batches += 1
         if state.edges is None:
@@ -375,7 +375,7 @@ def pagerank_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
-        if new_edges.rdd.isEmpty():
+        if new_edges.isEmpty():
             return
         state.batches += 1
         if state.edges is None:
@@ -459,7 +459,7 @@ def labelprop_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst").localCheckpoint(eager=True)
-        if new_edges.rdd.isEmpty():
+        if new_edges.isEmpty():
             return
         state.batches += 1
         if state.edges is None:
@@ -794,7 +794,7 @@ def new_returning_stream(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if bd.rdd.isEmpty():
+        if bd.isEmpty():
             return
         state.batches += 1
         if state.user_days is None:
@@ -802,7 +802,7 @@ def new_returning_stream(
         else:
             novel = bd.join(state.user_days, ["user_id", "day"], "left_anti")
         novel = novel.localCheckpoint(eager=True)
-        if novel.rdd.isEmpty():
+        if novel.isEmpty():
             return
         state.user_days = (
             novel if state.user_days is None
