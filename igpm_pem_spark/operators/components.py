@@ -122,10 +122,18 @@ def connected_components(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
-    steps_per_commit: int = 1,
+    steps_per_commit: int = 4,
 ) -> ComponentsResult:
     """Hash-min WCC. Edge direction is ignored (weak connectivity,
-    matching the reference's ``to_directed`` + WCC)."""
+    matching the reference's ``to_directed`` + WCC).
+
+    ``steps_per_commit`` defaults to 4 (r6): the component fixpoint is
+    exact integer hash-min, so commit blocking cannot change the result
+    — only how often the driver pays a commit + stats job. With the
+    pointer-jumping shortcut most graphs converge in ≤ 12 supersteps,
+    and per-superstep commits made the driver-side job floor (~50 ms/job
+    on the bench host) half the kernel's wall at small scale. Callers
+    with durable-checkpoint cadence needs pass it explicitly."""
     if num_partitions is None:
         num_partitions = kernel_nparts(edges)
     adj = partitioned_adjacency(edges, num_partitions, directed=False).persist()

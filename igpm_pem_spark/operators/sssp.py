@@ -91,9 +91,16 @@ def sssp(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
-    steps_per_commit: int = 1,
+    steps_per_commit: int = 4,
 ) -> SsspResult:
     """Min-plus fixpoint: dist(v) = min over edges (u,v) of dist(u)+w.
+
+    ``steps_per_commit`` defaults to 4 (r6): the min-plus fixpoint is
+    exact — commit blocking only changes how often the driver pays a
+    commit + stats job (the ~50 ms/job floor dominated small-scale runs
+    at per-superstep commits); the converged distances are identical and
+    the ``supersteps`` counter can overshoot the crossing by at most
+    block-1 no-op supersteps.
 
     Non-negative weights assumed (enforced); unreachable vertices are
     absent from the result rather than carrying +inf rows. With a
