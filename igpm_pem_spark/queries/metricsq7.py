@@ -113,7 +113,10 @@ def _q_percolation_curve(spark, sf_dir):
     from ..operators.components import component_sizes, connected_components
     from ..operators.sampling import SPLIT_BUCKETS, split_bucket
 
-    e = edges(spark, sf_dir, G_SPARSE_SQL)
+    # persist the base derivation: each rate's CC otherwise re-runs the
+    # full lineitem self-join (3× the most expensive scan of the query);
+    # released after the last rate's fixpoint is materialized below
+    e = edges(spark, sf_dir, G_SPARSE_SQL).persist()
     out = None
     for rate in _PERC_RATES:
         cut = int(rate * SPLIT_BUCKETS)
@@ -145,6 +148,9 @@ def _q_percolation_curve(spark, sf_dir):
             )
         )
         out = row if out is None else out.unionByName(row)
+    # every rate's CC state is localCheckpoint-materialized inside
+    # connected_components, so the rows no longer need the base cache
+    e.unpersist()
     return out
 
 
