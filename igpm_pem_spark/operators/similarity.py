@@ -236,35 +236,11 @@ def hyperplane_buckets(
     # index order — acc += x_d·w_d on float64 — which is IEEE-identical
     # to the HOF fold ((0.0 + x₀w₀) + x₁w₁) + …, so signatures are
     # bit-for-bit the ones the previous all-JVM plan and the DuckDB
-    # oracle produce (pinned by test_similarity's A/B). dim=None keeps
-    # the HOF fallback (empty/unknown-width corpora).
-    if dim is not None:
-        return _hyperplane_buckets_arrow(
-            emb, n_tables, n_planes, id_col, vec_col, dim
-        )
-    table_structs = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            wlit = F.array(
-                *[F.lit(_plane_weight_value(t, p, d)) for d in range(dim)]
-            )
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), wlit, lambda x, w: x.cast("double") * w
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-        table_structs.append(
-            F.struct(F.lit(t).alias("tbl"), sig.alias("sig"))
-        )
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("emb"),
-        F.explode(F.array(*table_structs)).alias("_ts"),
-    ).select("id", "emb", F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+    # oracle produce (pinned by test_similarity's fold-equivalence A/B;
+    # the empty-corpus case returned above, so dim is always known here).
+    return _hyperplane_buckets_arrow(
+        emb, n_tables, n_planes, id_col, vec_col, dim
+    )
 
 
 def _hyperplane_buckets_arrow(

@@ -167,3 +167,47 @@ def test_quantize_int8_roundtrip_and_zeros(spark):
     # reconstruction error bounded by half a step
     for x, q in zip([0.5, -1.0, 0.25], got[0][1]):
         assert abs(q / sc0 - x) <= 0.5 / sc0 + 1e-12
+
+
+def test_hyperplane_buckets_match_catalyst_hof_fold(spark):
+    """The Arrow/numpy signature path (r6) must be BIT-identical to the
+    previous all-JVM plan: a zip_with/aggregate higher-order fold whose
+    accumulation order ((0.0 + x0*w0) + x1*w1) + ... the numpy kernel
+    reproduces via per-dimension index-order accumulation. This is the
+    property the DuckDB oracle equality rests on, so it is pinned here
+    against an inline reference implementation of the old plan."""
+    from igpm_pem_spark.operators.similarity import _plane_weight_value
+
+    def hof_reference(emb, n_tables, n_planes, dim):
+        table_structs = []
+        for t in range(n_tables):
+            sig = F.lit(0).cast("long")
+            for p in range(n_planes):
+                wlit = F.array(
+                    *[F.lit(_plane_weight_value(t, p, d)) for d in range(dim)]
+                )
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), wlit,
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                sig = sig + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+            table_structs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+        return emb.select(
+            F.col("vec_id").alias("id"),
+            F.explode(F.array(*table_structs)).alias("_ts"),
+        ).select("id", F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+
+    e = _emb(spark)
+    dim = len(e.select("embedding").first()[0])
+    got = (
+        hyperplane_buckets(e, n_tables=3, n_planes=7)
+        .select("id", "tbl", "sig")
+        .orderBy("id", "tbl")
+    )
+    want = hof_reference(e, 3, 7, dim).orderBy("id", "tbl")
+    assert got.schema.simpleString() == want.schema.simpleString()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
